@@ -1,0 +1,54 @@
+"""Timestamped stage logging + timers.
+
+Mirrors the observability role of the reference's err_func_format_printf
+(reference utils.c:362-390: "=== MM-DD-YYYY HH:MM:SS === [func] msg") and the
+realtime/cputime helpers (utils.c:339-351), with a structured, greppable
+format.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+_LOG_STREAM = sys.stderr
+
+
+def set_log_stream(stream) -> None:
+    global _LOG_STREAM
+    _LOG_STREAM = stream
+
+
+def log(func: str, msg: str, *args) -> None:
+    """Timestamped stderr logging at phase boundaries."""
+    if args:
+        msg = msg % args
+    ts = time.strftime("%m-%d-%Y %H:%M:%S")
+    print(f"=== {ts} === [{func}] {msg}", file=_LOG_STREAM, flush=True)
+
+
+class Timer:
+    """Wall/CPU timer for a pipeline stage; logs on exit.
+
+    Usage:  with Timer("align"): ...
+    """
+
+    def __init__(self, name: str, quiet: bool = False):
+        self.name = name
+        self.quiet = quiet
+        self.wall = 0.0
+        self.cpu = 0.0
+
+    def __enter__(self):
+        self._w0 = time.perf_counter()
+        self._c0 = time.process_time()
+        return self
+
+    def __exit__(self, *exc):
+        self.wall = time.perf_counter() - self._w0
+        self.cpu = time.process_time() - self._c0
+        if not self.quiet:
+            log(self.name, "done in %.3fs wall / %.3fs cpu", self.wall, self.cpu)
+        return False
