@@ -1,0 +1,309 @@
+"""Long-read spliced aligner: seed -> chain -> splice-aware extend.
+
+Replaces the minimap2 role (`minimap2 -ax splice -ub`, reference
+Snakefile:61).  Seeding uses the sorted minimizer index; chaining is the
+splice-aware window DP (align.chain; TPU-batched version in ops.chain_jax);
+extension merges colinear anchors into exon blocks, places introns with
+motif-scored splice refinement (align.splice), fills intra-exon indel gaps
+with banded DP, and emits SAM records carrying the tags the downstream
+filter consumes (NM / AS / XS / NH — reference bam_filter.c:79, bam2seg
+parse_bam.c:548-551, gen_exon bam2gtf.c:35).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.fasta import Genome, SeqSet, revcomp, decode_seq
+from ..io.sam import (AlnRec, FREVERSE, FSECONDARY, OP_D, OP_I, OP_M, OP_N,
+                      OP_S)
+from ..index.minimizer import MinimizerIndex, extract_minimizers
+from ..utils import log
+from .banded import banded_edit_path
+from .chain import ChainParams, backtrack, chain_anchors
+from .splice import refine_splice, refine_splice_indel
+
+
+@dataclass
+class AlignParams:
+    k: int = 15
+    w: int = 5
+    chain: ChainParams = field(default_factory=ChainParams)
+    max_anchors: int = 5000       # per read/strand cap
+    min_intron_gap: int = 30      # ref-excess beyond which a gap is an intron
+    min_intron_len: int = 30      # shortest intron the extender will emit
+    band_pad: int = 16
+    ext_match: int = 1
+    ext_mismatch: int = 4         # end-extension drop-off X penalty
+    min_score: float = 20.0
+
+
+class SpliceAligner:
+    def __init__(self, genome: Genome, params: Optional[AlignParams] = None,
+                 index: Optional[MinimizerIndex] = None):
+        self.genome = genome
+        self.p = params or AlignParams()
+        self.p.chain.k = self.p.k
+        self.index = index or MinimizerIndex.build(genome, self.p.k, self.p.w)
+        self.refs = [(n, int(l)) for n, l in zip(genome.names, genome.lengths())]
+
+    # ------------------------------------------------------------- seeding
+    def _anchors(self, codes: np.ndarray):
+        """Anchor lists for both orientations.
+
+        Returns dict strand -> (qpos, gpos) with qpos in the coordinate
+        system of the (possibly reverse-complemented) query that matches the
+        forward genome.
+        """
+        p = self.p
+        L = len(codes)
+        h, qpos, qstrand = extract_minimizers(codes, p.k, p.w)
+        lo, hi = self.index.lookup(h)
+        cnt = hi - lo
+        keep = cnt > 0
+        out = {0: None, 1: None}
+        if not keep.any():
+            return out
+        idx = np.nonzero(keep)[0]
+        # expand hit ranges
+        reps = cnt[idx]
+        qp = np.repeat(qpos[idx], reps)
+        qs = np.repeat(qstrand[idx], reps)
+        flat = np.concatenate([np.arange(lo[i], hi[i]) for i in idx])
+        gp = self.index.pos[flat]
+        gs = self.index.strand[flat]
+        strand = (qs ^ gs).astype(np.int8)
+        for s in (0, 1):
+            m = strand == s
+            if not m.any():
+                continue
+            q = qp[m]
+            g = gp[m]
+            if s == 1:  # anchor position in RC-read coordinates
+                q = L - p.k - q
+            order = np.lexsort((q, g))
+            q, g = q[order], g[order]
+            if len(q) > p.max_anchors:
+                sub = np.linspace(0, len(q) - 1, p.max_anchors).astype(np.int64)
+                q, g = q[sub], g[sub]
+            out[s] = (q.astype(np.int64), g.astype(np.int64))
+        return out
+
+    # ----------------------------------------------------------- extension
+    def _merge_chain_blocks(self, q: np.ndarray, g: np.ndarray):
+        """Chain anchors -> colinear blocks [(q0, g0, blen)...].
+
+        Anchors on the same diagonal extend the current block; an anchor on a
+        new diagonal that overlaps the current block (k-mer span crossing the
+        block end) is trimmed from the left, and dropped entirely if the trim
+        consumes it.
+        """
+        k = self.p.k
+        blocks = []
+        q0, g0 = int(q[0]), int(g[0])
+        qe, ge = q0 + k, g0 + k
+        for i in range(1, len(q)):
+            qi, gi = int(q[i]), int(g[i])
+            if qi - q0 == gi - g0:  # same diagonal: extend
+                qe = max(qe, qi + k)
+                ge = max(ge, gi + k)
+                continue
+            d = max(qe - qi, ge - gi)  # overlap with current block
+            if d > 0:
+                if d >= k:
+                    continue  # fully consumed by the trim
+                qi += d
+                gi += d
+            blocks.append((q0, g0, qe - q0))
+            q0, g0 = qi, gi
+            qe, ge = qi + (k - max(d, 0) if d > 0 else k), gi + (k - max(d, 0) if d > 0 else k)
+        blocks.append((q0, g0, qe - q0))
+        return blocks
+
+    def _extend(self, codes: np.ndarray, q: np.ndarray, g: np.ndarray):
+        """Build (pos, cigar, NM, nmatch, splice_vote) from chain anchors
+        over the concatenated genome buffer."""
+        p = self.p
+        ref = self.genome.codes
+        L = len(codes)
+        blocks = [list(b) for b in self._merge_chain_blocks(q, g)]
+        # pull anchor-block edges back into intron gaps so the junction DP
+        # can move the splice point into exactly-matching flank sequence
+        E = 6
+        for i in range(1, len(blocks)):
+            pq, pg, pl = blocks[i - 1]
+            bq, bg, bl = blocks[i]
+            gq = bq - (pq + pl)
+            gg = bg - (pg + pl)
+            if gg - gq >= p.min_intron_gap:
+                El = min(E, pl - 8) if pl > 8 else 0
+                Er = min(E, bl - 8) if bl > 8 else 0
+                blocks[i - 1][2] -= El
+                blocks[i][0] += Er
+                blocks[i][1] += Er
+                blocks[i][2] -= Er
+        ops: List[Tuple[int, int]] = []
+        ed = 0
+        nmatch = 0
+        vote = 0
+
+        def push(op: int, l: int):
+            if l <= 0:
+                return
+            if ops and ops[-1][0] == op:
+                ops[-1] = (op, ops[-1][1] + l)
+            else:
+                ops.append((op, l))
+
+        def count_m(qs: int, gs: int, l: int):
+            nonlocal ed, nmatch
+            if l <= 0:
+                return
+            mism = int(np.sum(codes[qs: qs + l] != ref[gs: gs + l]))
+            ed += mism
+            nmatch += l - mism
+
+        def emit_ops(sub_ops, qi: int, gi: int):
+            """Push (op,len) runs, counting NM/matches; returns ref consumed."""
+            nonlocal ed
+            g_used = 0
+            for op, l in sub_ops:
+                push(op, l)
+                if op == OP_M:
+                    count_m(qi, gi + g_used, l)
+                    qi += l
+                    g_used += l
+                elif op == OP_I:
+                    qi += l
+                    ed += l
+                elif op == OP_D:
+                    g_used += l
+                    ed += l
+                elif op == OP_N:
+                    g_used += l
+            return g_used
+
+        # ---- left end extension (no-indel drop-off)
+        q0, g0, _ = blocks[0]
+        ext = min(q0, g0)
+        if ext > 0:
+            a = codes[q0 - ext: q0]
+            b = ref[g0 - ext: g0]
+            match = (a == b)[::-1]  # from the anchor outward
+            sc = np.cumsum(np.where(match, p.ext_match, -p.ext_mismatch))
+            best = int(np.argmax(sc))
+            take = best + 1 if sc[best] > 0 else 0
+        else:
+            take = 0
+        lead_clip = q0 - take
+        pos = g0 - take
+        push(OP_S, lead_clip)
+        if take:
+            push(OP_M, take)
+            count_m(q0 - take, g0 - take, take)
+
+        # ---- blocks + gaps
+        for bi, (bq, bg, blen) in enumerate(blocks):
+            if bi > 0:
+                pq, pg, pl = blocks[bi - 1]
+                gap_q = bq - (pq + pl)
+                gap_g = bg - (pg + pl)
+                if gap_q < 0 or gap_g < 0:
+                    # shouldn't happen after merge; fall back to skipping
+                    gap_q = max(gap_q, 0)
+                    gap_g = max(gap_g, 0)
+                if (gap_g - gap_q >= p.min_intron_gap and
+                        gap_g - gap_q >= p.min_intron_len):
+                    qgap = codes[pq + pl: bq]
+                    res = refine_splice_indel(qgap, ref, pg + pl, bg,
+                                              min_intron=p.min_intron_len)
+                    if res is not None:
+                        left_ops, intron, right_ops, v, _ = res
+                        vote += v
+                        g_used = emit_ops(left_ops, pq + pl, pg + pl)
+                        push(OP_N, intron)
+                        emit_ops(right_ops, pq + pl + sum(
+                            l for op, l in left_ops if op in (OP_M, OP_I)),
+                            pg + pl + g_used + intron)
+                    else:  # no valid intron: banded gap fill
+                        emit_ops(banded_edit_path(
+                            codes[pq + pl: bq], ref[pg + pl: bg],
+                            p.band_pad)[0], pq + pl, pg + pl)
+                elif gap_q == gap_g:
+                    push(OP_M, gap_q)
+                    count_m(pq + pl, pg + pl, gap_q)
+                else:
+                    emit_ops(banded_edit_path(
+                        codes[pq + pl: bq], ref[pg + pl: bg], p.band_pad)[0],
+                        pq + pl, pg + pl)
+            push(OP_M, blen)
+            count_m(bq, bg, blen)
+
+        # ---- right end extension
+        lq, lg, ll = blocks[-1]
+        qend, gend = lq + ll, lg + ll
+        rem = L - qend
+        ext = min(rem, len(ref) - gend)
+        if ext > 0:
+            a = codes[qend: qend + ext]
+            b = ref[gend: gend + ext]
+            match = a == b
+            sc = np.cumsum(np.where(match, p.ext_match, -p.ext_mismatch))
+            best = int(np.argmax(sc))
+            take = best + 1 if sc[best] > 0 else 0
+        else:
+            take = 0
+        if take:
+            push(OP_M, take)
+            count_m(qend, gend, take)
+        push(OP_S, L - qend - take)
+        return pos, ops, ed, nmatch, vote
+
+    # ------------------------------------------------------------ top level
+    def align_read(self, name: str, codes: np.ndarray) -> List[AlnRec]:
+        p = self.p
+        anchors = self._anchors(codes)
+        rc = revcomp(codes)
+        cands = []  # (score, strand, chain_q, chain_g)
+        for s in (0, 1):
+            if anchors[s] is None:
+                continue
+            q, g = anchors[s]
+            f, parent = chain_anchors(q, g, p.chain)
+            pri, ps, sec, ss = backtrack(f, parent, p.min_score)
+            if len(pri):
+                cands.append((ps, s, q[pri], g[pri]))
+            if len(sec):
+                cands.append((ss, s, q[sec], g[sec]))
+        if not cands:
+            return []
+        cands.sort(key=lambda c: -c[0])
+        recs: List[AlnRec] = []
+        for rank, (score, s, cq, cg) in enumerate(cands[:2]):
+            seq_codes = rc if s == 1 else codes
+            pos_g, ops, ed, nmatch, vote = self._extend(seq_codes, cq, cg)
+            if nmatch < p.min_score:
+                continue
+            tid, pos = self.index.global_to_chrom(np.array([pos_g]))
+            tid, pos = int(tid[0]), int(pos[0])
+            flag = (FREVERSE if s == 1 else 0) | (FSECONDARY if rank else 0)
+            cigar = np.array([(l << 4) | op for op, l in ops if l > 0],
+                             np.uint32)
+            tags = {"NM": ed, "AS": int(2 * nmatch - 4 * ed), "NH": len(cands[:2])}
+            has_intron = any(op == OP_N for op, _ in ops)
+            if has_intron and vote != 0:
+                tags["XS"] = "+" if vote > 0 else "-"
+            mapq = 60 if len(cands) == 1 else max(
+                0, min(60, int(40.0 * (1.0 - cands[1][0] / max(cands[0][0], 1e-9)) * 2)))
+            recs.append(AlnRec(
+                qname=name, flag=flag, tid=tid, pos=pos,
+                mapq=mapq if rank == 0 else 0, cigar=cigar,
+                seq=decode_seq(seq_codes), qual="*", tags=tags))
+        return recs
+
+    def align_seqset(self, reads: SeqSet) -> Iterator[AlnRec]:
+        for i in range(reads.n):
+            yield from self.align_read(reads.names[i], reads.get(i))

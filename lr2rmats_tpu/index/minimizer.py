@@ -1,0 +1,166 @@
+"""Minimizer extraction + sorted genome index.
+
+Replaces minimap2's seeding stage (`minimap2 -x splice`: k=15, w=5).  All
+extraction is vectorized; the index is a hash-sorted (hash, pos, strand)
+array queried with searchsorted — a TPU/XLA-friendly layout (no pointer
+chasing, no open addressing; reference SURVEY §7 "hard parts" #5).
+
+Positions are stored as global offsets into the concatenated genome buffer;
+chromosome id/coordinates are recovered via the offsets table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..io.fasta import Genome, SeqSet
+from ..utils import log
+
+K_DEFAULT = 15
+W_DEFAULT = 5
+
+
+def _hash64(x: np.ndarray, mask: np.int64) -> np.ndarray:
+    """Invertible finalizer hash (murmur-style), vectorized.
+
+    Same role as minimap2's hash64: decorrelates lexicographic k-mer order
+    so window minima are pseudo-random.
+    """
+    x = x.astype(np.uint64)
+    m = np.uint64(mask)
+    x = (~x + (x << np.uint64(21))) & m
+    x = x ^ (x >> np.uint64(24))
+    x = (x + (x << np.uint64(3)) + (x << np.uint64(8))) & m
+    x = x ^ (x >> np.uint64(14))
+    x = (x + (x << np.uint64(2)) + (x << np.uint64(4))) & m
+    x = x ^ (x >> np.uint64(28))
+    x = (x + (x << np.uint64(31))) & m
+    return x
+
+
+def kmer_codes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Forward and reverse-complement 2-bit packed k-mers at every position.
+
+    Returns (fwd, rc) uint64 arrays of length len(codes)-k+1 plus a validity
+    mask is encoded by callers via the `valid_kmer` helper.
+    """
+    n = len(codes) - k + 1
+    if n <= 0:
+        z = np.zeros(0, np.uint64)
+        return z, z
+    c = codes.astype(np.uint64)
+    fwd = np.zeros(n, np.uint64)
+    rc = np.zeros(n, np.uint64)
+    for j in range(k):
+        fwd = (fwd << np.uint64(2)) | (c[j: j + n] & np.uint64(3))
+        # rc: complement of base at position k-1-j goes into high bits order
+        rc = (rc << np.uint64(2)) | ((np.uint64(3) - c[k - 1 - j: k - 1 - j + n]) & np.uint64(3))
+    return fwd, rc
+
+
+def valid_kmer(codes: np.ndarray, k: int) -> np.ndarray:
+    """Mask of k-mer windows containing no ambiguous base."""
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, bool)
+    bad = (codes >= 4).astype(np.int32)
+    cs = np.concatenate([[0], np.cumsum(bad)])
+    return (cs[k:] - cs[:-k]) == 0
+
+
+def extract_minimizers(codes: np.ndarray, k: int = K_DEFAULT, w: int = W_DEFAULT
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hash, pos, strand) minimizers of one sequence.
+
+    strand=0 when the forward k-mer is canonical, 1 when the reverse
+    complement is.  Strand-ambiguous (palindromic) k-mers are kept as
+    forward.  Window minima are computed via a stacked min over w shifted
+    views (w is small), then deduplicated on (pos).
+    """
+    n = len(codes) - k + 1
+    if n < w:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint64), z, z.astype(np.int8)
+    mask = (1 << (2 * k)) - 1
+    fwd, rc = kmer_codes(codes, k)
+    ok = valid_kmer(codes, k)
+    strand = (rc < fwd).astype(np.int8)
+    canon = np.where(rc < fwd, rc, fwd)
+    h = _hash64(canon, mask)
+    # invalid k-mers get +inf-like hash so they never win a window
+    h = np.where(ok, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+
+    nw = n - w + 1
+    stack = np.lib.stride_tricks.sliding_window_view(h, w)  # [nw, w]
+    win_min = stack.min(axis=1)
+    # position of min within window (leftmost, like argmin)
+    arg = stack.argmin(axis=1)
+    pos = np.arange(nw, dtype=np.int64) + arg
+    # dedup identical (pos) picks from adjacent windows
+    keep = np.ones(nw, bool)
+    keep[1:] = pos[1:] != pos[:-1]
+    # drop windows whose min is invalid
+    keep &= win_min != np.uint64(0xFFFFFFFFFFFFFFFF)
+    pos = pos[keep]
+    return h[pos], pos, strand[pos]
+
+
+@dataclass
+class MinimizerIndex:
+    """Hash-sorted minimizer table over the whole genome."""
+
+    k: int
+    w: int
+    hashes: np.ndarray      # uint64 [m] sorted
+    pos: np.ndarray         # int64 [m] global offsets (k-mer start)
+    strand: np.ndarray      # int8  [m]
+    chrom_offsets: np.ndarray  # int64 [n_chrom+1]
+    names: list
+    max_occ: int = 0        # high-frequency cutoff applied (0 = none)
+
+    @classmethod
+    def build(cls, genome: Genome, k: int = K_DEFAULT, w: int = W_DEFAULT,
+              max_occ_frac: float = 2e-4, min_max_occ: int = 50) -> "MinimizerIndex":
+        log("index", "building minimizer index (k=%d, w=%d) ...", k, w)
+        hs, ps, ss = [], [], []
+        for tid in range(genome.n):
+            codes = genome.get(tid)
+            h, p, s = extract_minimizers(codes, k, w)
+            hs.append(h)
+            ps.append(p + genome.offsets[tid])
+            ss.append(s)
+        h = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+        p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
+        s = np.concatenate(ss) if ss else np.zeros(0, np.int8)
+        order = np.argsort(h, kind="stable")
+        h, p, s = h[order], p[order], s[order]
+        # occurrence cap: drop minimizers appearing more often than the
+        # max_occ_frac quantile (minimap2 -f equivalent)
+        max_occ = 0
+        if len(h):
+            uh, counts = np.unique(h, return_counts=True)
+            if len(uh):
+                max_occ = max(int(np.quantile(counts, 1.0 - max_occ_frac)),
+                              min_max_occ)
+                bad = uh[counts > max_occ]
+                if len(bad):
+                    drop = np.isin(h, bad)
+                    h, p, s = h[~drop], p[~drop], s[~drop]
+        log("index", "minimizer index done: %d minimizers (max_occ=%d)",
+            len(h), max_occ)
+        return cls(k, w, h, p, s, genome.offsets.copy(), list(genome.names),
+                   max_occ)
+
+    def lookup(self, qhashes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """searchsorted range per query hash -> (lo, hi) index arrays."""
+        lo = np.searchsorted(self.hashes, qhashes, side="left")
+        hi = np.searchsorted(self.hashes, qhashes, side="right")
+        return lo, hi
+
+    def global_to_chrom(self, gpos: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """global offset -> (tid, 0-based chrom offset)."""
+        tid = np.searchsorted(self.chrom_offsets, gpos, side="right") - 1
+        return tid.astype(np.int32), (gpos - self.chrom_offsets[tid])
