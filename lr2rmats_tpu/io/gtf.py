@@ -173,6 +173,21 @@ def _attrs(gene_id: str, trans_id: str, gene_name: str, trans_name: str) -> str:
     return " ".join(parts)
 
 
+def write_trans_simple(T: Transcripts, i: int, cname: ChrNames, src: str,
+                       out: IO[str]) -> None:
+    """Single-transcript writer matching print_trans (reference
+    gtf.c:597-604): only gene_id + transcript_id attributes, exons in stored
+    (coordinate) order for both strands."""
+    chrom = cname[int(T.tid[i])]
+    strand = "-" if T.is_rev[i] else "+"
+    attr = f'gene_id "{T.gene_id[i]}"; transcript_id "{T.trans_id[i]}";'
+    out.write(f"{chrom}\t{src}\ttranscript\t{int(T.start[i])}\t{int(T.end[i])}"
+              f"\t.\t{strand}\t.\t{attr}\n")
+    for j in range(int(T.exon_n[i])):
+        out.write(f"{chrom}\t{src}\texon\t{int(T.exon_start[i, j])}\t"
+                  f"{int(T.exon_end[i, j])}\t.\t{strand}\t.\t{attr}\n")
+
+
 def write_read_trans(T: Transcripts, cname: ChrNames, src: str, out: IO[str]) -> None:
     """GTF writer, byte-identical to print_read_trans (reference gtf.c:607-632)."""
     for i in range(T.n):

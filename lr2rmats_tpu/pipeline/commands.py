@@ -1,0 +1,200 @@
+"""File-level drivers for the six subcommands.
+
+Each mirrors a reference CLI entry (reference main.c:37-49):
+filter / fusion / update-gtf / unique-gtf / bam2gtf / bam2sj — operating on
+SAM/BAM/GTF paths, so the CLI surface matches the reference binary's.
+"""
+
+from __future__ import annotations
+
+import sys
+from contextlib import contextmanager
+from typing import List, Optional
+
+import numpy as np
+
+from .. import PROG
+from ..io.fasta import Genome
+from ..io.gtf import ChrNames, read_anno_trans, read_gtf_trans, write_read_trans
+from ..io.sam import AlnRec, SamWriter, open_alignments, write_bam
+from ..io.sj import read_sj_group, write_sj
+from ..junctions.bam2sj import bam2sj_records
+from ..transcript.classify import check_trans
+from ..transcript.exon_chain import read_bam_trans
+from ..transcript.filter import FilterParams, filter_alignments
+from ..transcript.fusion import FusionParams, detect_fusions
+from ..transcript.merge import uniq_trans
+from ..transcript.model import Transcripts, UpdateGtfParams
+from ..report.summary import write_bam_detail, write_trans_summary
+
+
+@contextmanager
+def _out(path: Optional[str]):
+    if path is None or path == "-":
+        yield sys.stdout
+    else:
+        f = open(path, "w")
+        try:
+            yield f
+        finally:
+            f.close()
+
+
+def cmd_filter(in_path: str, out_path: Optional[str], params: FilterParams,
+               rm_gtf: Optional[str] = None, out_format: str = "bam",
+               sort_output: bool = True) -> int:
+    """`filter` (reference bam_filter.c:98-164) + the downstream
+    `samtools sort` role (Snakefile:90-92) via sort_output."""
+    refs, header, records = open_alignments(in_path)
+    rm = None
+    if rm_gtf:
+        cname = ChrNames([n for n, _ in refs])
+        rm = read_anno_trans(rm_gtf, cname)
+    kept: List[AlnRec] = list(filter_alignments(records, params, rm))
+    if sort_output:
+        kept.sort(key=lambda r: (r.tid, r.pos))
+    if out_format == "bam":
+        write_bam(out_path or "out.bam", refs, header or None, kept)
+    else:
+        with _out(out_path) as f:
+            w = SamWriter(f, refs, header or None)
+            for r in kept:
+                w.write(r)
+    return len(kept)
+
+
+def _load_input_trans(in_path: str, input_mode: str, hdr_bam: Optional[str],
+                      ugp_min_exon: int, ugp_min_intron: int,
+                      ugp_max_delet: int):
+    """Shared input ingest of update-gtf / unique-gtf (BAM or GTF mode)."""
+    if input_mode == "bam":
+        refs, _, records = open_alignments(in_path)
+        cname = ChrNames([n for n, _ in refs])
+        bam_T = read_bam_trans(records, ugp_min_exon, ugp_min_intron,
+                               ugp_max_delet)
+    else:
+        if hdr_bam is None:
+            raise ValueError("GTF input mode requires a BAM/SAM for header "
+                             "information (-b)")
+        refs, _, _ = open_alignments(hdr_bam)
+        cname = ChrNames([n for n, _ in refs])
+        bam_T = read_gtf_trans(in_path, cname)
+    return cname, bam_T
+
+
+def cmd_update_gtf(in_path: str, anno_path: str, ugp: UpdateGtfParams,
+                   hdr_bam: Optional[str] = None, sj_path: Optional[str] = None,
+                   out_path: Optional[str] = None,
+                   exon_bed: Optional[str] = None,
+                   bam_gtf: Optional[str] = None,
+                   bam_detail: Optional[str] = None,
+                   known_gtf: Optional[str] = None,
+                   novel_gtf: Optional[str] = None,
+                   unrecog_gtf: Optional[str] = None,
+                   summary: Optional[str] = None) -> dict:
+    """`update-gtf` (reference update_gtf.c:995-1117)."""
+    cname, bam_T = _load_input_trans(
+        in_path, ugp.input_mode, hdr_bam, ugp.min_exon, ugp.min_intron,
+        ugp.max_delet)
+    anno_T = read_anno_trans(anno_path, cname)
+    sj = read_sj_group(sj_path, cname)
+
+    updated_T, known_T, novel_T, unrecog_T = (Transcripts() for _ in range(4))
+    check_trans(bam_T, anno_T, sj, ugp, updated_T, known_T, novel_T, unrecog_T)
+
+    with _out(out_path) as f:
+        write_read_trans(updated_T, cname, ugp.source, f)
+    if bam_gtf:
+        with _out(bam_gtf) as f:
+            write_read_trans(bam_T, cname, ugp.source, f)
+    if bam_detail:
+        with _out(bam_detail) as f:
+            write_bam_detail(bam_T, cname, f)
+    if known_gtf:
+        with _out(known_gtf) as f:
+            write_read_trans(known_T, cname, ugp.source, f)
+    if novel_gtf:
+        with _out(novel_gtf) as f:
+            write_read_trans(novel_T, cname, ugp.source, f)
+    if unrecog_gtf:
+        with _out(unrecog_gtf) as f:
+            write_read_trans(unrecog_T, cname, ugp.source, f)
+    stats = {}
+    if summary or exon_bed:
+        sfp = open(summary, "w") if summary else None
+        efp = open(exon_bed, "w") if exon_bed else None
+        try:
+            stats = write_trans_summary(anno_T, updated_T, bam_T, ugp, cname,
+                                        sfp, efp)
+        finally:
+            if sfp:
+                sfp.close()
+            if efp:
+                efp.close()
+    stats.update(dict(updated=updated_T.n, known=known_T.n, novel=novel_T.n,
+                      unrecog=unrecog_T.n))
+    return stats
+
+
+def cmd_unique_gtf(in_path: str, ugp: UpdateGtfParams,
+                   hdr_bam: Optional[str] = None,
+                   out_path: Optional[str] = None,
+                   output_intersect: bool = False) -> int:
+    """`unique-gtf` (reference unique_gtf.c:86-158)."""
+    cname, bam_T = _load_input_trans(
+        in_path, ugp.input_mode, hdr_bam, ugp.min_exon, ugp.min_intron,
+        ugp.max_delet)
+    uniq_T, shared_T = Transcripts(), Transcripts()
+    uniq_trans(bam_T, uniq_T, shared_T, ugp.force_strand, ugp.ss_dis,
+               ugp.end_dis, ugp.single_exon_ovlp_frac)
+    with _out(out_path) as f:
+        write_read_trans(shared_T if output_intersect else uniq_T, cname,
+                         ugp.source, f)
+    return (shared_T if output_intersect else uniq_T).n
+
+
+def cmd_bam2gtf(in_path: str, out_path: Optional[str] = None,
+                min_exon: int = 3, min_intron: int = 3, max_delet: int = 50,
+                source: str = PROG) -> int:
+    """`bam2gtf` (reference bam2gtf.c:120-161)."""
+    from ..io.gtf import write_trans_simple
+    refs, _, records = open_alignments(in_path)
+    cname = ChrNames([n for n, _ in refs])
+    T = read_bam_trans(records, min_exon, min_intron, max_delet)
+    with _out(out_path) as f:
+        for i in range(T.n):
+            write_trans_simple(T, i, cname, source, f)
+    return T.n
+
+
+def cmd_bam2sj(in_path: str, genome_path: Optional[str] = None,
+               out_path: Optional[str] = None, min_intron: int = 3) -> int:
+    """`bam2sj` (reference parse_bam.c:987-1058)."""
+    refs, _, records = open_alignments(in_path)
+    cname = ChrNames([n for n, _ in refs])
+    genome = Genome.load(genome_path) if genome_path else None
+    sj = bam2sj_records(records, genome, min_intron)
+    with _out(out_path) as f:
+        write_sj(sj, cname, f)
+    return sj.n
+
+
+def cmd_fusion(in_path: str, out_path: Optional[str], params: FusionParams,
+               fusion_site: Optional[str] = None, out_format: str = "bam") -> int:
+    """`fusion` (reference bam_fusion.c:144-212)."""
+    refs, header, records = open_alignments(in_path)
+    fs_fp = open(fusion_site, "w") if fusion_site else None
+    try:
+        kept = list(detect_fusions(records, params, fs_fp,
+                                   [n for n, _ in refs]))
+    finally:
+        if fs_fp:
+            fs_fp.close()
+    if out_format == "bam":
+        write_bam(out_path or "fusion.bam", refs, header or None, kept)
+    else:
+        with _out(out_path) as f:
+            w = SamWriter(f, refs, header or None)
+            for r in kept:
+                w.write(r)
+    return len(kept)

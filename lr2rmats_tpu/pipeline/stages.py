@@ -1,0 +1,184 @@
+"""End-to-end pipeline: the Snakemake DAG role (reference Snakefile:1-192).
+
+Stage graph per sample S (process boundaries become function calls; files
+remain the checkpoint artifacts so interrupted runs resume, mirroring
+Snakemake's output-existence semantics — reference SURVEY §5 checkpoint):
+
+  index        : build/load the minimizer index            (minimap_idx)
+  align        : long-read spliced alignment -> SAM + BED  (minimap_map)
+  sam_novel    : filter + update-gtf pass 1 -> sam_novel.gtf  (sam_novel_gtf)
+  new_gtf      : original+novel merge + sort -> new.gtf       (new_gtf)
+  sj_count     : short-read junction support -> STARSJ.out.tab (star_map role)
+  gtf_novel    : update-gtf pass 2 (with SJ) -> gtf_novel.gtf + reports
+  update       : cross-sample unique-gtf + final merge+sort -> updated.gtf
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+from ..io.fasta import Genome, read_fasta
+from ..io.gtf import ChrNames, read_anno_trans, write_read_trans
+from ..io.sam import SamWriter, open_alignments
+from ..io.sj import write_sj_star
+from ..align.aligner import AlignParams, SpliceAligner
+from ..junctions.sjcount import SJCountParams, count_junction_support
+from ..report.sortgtf import sort_gtf_file
+from ..transcript.filter import FilterParams
+from ..transcript.model import Transcripts, UpdateGtfParams
+from ..utils import Timer, log
+from .commands import cmd_filter, cmd_unique_gtf, cmd_update_gtf
+from .config import PipelineConfig
+
+
+def _fresh(out: str, *inputs: str) -> bool:
+    """Artifact checkpoint: output exists and is newer than every input."""
+    if not os.path.exists(out):
+        return False
+    ot = os.path.getmtime(out)
+    return all(os.path.getmtime(i) <= ot for i in inputs if os.path.exists(i))
+
+
+def _ensure_dirs(out_dir: str) -> None:
+    for d in ("alignment", "gtf", "output", "logs", "benchmark"):
+        os.makedirs(os.path.join(out_dir, d), exist_ok=True)
+
+
+def write_bed12(sam_path: str, bed_path: str) -> None:
+    """BED12 export of spliced alignments (the `bedtools bamtobed -bed12`
+    role, reference Snakefile:63)."""
+    from ..transcript.exon_chain import gen_exons
+    refs, _, records = open_alignments(sam_path)
+    with open(bed_path, "w") as f:
+        for r in records:
+            if r.is_unmapped:
+                continue
+            s, e, is_rev = gen_exons(r, 1, 1, 1 << 30)
+            chrom = refs[r.tid][0]
+            start0 = int(s[0]) - 1
+            end = int(e[-1])
+            sizes = ",".join(str(int(b - a + 1)) for a, b in zip(s, e)) + ","
+            starts = ",".join(str(int(a - 1) - start0) for a in s) + ","
+            strand = "-" if r.is_rev else "+"
+            f.write(f"{chrom}\t{start0}\t{end}\t{r.qname}\t{r.mapq}\t{strand}"
+                    f"\t{start0}\t{end}\t0\t{len(s)}\t{sizes}\t{starts}\n")
+
+
+def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None,
+                 use_tpu: Optional[bool] = None) -> str:
+    """Run the full two-pass pipeline; returns the updated.gtf path."""
+    out_dir = cfg.out_dir
+    _ensure_dirs(out_dir)
+    A = lambda *p: os.path.join(out_dir, *p)
+
+    # ---- stage: genome + index (minimap_idx, Snakefile:24-38)
+    with Timer("stage/index"):
+        genome = Genome.load(cfg.genome_fasta)
+        aligner: Optional[SpliceAligner] = None
+
+    updated_gtf = (cfg.updated_gtf if os.path.isabs(cfg.updated_gtf)
+                   else A(cfg.updated_gtf))
+    os.makedirs(os.path.dirname(updated_gtf) or ".", exist_ok=True)
+
+    gtf_novel_paths: List[str] = []
+    first_sam: Optional[str] = None
+
+    for sample, reads in cfg.samples.items():
+        # ---- stage: minimap_map (Snakefile:42-63)
+        sam_path = A("alignment", f"{sample}.minimap.sam")
+        bed_path = A("alignment", f"{sample}.minimap.bed")
+        if first_sam is None:
+            first_sam = sam_path
+        if not _fresh(sam_path, cfg.genome_fasta, reads.long_read):
+            with Timer(f"stage/align[{sample}]"):
+                if aligner is None:
+                    aligner = SpliceAligner(genome, align_params)
+                long_reads = read_fasta(reads.long_read)
+                with open(sam_path + ".tmp", "w") as f:
+                    w = SamWriter(f, aligner.refs)
+                    n = 0
+                    for rec in aligner.align_seqset(long_reads):
+                        w.write(rec)
+                        n += 1
+                os.replace(sam_path + ".tmp", sam_path)
+                log("align", "%s: %d alignment records", sample, n)
+            write_bed12(sam_path, bed_path)
+
+        # ---- stage: sam_novel_gtf (filter + pass-1 update-gtf, Snakefile:67-93)
+        filtered_bam = A("alignment", f"{sample}.filtered.bam")
+        sam_novel = A("gtf", f"{sample}_sam_novel.gtf")
+        if not _fresh(filtered_bam, sam_path):
+            with Timer(f"stage/filter[{sample}]"):
+                cmd_filter(sam_path, filtered_bam,
+                           FilterParams(cfg.aln_cov, cfg.iden_frac,
+                                        cfg.sec_rat),
+                           rm_gtf=cfg.rm_gtf or None)
+        if not _fresh(sam_novel, filtered_bam, cfg.gtf):
+            with Timer(f"stage/update_gtf_pass1[{sample}]"):
+                ugp = UpdateGtfParams(full_level=cfg.full_level)
+                cmd_update_gtf(filtered_bam, cfg.gtf, ugp, out_path=sam_novel)
+
+        # ---- stage: new_gtf (merge + sort, Snakefile:96-112)
+        new_gtf = A("gtf", f"{sample}_new.gtf")
+        if not _fresh(new_gtf, cfg.gtf, sam_novel):
+            tmp = A("gtf", f"{sample}_tmp.gtf")
+            with open(tmp, "w") as out:
+                for p in (cfg.gtf, sam_novel):
+                    with open(p) as src:
+                        out.write(src.read())
+            sort_gtf_file(tmp, new_gtf)
+            os.remove(tmp)
+
+        # ---- stage: sj_count (star_map role, Snakefile:116-140)
+        sj_tab = A("alignment", f"{sample}.STARSJ.out.tab")
+        short_inputs = [p for p in (reads.short_first, reads.short_second) if p]
+        if short_inputs and not _fresh(sj_tab, new_gtf, *short_inputs):
+            with Timer(f"stage/sj_count[{sample}]"):
+                cname = ChrNames(genome.names)
+                merged = read_anno_trans(new_gtf, cname)
+                read_sets = [read_fasta(p) for p in short_inputs]
+                sj = count_junction_support(genome, [merged], read_sets)
+                with open(sj_tab, "w") as f:
+                    write_sj_star(sj, cname, f)
+
+        # ---- stage: gtf_novel_gtf (pass-2 update-gtf, Snakefile:142-170)
+        gtf_novel = A("gtf", f"{sample}_gtf_novel.gtf")
+        if not _fresh(gtf_novel, filtered_bam, cfg.gtf,
+                      *( [sj_tab] if short_inputs else [] )):
+            with Timer(f"stage/update_gtf_pass2[{sample}]"):
+                ugp = UpdateGtfParams(full_level=cfg.full_level,
+                                      split_trans=cfg.split_trans,
+                                      min_sj_cnt=cfg.sup_cnt)
+                cmd_update_gtf(
+                    filtered_bam, cfg.gtf, ugp,
+                    sj_path=sj_tab if short_inputs else None,
+                    out_path=gtf_novel,
+                    summary=A("output", f"{sample}.summary.txt"),
+                    bam_gtf=A("output", f"{sample}.bam.gtf"),
+                    bam_detail=A("output", f"{sample}.detail.txt"),
+                    known_gtf=A("output", f"{sample}.known.gtf"),
+                    novel_gtf=A("output", f"{sample}.novel.gtf"),
+                    unrecog_gtf=A("output", f"{sample}.unrecog.gtf"),
+                    exon_bed=A("output", f"{sample}.novel_exon.bed"))
+        gtf_novel_paths.append(gtf_novel)
+
+    # ---- stage: update_gtf (cross-sample merge, Snakefile:172-192)
+    with Timer("stage/final_merge"):
+        tmp = A("gtf", "tmp.gtf")
+        with open(tmp, "w") as out:
+            for p in gtf_novel_paths:
+                with open(p) as src:
+                    out.write(src.read())
+        uniq_gtf = A("gtf", "uniq.gtf")
+        ugp = UpdateGtfParams(input_mode="gtf")
+        cmd_unique_gtf(tmp, ugp, hdr_bam=first_sam, out_path=uniq_gtf)
+        with open(tmp, "w") as out:
+            for p in (cfg.gtf, uniq_gtf):
+                with open(p) as src:
+                    out.write(src.read())
+        sort_gtf_file(tmp, updated_gtf)
+        os.remove(tmp)
+    log("pipeline", "updated GTF written to %s", updated_gtf)
+    return updated_gtf
