@@ -1,0 +1,56 @@
+"""Batched JAX chaining must agree with the host DP."""
+
+import numpy as np
+import pytest
+
+from lr2rmats_tpu.align.chain import ChainParams, backtrack, chain_anchors
+from lr2rmats_tpu.ops.chain_jax import chain_anchors_batch
+
+
+def random_anchor_rows(rng, B=8, A=128):
+    qs, rs, ns = [], [], []
+    for _ in range(B):
+        n = int(rng.integers(5, A))
+        # simulate 2-3 exon chains plus noise
+        q = np.sort(rng.integers(0, 2000, n))
+        r = q + 10_000
+        intron_at = rng.integers(0, 2000, 2)
+        for ia in intron_at:
+            r = np.where(q > ia, r + int(rng.integers(50, 5000)), r)
+        noise = rng.random(n) < 0.2
+        r = np.where(noise, rng.integers(0, 60_000, n), r)
+        order = np.lexsort((q, r))
+        qs.append(q[order])
+        rs.append(r[order])
+        ns.append(n)
+    qp = np.zeros((B, A), np.int64)
+    rp = np.zeros((B, A), np.int64)
+    for i, (q, r) in enumerate(zip(qs, rs)):
+        qp[i, : len(q)] = q
+        rp[i, : len(r)] = r
+    return qp, rp, np.array(ns, np.int32)
+
+
+def test_batch_matches_host():
+    rng = np.random.default_rng(0)
+    qp, rp, n = random_anchor_rows(rng)
+    p = ChainParams()
+    fb, pb = chain_anchors_batch(qp, rp, n, p)
+    for i in range(len(n)):
+        fh, ph = chain_anchors(qp[i, : n[i]], rp[i, : n[i]], p)
+        np.testing.assert_allclose(fb[i, : n[i]], fh, rtol=1e-5)
+        np.testing.assert_array_equal(pb[i, : n[i]], ph)
+
+
+def test_batch_backtrack_consistency():
+    rng = np.random.default_rng(1)
+    qp, rp, n = random_anchor_rows(rng, B=4)
+    p = ChainParams()
+    fb, pb = chain_anchors_batch(qp, rp, n, p)
+    for i in range(4):
+        pri_b, ps_b, _, _ = backtrack(fb[i, : n[i]].astype(np.float64),
+                                      pb[i, : n[i]].astype(np.int64), 0.0)
+        fh, ph = chain_anchors(qp[i, : n[i]], rp[i, : n[i]], p)
+        pri_h, ps_h, _, _ = backtrack(fh, ph, 0.0)
+        assert ps_b == pytest.approx(ps_h, rel=1e-5)
+        np.testing.assert_array_equal(pri_b, pri_h)
