@@ -1,0 +1,113 @@
+"""Throughput benchmark: long reads aligned per second per chip.
+
+Synthetic workload (the reference publishes no numbers — BASELINE.md):
+a random 20 Mbp genome with GT..AG introns planted, ONT-like multi-exon
+cDNA reads with 3% error.  Measures the end-to-end batched alignment path
+(seed -> device chain DP -> splice-aware extension -> SAM records).
+
+Prints ONE JSON line:
+  {"metric": "long_reads_aligned_per_sec_per_chip", "value": N,
+   "unit": "reads/s", "vs_baseline": N / BASELINE}
+
+BASELINE is read from BENCH_BASELINE.json if present (set from the first
+recorded TPU run) so later rounds report relative progress.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", "20"))
+N_READS = int(os.environ.get("BENCH_READS", "1500"))
+SEED = 123
+
+
+def build_genome(n_bases: int, rng):
+    from lr2rmats_tpu.io.fasta import Genome
+    codes = rng.integers(0, 4, n_bases).astype(np.uint8)
+    return Genome(["chrB"], codes, np.array([0, n_bases], np.int64))
+
+
+def simulate_reads(genome, n_reads: int, rng, err=0.03):
+    """ONT-like cDNA reads: 2-6 exons of 150-600 bp, introns 200-20k."""
+    from lr2rmats_tpu.io.fasta import revcomp
+    L = len(genome.codes)
+    reads = []
+    for _ in range(n_reads):
+        n_exons = int(rng.integers(2, 7))
+        pos = int(rng.integers(1000, L - 200_000))
+        parts = []
+        for e in range(n_exons):
+            elen = int(rng.integers(150, 600))
+            # plant canonical motifs at the intron edges
+            parts.append((pos, pos + elen))
+            pos += elen
+            if e < n_exons - 1:
+                genome.codes[pos] = 2      # G
+                genome.codes[pos + 1] = 3  # T
+                ilen = int(rng.integers(200, 20_000))
+                pos += ilen
+                genome.codes[pos - 2] = 0  # A
+                genome.codes[pos - 1] = 2  # G
+        read = np.concatenate([genome.codes[a:b] for a, b in parts]).copy()
+        mask = rng.random(len(read)) < err
+        read[mask] = (read[mask] + rng.integers(1, 4, int(mask.sum()))) % 4
+        if rng.random() < 0.5:
+            read = revcomp(read)
+        reads.append(read)
+    return reads
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+    t0 = time.perf_counter()
+    genome = build_genome(int(GENOME_MB * 1e6), rng)
+    reads = simulate_reads(genome, N_READS, rng)
+    names = [f"read{i}" for i in range(len(reads))]
+
+    from lr2rmats_tpu.align.batch import BatchAligner
+    aligner = BatchAligner(genome)
+    setup_s = time.perf_counter() - t0
+
+    # warmup: one small batch (compiles the chain kernel buckets)
+    aligner.align_batch(names[:64], reads[:64])
+
+    t1 = time.perf_counter()
+    n_aligned = 0
+    B = 256
+    for off in range(0, len(reads), B):
+        recs = aligner.align_batch(names[off: off + B], reads[off: off + B])
+        n_aligned += sum(1 for r in recs if not (r.flag & 0x100))
+    dt = time.perf_counter() - t1
+    rps = len(reads) / dt
+
+    baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f).get("value")
+    vs = (rps / baseline) if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "long_reads_aligned_per_sec_per_chip",
+        "value": round(rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 3),
+        "detail": {
+            "n_reads": len(reads),
+            "aligned_frac": round(n_aligned / len(reads), 4),
+            "genome_mb": GENOME_MB,
+            "align_wall_s": round(dt, 2),
+            "setup_wall_s": round(setup_s, 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,7 @@ from ..index.minimizer import MinimizerIndex, extract_minimizers
 from ..utils import log
 from .banded import banded_edit_path
 from .chain import ChainParams, backtrack, chain_anchors
-from .splice import refine_splice, refine_splice_indel
+from .splice import BONUS_CANON, refine_splice, refine_splice_indel
 
 
 @dataclass
@@ -218,6 +218,23 @@ class SpliceAligner:
                 if (gap_g - gap_q >= p.min_intron_gap and
                         gap_g - gap_q >= p.min_intron_len):
                     qgap = codes[pq + pl: bq]
+                    # fast path: clean split (all gap bases match, canonical
+                    # motif) needs no indel DP
+                    j, fsc, v = refine_splice(qgap, ref, pg + pl, bg)
+                    if fsc >= len(qgap) + BONUS_CANON:
+                        vote += v
+                        intron = gap_g - gap_q
+                        if j:
+                            push(OP_M, j)
+                            count_m(pq + pl, pg + pl, j)
+                        push(OP_N, intron)
+                        rest = gap_q - j
+                        if rest:
+                            push(OP_M, rest)
+                            count_m(pq + pl + j, bg - rest, rest)
+                        push(OP_M, blen)
+                        count_m(bq, bg, blen)
+                        continue
                     res = refine_splice_indel(qgap, ref, pg + pl, bg,
                                               min_intron=p.min_intron_len)
                     if res is not None:

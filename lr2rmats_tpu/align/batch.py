@@ -1,0 +1,221 @@
+"""Batched alignment engine: vectorized seeding -> device chaining -> extension.
+
+The per-read SpliceAligner (align.aligner) is the semantics reference; this
+engine restructures the work for throughput:
+
+  * seeding for the whole batch is one concatenated minimizer extraction +
+    one vectorized searchsorted against the index
+  * anchors are clustered per (read, strand) by reference-gap (> max_intron
+    splits), the top clusters become rows of a padded [R, A] batch —
+    positions are cluster-relative so they fit int32 on any genome size
+  * chaining runs as the batched JAX kernel (ops.chain_jax) on the
+    accelerator; rows are bucketed by anchor count to bound recompilation
+  * backtrack + splice-aware extension stay host-side (cheap, ragged),
+    reusing the reference implementation
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.minimizer import MinimizerIndex, extract_minimizers
+from ..io.fasta import Genome, SeqSet
+from ..io.sam import AlnRec
+from ..utils import Timer, log
+from .aligner import AlignParams, SpliceAligner
+from .chain import backtrack
+
+A_BUCKETS = (64, 256, 1024)
+MAX_CLUSTERS_PER_STRAND = 4
+
+
+@dataclass
+class _Row:
+    read_i: int
+    strand: int
+    qpos: np.ndarray
+    gpos: np.ndarray
+    base: int          # gpos offset subtracted for int32 safety
+
+
+class BatchAligner:
+    """Throughput-oriented front end over SpliceAligner's extension."""
+
+    def __init__(self, genome: Genome, params: Optional[AlignParams] = None,
+                 index: Optional[MinimizerIndex] = None, backend: str = "jax"):
+        self.inner = SpliceAligner(genome, params, index)
+        self.p = self.inner.p
+        self.index = self.inner.index
+        self.refs = self.inner.refs
+        self.backend = backend
+
+    # -------------------------------------------------------------- seeding
+    def _batch_anchors(self, reads: List[np.ndarray]) -> List[_Row]:
+        p = self.p
+        idx = self.index
+        all_h, all_q, all_s, all_rid, lens = [], [], [], [], []
+        for ri, codes in enumerate(reads):
+            h, qp, qs = extract_minimizers(codes, p.k, p.w)
+            all_h.append(h)
+            all_q.append(qp)
+            all_s.append(qs)
+            all_rid.append(np.full(len(h), ri, np.int32))
+            lens.append(len(codes))
+        if not all_h:
+            return []
+        h = np.concatenate(all_h)
+        qp = np.concatenate(all_q)
+        qs = np.concatenate(all_s)
+        rid = np.concatenate(all_rid)
+        lo = np.searchsorted(idx.hashes, h, side="left")
+        hi = np.searchsorted(idx.hashes, h, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        keep = cnt > 0
+        if not keep.any():
+            return []
+        lo, cnt = lo[keep], cnt[keep]
+        qp, qs, rid = qp[keep], qs[keep], rid[keep]
+        # expand hit ranges vectorized
+        total = int(cnt.sum())
+        starts = np.zeros(len(cnt) + 1, np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        flat = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(starts[:-1], cnt))
+        gp = idx.pos[flat]
+        gs = idx.strand[flat]
+        qpx = np.repeat(qp, cnt)
+        qsx = np.repeat(qs, cnt)
+        ridx = np.repeat(rid, cnt)
+        strand = (qsx ^ gs).astype(np.int8)
+        L = np.asarray(lens, np.int64)
+        qfinal = np.where(strand == 1, L[ridx] - p.k - qpx, qpx)
+
+        # cluster per (read, strand) by sorted gpos gaps
+        rows: List[_Row] = []
+        order = np.lexsort((qfinal, gp, strand, ridx))
+        ridx, strand, qfinal, gp = (ridx[order], strand[order],
+                                    qfinal[order], gp[order])
+        # boundaries where (read, strand) changes or gpos jumps > max_intron
+        newgrp = np.ones(len(ridx), bool)
+        if len(ridx) > 1:
+            newgrp[1:] = ((ridx[1:] != ridx[:-1]) |
+                          (strand[1:] != strand[:-1]) |
+                          (gp[1:] - gp[:-1] > p.chain.max_intron))
+        gids = np.cumsum(newgrp) - 1
+        n_g = int(gids[-1]) + 1 if len(gids) else 0
+        counts = np.bincount(gids, minlength=n_g)
+        gstart = np.zeros(n_g + 1, np.int64)
+        np.cumsum(counts, out=gstart[1:])
+        # top clusters per (read, strand)
+        by_rs: Dict[Tuple[int, int], List[int]] = {}
+        for gi in range(n_g):
+            s = gstart[gi]
+            key = (int(ridx[s]), int(strand[s]))
+            by_rs.setdefault(key, []).append(gi)
+        for (ri, s), gis in by_rs.items():
+            gis.sort(key=lambda gi: -counts[gi])
+            for gi in gis[:MAX_CLUSTERS_PER_STRAND]:
+                a, b = gstart[gi], gstart[gi + 1]
+                if b - a < 2:
+                    continue
+                qrow = qfinal[a:b]
+                grow = gp[a:b]
+                if len(qrow) > A_BUCKETS[-1]:
+                    sub = np.linspace(0, len(qrow) - 1,
+                                      A_BUCKETS[-1]).astype(np.int64)
+                    qrow, grow = qrow[sub], grow[sub]
+                base = int(grow[0])
+                rows.append(_Row(ri, s, qrow.astype(np.int64),
+                                 grow.astype(np.int64), base))
+        return rows
+
+    # ------------------------------------------------------------- chaining
+    def _chain_rows(self, rows: List[_Row]):
+        """Run the chain DP for all rows; returns list of (f, parent)."""
+        from ..ops.chain_jax import chain_anchors_batch
+        out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(rows)
+        if self.backend == "host":
+            from .chain import chain_anchors
+            for i, r in enumerate(rows):
+                out[i] = chain_anchors(r.qpos, r.gpos, self.p.chain)
+            return out
+        # bucket rows by padded anchor count
+        buckets: Dict[int, List[int]] = {}
+        for i, r in enumerate(rows):
+            A = next(b for b in A_BUCKETS if len(r.qpos) <= b)
+            buckets.setdefault(A, []).append(i)
+        for A, members in buckets.items():
+            B = len(members)
+            qp = np.zeros((B, A), np.int32)
+            gp = np.zeros((B, A), np.int32)
+            nn = np.zeros(B, np.int32)
+            for bi, i in enumerate(members):
+                r = rows[i]
+                n = len(r.qpos)
+                qp[bi, :n] = r.qpos
+                gp[bi, :n] = r.gpos - r.base
+                nn[bi] = n
+            f, parent = chain_anchors_batch(qp, gp, nn, self.p.chain)
+            for bi, i in enumerate(members):
+                n = int(nn[bi])
+                out[i] = (f[bi, :n].astype(np.float64),
+                          parent[bi, :n].astype(np.int64))
+        return out
+
+    # ------------------------------------------------------------ top level
+    def align_batch(self, names: Sequence[str], reads: List[np.ndarray]
+                    ) -> List[AlnRec]:
+        from ..io.fasta import decode_seq, revcomp
+        from ..io.sam import FREVERSE, FSECONDARY, OP_N
+        p = self.p
+        rows = self._batch_anchors(reads)
+        chained = self._chain_rows(rows)
+        # collect candidate chains per read
+        per_read: Dict[int, List[Tuple[float, int, np.ndarray, np.ndarray]]] = {}
+        for r, ch in zip(rows, chained):
+            f, parent = ch
+            pri, ps, sec, ss = backtrack(f, parent, p.min_score)
+            if len(pri):
+                per_read.setdefault(r.read_i, []).append(
+                    (ps, r.strand, r.qpos[pri], r.gpos[pri]))
+            if len(sec):
+                per_read.setdefault(r.read_i, []).append(
+                    (ss, r.strand, r.qpos[sec], r.gpos[sec]))
+        recs: List[AlnRec] = []
+        for ri in sorted(per_read):
+            cands = sorted(per_read[ri], key=lambda c: -c[0])[:2]
+            codes = reads[ri]
+            rc = revcomp(codes)
+            for rank, (score, s, cq, cg) in enumerate(cands):
+                seq_codes = rc if s == 1 else codes
+                pos_g, ops, ed, nmatch, vote = self.inner._extend(
+                    seq_codes, cq, cg)
+                if nmatch < p.min_score:
+                    continue
+                tid, pos = self.index.global_to_chrom(np.array([pos_g]))
+                tid, pos = int(tid[0]), int(pos[0])
+                flag = (FREVERSE if s == 1 else 0) | (FSECONDARY if rank else 0)
+                cigar = np.array([(l << 4) | op for op, l in ops if l > 0],
+                                 np.uint32)
+                tags = {"NM": ed, "AS": int(2 * nmatch - 4 * ed),
+                        "NH": len(cands)}
+                has_intron = any(op == OP_N for op, _ in ops)
+                if has_intron and vote != 0:
+                    tags["XS"] = "+" if vote > 0 else "-"
+                mapq = 60 if len(cands) == 1 else max(0, min(60, int(
+                    80.0 * (1.0 - cands[1][0] / max(cands[0][0], 1e-9)))))
+                recs.append(AlnRec(
+                    qname=names[ri], flag=flag, tid=tid, pos=pos,
+                    mapq=mapq if rank == 0 else 0, cigar=cigar,
+                    seq=decode_seq(seq_codes), qual="*", tags=tags))
+        return recs
+
+    def align_seqset(self, reads: SeqSet, batch_size: int = 256
+                     ) -> Iterator[AlnRec]:
+        for off in range(0, reads.n, batch_size):
+            hi = min(off + batch_size, reads.n)
+            names = [reads.names[i] for i in range(off, hi)]
+            codes = [reads.get(i) for i in range(off, hi)]
+            yield from self.align_batch(names, codes)

@@ -93,11 +93,14 @@ def backtrack(f: np.ndarray, parent: np.ndarray, min_score: float
         return empty, 0.0, empty, 0.0
     used[primary] = True
     # secondary: best end whose chain shares no anchor with primary
+    # (search capped — ends beyond the first few dozen are noise)
+    examined = 0
     for e in order[1:]:
-        if f[e] < min_score:
+        if f[e] < min_score or examined >= 48:
             break
         if used[e]:
             continue
+        examined += 1
         chain = _trace(int(e))
         if not used[chain].any():
             return primary, pscore, chain, float(f[e])

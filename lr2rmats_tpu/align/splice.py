@@ -111,32 +111,38 @@ def _shift_dp(q: np.ndarray, ref_win: np.ndarray, B: int):
     """
     m = len(q)
     W = 2 * B + 1
+    nr = len(ref_win)
     S = np.full((m + 1, W), NEG)
     S[0, B] = 0.0
     for s in range(1, B + 1):
-        if s <= len(ref_win):
+        if s <= nr:
             S[0, B + s] = GAP * s
-    nr = len(ref_win)
+    cc = np.arange(W)
+    refpad = np.concatenate([ref_win.astype(np.int16), [-1]])
     for j in range(1, m + 1):
         prev = S[j - 1]
+        rlen = j + cc - B                        # ref consumed per column
+        valid = (rlen >= 0) & (rlen <= nr)
+        # diagonal: consume q[j-1] and ref_win[rlen-1]
+        ridx = np.clip(rlen - 1, 0, nr)
+        diag_ok = valid & (rlen >= 1)
+        sub = np.where(refpad[ridx] == q[j - 1], MATCH, MISMATCH)
+        diag = np.where(diag_ok, prev + sub, NEG)
+        # insertion (query-only): from prev[c+1]
+        ins = np.full(W, NEG)
+        ins[:-1] = prev[1:] + GAP
+        ins = np.where(valid, ins, NEG)
+        row = np.maximum(diag, ins)
+        # deletion (ref-only): running scan, shift increases (W is small)
+        best = NEG
         for c in range(W):
-            s = c - B
-            rlen = j + s
-            if rlen < 0 or rlen > nr:
-                continue
-            best = NEG
-            # diagonal: consume q[j-1] and ref_win[rlen-1]
-            if rlen >= 1 and prev[c] > NEG / 2:
-                best = prev[c] + (MATCH if q[j - 1] == ref_win[rlen - 1]
-                                  else MISMATCH)
-            # insertion (query-only): shift decreases
-            if c + 1 < W and prev[c + 1] > NEG / 2:
-                best = max(best, prev[c + 1] + GAP)
-            S[j, c] = best
-        # deletion (ref-only): scan within row, shift increases
-        for c in range(1, W):
-            if S[j, c - 1] > NEG / 2:
-                S[j, c] = max(S[j, c], S[j, c - 1] + GAP)
+            best = max(best + GAP, row[c])
+            if valid[c]:
+                row[c] = best
+            else:
+                row[c] = NEG
+                best = NEG
+        S[j] = row
     return S
 
 
@@ -201,6 +207,39 @@ def _motif_bonus(ref: np.ndarray, don: int, last: int):
 
 def refine_splice_indel(q: np.ndarray, ref: np.ndarray, left_ref: int,
                         right_ref: int, B: int = 4, min_intron: int = 20):
+    """Dispatch to the native kernel when available (bit-equal; see
+    tests/test_native.py), else the numpy reference below."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return refine_splice_indel_np(q, ref, left_ref, right_ref, B,
+                                      min_intron)
+    import ctypes
+    m = len(q)
+    cap = m + 2 * B + 4
+    left_ops = np.zeros(2 * cap, np.int32)
+    right_ops = np.zeros(2 * cap, np.int32)
+    ln = ctypes.c_int32()
+    rn = ctypes.c_int32()
+    ilen = ctypes.c_int64()
+    vote = ctypes.c_int32()
+    score = ctypes.c_double()
+    q8 = np.ascontiguousarray(q, np.uint8)
+    rc = lib.refine_splice_indel_c(
+        q8, m, ref, len(ref), left_ref, right_ref, B, min_intron,
+        left_ops, ctypes.byref(ln), right_ops, ctypes.byref(rn),
+        ctypes.byref(ilen), ctypes.byref(vote), ctypes.byref(score))
+    if rc != 0:
+        return None
+    lo = [(int(left_ops[2 * i]), int(left_ops[2 * i + 1]))
+          for i in range(ln.value)]
+    ro = [(int(right_ops[2 * i]), int(right_ops[2 * i + 1]))
+          for i in range(rn.value)]
+    return lo, int(ilen.value), ro, int(vote.value), float(score.value)
+
+
+def refine_splice_indel_np(q: np.ndarray, ref: np.ndarray, left_ref: int,
+                           right_ref: int, B: int = 4, min_intron: int = 20):
     """Indel-aware intron placement in the gap between two anchor blocks.
 
     q         : query gap codes (m bases)
@@ -222,31 +261,69 @@ def refine_splice_indel(q: np.ndarray, ref: np.ndarray, left_ref: int,
     SL = _shift_dp(q, lwin, B)
     SR = _shift_dp(q[::-1], rwin, B)
 
-    best = (NEG, None)
     W = 2 * B + 1
-    for j in range(m + 1):
-        for cl in range(W):
-            sl = SL[j, cl]
-            if sl <= NEG / 2:
-                continue
-            lref = j + (cl - B)
-            don = left_ref + lref  # first intron base (0-based)
-            for cr in range(W):
-                sr = SR[m - j, cr]
-                if sr <= NEG / 2:
-                    continue
-                rref = (m - j) + (cr - B)
-                last = right_ref - rref - 1  # last intron base
-                ilen = last - don + 1
-                if ilen < min_intron:
-                    continue
-                bonus, vote = _motif_bonus(ref, don, last)
-                sc = sl + sr + bonus
-                if sc > best[0]:
-                    best = (sc, (j, cl, cr, don, last, vote))
-    if best[1] is None:
+    n = len(ref)
+    # donor candidates: don = left_ref + (j + cl - B), j+cl in [0, m+2B]
+    lref_all = np.arange(m + 2 * B + 1)
+    don_all = left_ref + lref_all - B
+    d0 = ref[np.clip(don_all, 0, n - 1)]
+    d1 = ref[np.clip(don_all + 1, 0, n - 1)]
+    don_valid = (don_all >= 0) & (don_all + 1 < n)
+    # donor class: 0 none, 1 GT, 2 CT, 3 GC, 4 AT
+    dclass = np.zeros(len(don_all), np.int8)
+    dclass[(d0 == 2) & (d1 == 3)] = 1
+    dclass[(d0 == 1) & (d1 == 3)] = 2
+    dclass[(d0 == 2) & (d1 == 1)] = 3
+    dclass[(d0 == 0) & (d1 == 3)] = 4
+    dclass[~don_valid] = 0
+    # acceptor candidates: last = right_ref - ((m-j) + cr - B) - 1
+    rref_all = np.arange(m + 2 * B + 1)
+    last_all = right_ref - (rref_all - B) - 1
+    a0 = ref[np.clip(last_all - 1, 0, n - 1)]
+    a1 = ref[np.clip(last_all, 0, n - 1)]
+    acc_valid = (last_all - 1 >= 0) & (last_all < n)
+    # acceptor class: 0 none, 1 AG, 2 AC, 3 GC, 4 AT
+    aclass = np.zeros(len(last_all), np.int8)
+    aclass[(a0 == 0) & (a1 == 2)] = 1
+    aclass[(a0 == 0) & (a1 == 1)] = 2
+    aclass[(a0 == 2) & (a1 == 1)] = 3
+    aclass[(a0 == 0) & (a1 == 3)] = 4
+    aclass[~acc_valid] = 0
+    # (donor class, acceptor class) -> (bonus, vote)
+    bonus_tab = np.zeros((5, 5))
+    vote_tab = np.zeros((5, 5), np.int8)
+    bonus_tab[1, 1] = BONUS_CANON; vote_tab[1, 1] = 1    # GT..AG
+    bonus_tab[2, 2] = BONUS_CANON; vote_tab[2, 2] = -1   # CT..AC
+    bonus_tab[3, 1] = BONUS_SEMI; vote_tab[3, 1] = 1     # GC..AG
+    bonus_tab[4, 2] = BONUS_SEMI; vote_tab[4, 2] = 1     # AT..AC
+    bonus_tab[2, 3] = BONUS_SEMI; vote_tab[2, 3] = -1    # CT..GC
+    bonus_tab[1, 4] = BONUS_SEMI; vote_tab[1, 4] = -1    # GT..AT
+
+    jj = np.arange(m + 1)
+    cl = np.arange(W)
+    cr = np.arange(W)
+    d_idx = jj[:, None] + cl[None, :]                    # [m+1, W] into dclass
+    a_idx = (m - jj)[:, None] + cr[None, :]              # [m+1, W] into aclass
+    dc = dclass[d_idx]                                   # [m+1, W]
+    ac = aclass[a_idx]                                   # [m+1, W]
+    don_mat = don_all[d_idx]                             # [m+1, W]
+    last_mat = last_all[a_idx]                           # [m+1, W]
+    bonus = bonus_tab[dc[:, :, None], ac[:, None, :]]    # [m+1, W, W]
+    ilen = last_mat[:, None, :] - don_mat[:, :, None] + 1
+    SRr = SR[::-1]                                       # SRr[j] = SR[m-j]
+    total = SL[:, :, None] + SRr[:, None, :] + bonus
+    total = np.where(ilen >= min_intron, total, NEG)
+    total = np.where(don_valid[d_idx][:, :, None] &
+                     acc_valid[a_idx][:, None, :], total, NEG)
+    flat = int(np.argmax(total))
+    sc = float(total.flat[flat])
+    if sc <= NEG / 2:
         return None
-    sc, (j, cl, cr, don, last, vote) = best
+    j, cl_i, cr_i = np.unravel_index(flat, total.shape)
+    j, cl, cr = int(j), int(cl_i), int(cr_i)
+    don = int(don_all[j + cl])
+    last = int(last_all[(m - j) + cr])
+    vote = int(vote_tab[dclass[j + cl], aclass[(m - j) + cr]])
     left_ops = _traceback_ops(q, lwin, SL, j, cl, B)
     right_rev = _traceback_ops(q[::-1], rwin, SR, m - j, cr, B)
     right_ops = [(op, l) for op, l in reversed(right_rev)]

@@ -51,13 +51,17 @@ def kmer_codes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     if n <= 0:
         z = np.zeros(0, np.uint64)
         return z, z
-    c = codes.astype(np.uint64)
+    c = np.bitwise_and(codes, 3).astype(np.uint64)
+    comp = np.bitwise_and(3 - codes.astype(np.int8), 3).astype(np.uint64)
     fwd = np.zeros(n, np.uint64)
     rc = np.zeros(n, np.uint64)
+    two = np.uint64(2)
     for j in range(k):
-        fwd = (fwd << np.uint64(2)) | (c[j: j + n] & np.uint64(3))
+        np.left_shift(fwd, two, out=fwd)
+        np.bitwise_or(fwd, c[j: j + n], out=fwd)
         # rc: complement of base at position k-1-j goes into high bits order
-        rc = (rc << np.uint64(2)) | ((np.uint64(3) - c[k - 1 - j: k - 1 - j + n]) & np.uint64(3))
+        np.left_shift(rc, two, out=rc)
+        np.bitwise_or(rc, comp[k - 1 - j: k - 1 - j + n], out=rc)
     return fwd, rc
 
 
@@ -73,6 +77,24 @@ def valid_kmer(codes: np.ndarray, k: int) -> np.ndarray:
 
 def extract_minimizers(codes: np.ndarray, k: int = K_DEFAULT, w: int = W_DEFAULT
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dispatch to the native extractor when available (bit-equal)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and len(codes) >= k + w:
+        cap = len(codes)
+        out_h = np.empty(cap, np.uint64)
+        out_p = np.empty(cap, np.int64)
+        out_s = np.empty(cap, np.int8)
+        n = lib.extract_minimizers_c(
+            np.ascontiguousarray(codes, np.uint8), len(codes), k, w,
+            out_h, out_p, out_s)
+        return out_h[:n].copy(), out_p[:n].copy(), out_s[:n].copy()
+    return extract_minimizers_np(codes, k, w)
+
+
+def extract_minimizers_np(codes: np.ndarray, k: int = K_DEFAULT,
+                          w: int = W_DEFAULT
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(hash, pos, strand) minimizers of one sequence.
 
     strand=0 when the forward k-mer is canonical, 1 when the reverse

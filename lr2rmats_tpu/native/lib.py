@@ -1,0 +1,88 @@
+"""ctypes loader for the native hot-path library (csrc/lrio.cpp).
+
+Auto-builds build/liblrio.so with g++ on first use (cached by source mtime);
+every caller has a pure-numpy fallback, so a missing toolchain only costs
+speed, never correctness.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "csrc", "lrio.cpp")
+_SO = os.path.join(_REPO, "build", "liblrio.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o",
+           _SO + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("LR2RMATS_NO_NATIVE"):
+            return None
+        if not os.path.exists(_SRC):
+            return None
+        if (not os.path.exists(_SO) or
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+
+        c_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        c_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        c_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        c_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        c_i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+
+        lib.refine_splice_indel_c.restype = ctypes.c_int
+        lib.refine_splice_indel_c.argtypes = [
+            c_u8p, ctypes.c_int, c_u8p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            c_i32p, ctypes.POINTER(ctypes.c_int32),
+            c_i32p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double)]
+
+        lib.extract_minimizers_c.restype = ctypes.c_int64
+        lib.extract_minimizers_c.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            c_u64p, c_i64p, c_i8p]
+
+        lib.hamming_many_c.restype = None
+        lib.hamming_many_c.argtypes = [
+            c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int, c_i64p,
+            ctypes.c_int, c_i32p]
+
+        _lib = lib
+        return _lib
+
+
+def have_native() -> bool:
+    return get_lib() is not None

@@ -24,6 +24,7 @@ from ..io.gtf import ChrNames, read_anno_trans, write_read_trans
 from ..io.sam import SamWriter, open_alignments
 from ..io.sj import write_sj_star
 from ..align.aligner import AlignParams, SpliceAligner
+from ..align.batch import BatchAligner
 from ..junctions.sjcount import SJCountParams, count_junction_support
 from ..report.sortgtf import sort_gtf_file
 from ..transcript.filter import FilterParams
@@ -76,7 +77,7 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
     # ---- stage: genome + index (minimap_idx, Snakefile:24-38)
     with Timer("stage/index"):
         genome = Genome.load(cfg.genome_fasta)
-        aligner: Optional[SpliceAligner] = None
+        aligner: Optional[BatchAligner] = None
 
     updated_gtf = (cfg.updated_gtf if os.path.isabs(cfg.updated_gtf)
                    else A(cfg.updated_gtf))
@@ -94,7 +95,9 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         if not _fresh(sam_path, cfg.genome_fasta, reads.long_read):
             with Timer(f"stage/align[{sample}]"):
                 if aligner is None:
-                    aligner = SpliceAligner(genome, align_params)
+                    aligner = BatchAligner(genome, align_params,
+                                           backend=("host" if use_tpu is False
+                                                    else "jax"))
                 long_reads = read_fasta(reads.long_read)
                 with open(sam_path + ".tmp", "w") as f:
                     w = SamWriter(f, aligner.refs)

@@ -1,0 +1,75 @@
+"""Batched aligner must reproduce the per-read aligner's exon chains."""
+
+import numpy as np
+import pytest
+
+from lr2rmats_tpu.align.aligner import SpliceAligner
+from lr2rmats_tpu.align.batch import BatchAligner
+from lr2rmats_tpu.transcript.exon_chain import gen_exons
+from tests.test_aligner import plant_motifs, random_genome, splice_read
+
+
+@pytest.fixture(scope="module")
+def sim():
+    g = random_genome(200_000, seed=21)
+    exon_sets = [
+        [(10_000, 10_400), (14_000, 14_300), (21_000, 21_500)],
+        [(50_000, 50_250), (58_000, 58_200)],
+        [(90_000, 90_800)],
+        [(120_000, 120_300), (125_000, 125_200), (131_000, 131_250),
+         (140_000, 140_400)],
+    ]
+    for es in exon_sets:
+        plant_motifs(g, es)
+    return g, exon_sets
+
+
+def test_batch_matches_per_read(sim):
+    g, exon_sets = sim
+    reads, names = [], []
+    for i, es in enumerate(exon_sets):
+        for strand in "+-":
+            for err, seed in ((0.0, 1), (0.02, 2)):
+                reads.append(splice_read(g, es, strand, err=err, seed=seed + i))
+                names.append(f"r{i}{strand}{seed}")
+    single = SpliceAligner(g)
+    batch = BatchAligner(g, index=single.index)
+    brecs = {r.qname: r for r in batch.align_batch(names, reads)
+             if not (r.flag & 0x100)}
+    for name, codes in zip(names, reads):
+        srecs = single.align_read(name, codes)
+        assert name in brecs, f"batch missed {name}"
+        s0 = srecs[0]
+        b0 = brecs[name]
+        se = gen_exons(s0, 3, 3, 50)
+        be = gen_exons(b0, 3, 3, 50)
+        np.testing.assert_array_equal(se[0], be[0])
+        np.testing.assert_array_equal(se[1], be[1])
+        assert s0.tags["NM"] == b0.tags["NM"]
+
+
+def test_batch_exon_accuracy(sim):
+    g, exon_sets = sim
+    reads = [splice_read(g, es, "+", err=0.01, seed=7) for es in exon_sets]
+    names = [f"x{i}" for i in range(len(reads))]
+    batch = BatchAligner(g)
+    recs = {r.qname: r for r in batch.align_batch(names, reads)
+            if not (r.flag & 0x100)}
+    for i, es in enumerate(exon_sets):
+        r = recs[names[i]]
+        s, e, _ = gen_exons(r, 3, 3, 50)
+        got = list(zip((s - 1).tolist(), e.tolist()))
+        assert got == [(a, b) for a, b in es]
+
+
+def test_batch_toy_read(ref_data):
+    from lr2rmats_tpu.io.fasta import Genome, read_fasta
+    g = Genome.load(str(ref_data / "genome" / "genome.fa"))
+    reads = read_fasta(str(ref_data / "read" / "samp1_long.fa"))
+    batch = BatchAligner(g)
+    recs = batch.align_batch(reads.names, [reads.get(0)])
+    assert recs
+    r = recs[0]
+    s, e, _ = gen_exons(r, 3, 3, 50)
+    assert list(e[:-1]) == [1139348, 1139616, 1139866]
+    assert list(s[1:]) == [1139435, 1139779, 1141765]

@@ -1,0 +1,66 @@
+"""Native (C++) kernels must agree bit-for-bit with the numpy references."""
+
+import numpy as np
+import pytest
+
+from lr2rmats_tpu.native import get_lib, have_native
+
+pytestmark = pytest.mark.skipif(not have_native(),
+                                reason="native lib unavailable")
+
+
+def test_minimizers_match():
+    from lr2rmats_tpu.index.minimizer import (extract_minimizers,
+                                              extract_minimizers_np)
+    rng = np.random.default_rng(3)
+    for n, seed in ((500, 0), (5000, 1), (50_000, 2)):
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        codes[rng.random(n) < 0.01] = 4  # sprinkle Ns
+        h1, p1, s1 = extract_minimizers(codes)
+        h2, p2, s2 = extract_minimizers_np(codes)
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(h1, h2)
+        np.testing.assert_array_equal(s1, s2)
+
+
+def test_refine_splice_indel_match():
+    from lr2rmats_tpu.align.splice import (refine_splice_indel,
+                                           refine_splice_indel_np)
+    rng = np.random.default_rng(5)
+    ref = rng.integers(0, 4, 20_000).astype(np.uint8)
+    for trial in range(30):
+        m = int(rng.integers(0, 40))
+        left = int(rng.integers(100, 5000))
+        right = left + m + int(rng.integers(40, 8000))
+        # make the gap flanks partially match the reference
+        q = np.empty(m, np.uint8)
+        half = m // 2
+        q[:half] = ref[left: left + half]
+        q[half:] = ref[right - (m - half): right]
+        mut = rng.random(m) < 0.15
+        q[mut] = (q[mut] + 1) % 4
+        a = refine_splice_indel(q, ref, left, right)
+        b = refine_splice_indel_np(q, ref, left, right)
+        if a is None or b is None:
+            assert a == b, trial
+            continue
+        assert a[0] == b[0], (trial, a, b)    # left ops
+        assert a[1] == b[1], trial            # intron len
+        assert a[2] == b[2], trial            # right ops
+        assert a[3] == b[3], trial            # vote
+        assert a[4] == pytest.approx(b[4])    # score
+
+
+def test_hamming_many():
+    lib = get_lib()
+    rng = np.random.default_rng(7)
+    buf = rng.integers(0, 4, 10_000).astype(np.uint8)
+    read = buf[500:601].copy()
+    read[3] = (read[3] + 1) % 4
+    pos = np.array([500, 501, 9950, -1], np.int64)
+    out = np.zeros(4, np.int32)
+    lib.hamming_many_c(buf, len(buf), read, len(read), pos, 4, out)
+    assert out[0] == 1
+    assert out[1] > 10
+    assert out[2] == 1 << 30  # out of range
+    assert out[3] == 1 << 30
