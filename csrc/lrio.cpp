@@ -273,6 +273,52 @@ int64_t extract_minimizers_c(const uint8_t* codes, int64_t n_codes,
     return cnt;
 }
 
+// Chain backtrack (align/chain.py::backtrack): primary chain + best
+// anchor-disjoint secondary.  Outputs index arrays (cap n each); returns 0.
+int backtrack_c(const double* f, const int64_t* parent, int64_t n,
+                double min_score, int max_examine,
+                int64_t* primary, int64_t* pn,
+                int64_t* secondary, int64_t* sn,
+                double* pscore, double* sscore) {
+    *pn = 0; *sn = 0; *pscore = 0.0; *sscore = 0.0;
+    if (n == 0) return 0;
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return f[a] > f[b]; });
+    std::vector<uint8_t> used(n, 0);
+    auto trace = [&](int64_t end, int64_t* out) {
+        int64_t cnt = 0;
+        for (int64_t i = end; i != -1; i = parent[i]) out[cnt++] = i;
+        std::reverse(out, out + cnt);
+        return cnt;
+    };
+    int64_t best_end = order[0];
+    if (f[best_end] < min_score) return 0;
+    *pn = trace(best_end, primary);
+    *pscore = f[best_end];
+    for (int64_t i = 0; i < *pn; ++i) used[primary[i]] = 1;
+    int examined = 0;
+    std::vector<int64_t> tmp(n);
+    for (int64_t oi = 1; oi < n; ++oi) {
+        int64_t e = order[oi];
+        if (f[e] < min_score || examined >= max_examine) break;
+        if (used[e]) continue;
+        ++examined;
+        int64_t cnt = trace(e, tmp.data());
+        bool clean = true;
+        for (int64_t i = 0; i < cnt; ++i)
+            if (used[tmp[i]]) { clean = false; break; }
+        if (clean) {
+            std::memcpy(secondary, tmp.data(), cnt * sizeof(int64_t));
+            *sn = cnt;
+            *sscore = f[e];
+            break;
+        }
+    }
+    return 0;
+}
+
 // Hamming distance of a read vs buffer at many candidate positions.
 void hamming_many_c(const uint8_t* buf, int64_t n, const uint8_t* read,
                     int L, const int64_t* pos, int n_pos, int32_t* out_mm) {

@@ -69,13 +69,31 @@ def backtrack(f: np.ndarray, parent: np.ndarray, min_score: float
     """Extract primary chain and the best secondary chain (disjoint anchors).
 
     Returns (primary_idx, primary_score, secondary_idx, secondary_score);
-    secondary may be empty.
+    secondary may be empty.  Dispatches to the native kernel when available
+    (bit-equal; tests/test_native.py).
     """
     n = len(f)
     empty = np.zeros(0, np.int64)
     if n == 0:
         return empty, 0.0, empty, 0.0
-    order = np.argsort(-f)
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        f64 = np.ascontiguousarray(f, np.float64)
+        p64 = np.ascontiguousarray(parent, np.int64)
+        pri = np.empty(n, np.int64)
+        sec = np.empty(n, np.int64)
+        pn = ctypes.c_int64()
+        sn = ctypes.c_int64()
+        ps = ctypes.c_double()
+        ss = ctypes.c_double()
+        lib.backtrack_c(f64, p64, n, float(min_score), 48, pri,
+                        ctypes.byref(pn), sec, ctypes.byref(sn),
+                        ctypes.byref(ps), ctypes.byref(ss))
+        return (pri[: pn.value].copy(), float(ps.value),
+                sec[: sn.value].copy(), float(ss.value))
+    order = np.argsort(-f, kind="stable")
     used = np.zeros(n, bool)
 
     def _trace(end: int):

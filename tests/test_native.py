@@ -64,3 +64,31 @@ def test_hamming_many():
     assert out[1] > 10
     assert out[2] == 1 << 30  # out of range
     assert out[3] == 1 << 30
+
+
+def test_backtrack_match():
+    import os
+    from lr2rmats_tpu.align import chain as chain_mod
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(2, 200))
+        parent = np.full(n, -1, np.int64)
+        for i in range(1, n):
+            if rng.random() < 0.8:
+                parent[i] = int(rng.integers(0, i))
+        f = rng.random(n) * 100
+        a = chain_mod.backtrack(f, parent, 10.0)
+        # force numpy path
+        os.environ["LR2RMATS_NO_NATIVE"] = "1"
+        try:
+            import lr2rmats_tpu.native.lib as nl
+            saved = (nl._lib, nl._tried)
+            nl._lib, nl._tried = None, True
+            b = chain_mod.backtrack(f, parent, 10.0)
+            nl._lib, nl._tried = saved
+        finally:
+            del os.environ["LR2RMATS_NO_NATIVE"]
+        np.testing.assert_array_equal(a[0], b[0])
+        assert a[1] == pytest.approx(b[1])
+        np.testing.assert_array_equal(a[2], b[2])
+        assert a[3] == pytest.approx(b[3])
