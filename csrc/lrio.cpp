@@ -273,6 +273,49 @@ int64_t extract_minimizers_c(const uint8_t* codes, int64_t n_codes,
     return cnt;
 }
 
+// Pure-split splice scan (align/splice.py::refine_splice): choose query
+// split j in [0, m] maximizing prefix/suffix matches + motif bonus.
+// Returns j; writes score and strand vote.
+int refine_splice_c(const uint8_t* q, int m, const uint8_t* ref,
+                    int64_t ref_len, int64_t left_ref, int64_t right_ref,
+                    double* score_out, int32_t* vote_out) {
+    // prefix/suffix match cumsums
+    std::vector<double> lpre(m + 1, 0.0), rsuf(m + 1, 0.0);
+    for (int t = 0; t < m; ++t)
+        lpre[t + 1] = lpre[t] + (q[t] == ref[left_ref + t] ? 1.0 : 0.0);
+    for (int t = m - 1; t >= 0; --t)
+        rsuf[t] = rsuf[t + 1] +
+                  (q[t] == ref[right_ref - m + t] ? 1.0 : 0.0);
+    double best = -1.0;
+    int bj = 0, bvote = 0;
+    for (int j = 0; j <= m; ++j) {
+        int64_t don = left_ref + j;
+        int64_t acc = right_ref - (m - j) - 2;  // acceptor dinuc start
+        double bp = 0.0, bm = 0.0;
+        if (don >= 0 && don + 1 < ref_len && acc >= 0 && acc + 1 < ref_len) {
+            uint8_t d0 = ref[don], d1 = ref[don + 1];
+            uint8_t a0 = ref[acc], a1 = ref[acc + 1];
+            bool GT = d0 == 2 && d1 == 3, CT = d0 == 1 && d1 == 3;
+            bool GC_d = d0 == 2 && d1 == 1, AT_d = d0 == 0 && d1 == 3;
+            bool AG = a0 == 0 && a1 == 2, AC = a0 == 0 && a1 == 1;
+            bool GC_a = a0 == 2 && a1 == 1, AT_a = a0 == 0 && a1 == 3;
+            if (GT && AG) bp = BONUS_CANON;
+            else if ((GC_d && AG) || (AT_d && AC)) bp = BONUS_SEMI;
+            if (CT && AC) bm = BONUS_CANON;
+            else if ((CT && GC_a) || (GT && AT_a)) bm = BONUS_SEMI;
+        }
+        double bonus = std::max(bp, bm);
+        double sc = lpre[j] + rsuf[j] + bonus;
+        if (sc > best) {
+            best = sc; bj = j;
+            bvote = (bp > bm) ? 1 : (bm > bp ? -1 : 0);
+        }
+    }
+    *score_out = best;
+    *vote_out = bvote;
+    return bj;
+}
+
 // Chain backtrack (align/chain.py::backtrack): primary chain + best
 // anchor-disjoint secondary.  Outputs index arrays (cap n each); returns 0.
 int backtrack_c(const double* f, const int64_t* parent, int64_t n,

@@ -38,6 +38,23 @@ def _dinuc_eq(arr: np.ndarray, pos: np.ndarray, pair: Tuple[int, int]) -> np.nda
 
 def refine_splice(q: np.ndarray, ref: np.ndarray, left_ref: int, right_ref: int
                   ) -> Tuple[int, float, int]:
+    """Dispatch wrapper; native kernel when available (bit-equal)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        score = ctypes.c_double()
+        vote = ctypes.c_int32()
+        j = lib.refine_splice_c(
+            np.ascontiguousarray(q, np.uint8), len(q), ref, len(ref),
+            int(left_ref), int(right_ref), ctypes.byref(score),
+            ctypes.byref(vote))
+        return j, float(score.value), int(vote.value)
+    return refine_splice_np(q, ref, left_ref, right_ref)
+
+
+def refine_splice_np(q: np.ndarray, ref: np.ndarray, left_ref: int,
+                     right_ref: int) -> Tuple[int, float, int]:
     """Place the intron inside a gap region.
 
     q          : query gap codes (length m, may be 0)

@@ -75,6 +75,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             c_u64p, c_i64p, c_i8p]
 
+        lib.refine_splice_c.restype = ctypes.c_int
+        lib.refine_splice_c.argtypes = [
+            c_u8p, ctypes.c_int, c_u8p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32)]
+
         lib.backtrack_c.restype = ctypes.c_int
         lib.backtrack_c.argtypes = [
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),

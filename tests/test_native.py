@@ -92,3 +92,24 @@ def test_backtrack_match():
         assert a[1] == pytest.approx(b[1])
         np.testing.assert_array_equal(a[2], b[2])
         assert a[3] == pytest.approx(b[3])
+
+
+def test_refine_splice_fast_match():
+    from lr2rmats_tpu.align.splice import refine_splice, refine_splice_np
+    rng = np.random.default_rng(13)
+    ref = rng.integers(0, 4, 30_000).astype(np.uint8)
+    for trial in range(40):
+        m = int(rng.integers(0, 30))
+        left = int(rng.integers(100, 5000))
+        right = left + m + int(rng.integers(40, 9000))
+        q = np.empty(m, np.uint8)
+        half = m // 2
+        q[:half] = ref[left: left + half]
+        q[half:] = ref[right - (m - half): right]
+        mut = rng.random(m) < 0.1
+        q[mut] = (q[mut] + 1) % 4
+        a = refine_splice(q, ref, left, right)
+        b = refine_splice_np(q, ref, left, right)
+        assert a[0] == b[0], trial
+        assert a[1] == pytest.approx(b[1]), trial
+        assert a[2] == b[2], trial
