@@ -147,7 +147,8 @@ class BatchAligner:
             A = next(b for b in A_BUCKETS if len(r.qpos) <= b)
             buckets.setdefault(A, []).append(i)
         for A, members in buckets.items():
-            B = len(members)
+            # pad the row count to a power of two to bound recompilation
+            B = max(16, 1 << (len(members) - 1).bit_length())
             qp = np.zeros((B, A), np.int32)
             gp = np.zeros((B, A), np.int32)
             nn = np.zeros(B, np.int32)
