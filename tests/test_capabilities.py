@@ -1,0 +1,163 @@
+"""Capability-checklist tests (SURVEY §7): multi-sample merge, single-end
+short reads, gzip input, GTF input mode, CLI subcommands."""
+
+import gzip
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from lr2rmats_tpu.io.fasta import Genome, decode_seq, revcomp
+from tests.test_aligner import plant_motifs, random_genome, splice_read
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    """Synthetic two-sample world: genome + annotation + long/short reads."""
+    d = tmp_path_factory.mktemp("world")
+    g = random_genome(150_000, seed=31)
+    anno_exons = [(20_000, 20_400), (24_000, 24_250), (31_000, 31_350)]
+    # novel donor at 20300 (annotated donor is 20400) + known acceptor
+    novel_exons = [(20_000, 20_300), (31_000, 31_350)]
+    plant_motifs(g, anno_exons)
+    plant_motifs(g, novel_exons)
+    # genome.fa
+    genome_fa = d / "genome.fa"
+    with open(genome_fa, "w") as f:
+        f.write(">chrS\n")
+        seq = decode_seq(g.codes)
+        for i in range(0, len(seq), 60):
+            f.write(seq[i: i + 60] + "\n")
+    # annotation gtf (1-based inclusive)
+    gtf = d / "anno.gtf"
+    with open(gtf, "w") as f:
+        attrs = 'gene_id "GS1"; transcript_id "TS1"; gene_name "GENES1"; transcript_name "TRS1";'
+        f.write(f"chrS\ttest\ttranscript\t{anno_exons[0][0]+1}\t{anno_exons[-1][1]}\t.\t+\t.\t{attrs}\n")
+        for s, e in anno_exons:
+            f.write(f"chrS\ttest\texon\t{s+1}\t{e}\t.\t+\t.\t{attrs}\n")
+    # long reads per sample: novel exon-skip transcript; gzip for samp2
+    long1 = d / "samp1_long.fa"
+    with open(long1, "w") as f:
+        for i in range(3):
+            r = splice_read(g, novel_exons, "+", err=0.01, seed=40 + i)
+            f.write(f">long1_{i}\n{decode_seq(r)}\n")
+    long2 = d / "samp2_long.fa.gz"
+    with gzip.open(long2, "wt") as f:
+        for i in range(3):
+            r = splice_read(g, anno_exons, "+", err=0.01, seed=50 + i)
+            f.write(f">long2_{i}\n{decode_seq(r)}\n")
+    # short reads: 60 spanning the novel junction + exon bodies
+    rng = np.random.default_rng(9)
+    short1 = d / "samp1_short_1.fa"
+    novel_tx = np.concatenate([g.codes[a:b] for a, b in novel_exons])
+    with open(short1, "w") as f:
+        for i in range(60):
+            off = int(rng.integers(0, len(novel_tx) - 101))
+            f.write(f">s{i}\n{decode_seq(novel_tx[off: off + 101])}\n")
+    return dict(dir=d, genome=genome_fa, gtf=gtf, long1=long1, long2=long2,
+                short1=short1, anno_exons=anno_exons, novel_exons=novel_exons)
+
+
+def test_multisample_single_end_gzip(world, tmp_path):
+    """Two samples (one gzip'd), single-end short reads, full pipeline."""
+    from lr2rmats_tpu.pipeline.config import PipelineConfig, SampleReads
+    from lr2rmats_tpu.pipeline.stages import run_pipeline
+    cfg = PipelineConfig(
+        genome_fasta=str(world["genome"]), gtf=str(world["gtf"]),
+        out_dir=str(tmp_path), full_level=3, split_trans=True)
+    cfg.samples["samp1"] = SampleReads(str(world["long1"]),
+                                       str(world["short1"]), None)
+    cfg.samples["samp2"] = SampleReads(str(world["long2"]), None, None)
+    out = run_pipeline(cfg)
+    assert os.path.exists(out)
+    for s in ("samp1", "samp2"):
+        assert (tmp_path / "output" / f"{s}.summary.txt").exists()
+    upd = open(out).read()
+    lines = [l.split("\t") for l in upd.splitlines()]
+    exon_bounds = {(l[3], l[4]) for l in lines if l[2] == "exon"}
+    assert ("20001", "20400") in exon_bounds       # annotated exon 1
+    # the novel-donor transcript (exon ending 20300) must have been added
+    assert any(b[1] == "20300" for b in exon_bounds), exon_bounds
+    novel_n = open(tmp_path / "output" / "samp1.novel.gtf").read()
+    assert "transcript" in novel_n
+
+
+def test_yaml_config_roundtrip(world, tmp_path):
+    import yaml
+    from lr2rmats_tpu.pipeline.config import PipelineConfig
+    cfgd = {
+        "genome": {"fasta": str(world["genome"]), "gtf": str(world["gtf"])},
+        "sample": {
+            "long_read": {"samp1": str(world["long1"])},
+            "short_read": {"samp1": {"first": str(world["short1"]),
+                                     "second": []}},
+        },
+        "output": {"updated_gtf": "output/updated.gtf"},
+        "lr2rmats": {"rm_gtf": "", "aln_cov": 0.67, "iden_frac": 0.75,
+                     "sec_rat": 0.98, "sup_cnt": 1, "split_trans": "-s",
+                     "full_level": 3},
+    }
+    p = tmp_path / "config.yaml"
+    with open(p, "w") as f:
+        yaml.safe_dump(cfgd, f)
+    cfg = PipelineConfig.from_yaml(str(p))
+    assert cfg.samples["samp1"].short_second is None  # [] => single-end
+    assert cfg.full_level == 3
+    assert cfg.split_trans
+
+
+def test_read_list_format(world, tmp_path):
+    from lr2rmats_tpu.pipeline.config import PipelineConfig
+    ll = tmp_path / "long.list"
+    ll.write_text(f"2\n1\n{world['long1']}\n1\n{world['long2']}\n")
+    sl = tmp_path / "short.list"
+    sl.write_text(f"2\n1\n{world['short1']}\n1\n{world['short1']} {world['short1']}\n")
+    cfg = PipelineConfig.from_read_lists(
+        str(world["genome"]), str(world["gtf"]), str(ll), str(sl))
+    assert len(cfg.samples) == 2
+    assert cfg.samples["samp1"].short_second is None
+    assert cfg.samples["samp2"].short_second is not None
+
+
+def test_cli_subcommands_on_sam(world, tmp_path):
+    """filter / bam2gtf / bam2sj / update-gtf / unique-gtf via CLI on a
+    generated SAM."""
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.io.fasta import Genome, read_fasta
+    from lr2rmats_tpu.io.sam import SamWriter
+    from lr2rmats_tpu.pipeline.cli import main
+
+    g = Genome.load(str(world["genome"]))
+    al = BatchAligner(g)
+    reads = read_fasta(str(world["long1"]))
+    sam = tmp_path / "x.sam"
+    with open(sam, "w") as f:
+        w = SamWriter(f, al.refs)
+        for rec in al.align_seqset(reads):
+            w.write(rec)
+
+    filt = tmp_path / "filt.bam"
+    assert main(["filter", str(sam), "-o", str(filt)]) == 0
+    assert filt.exists()
+
+    out_gtf = tmp_path / "b2g.gtf"
+    assert main(["bam2gtf", str(filt), "-o", str(out_gtf)]) == 0
+    assert "exon" in out_gtf.read_text()
+
+    sj = tmp_path / "x.sj"
+    assert main(["bam2sj", str(filt), "-g", str(world["genome"]),
+                 "-o", str(sj)]) == 0
+    assert sj.read_text().startswith("###STRAND")
+
+    upd = tmp_path / "upd.gtf"
+    assert main(["update-gtf", str(filt), str(world["gtf"]),
+                 "-o", str(upd), "-l", "3"]) == 0
+    assert "transcript" in upd.read_text()
+
+    unq = tmp_path / "unq.gtf"
+    assert main(["unique-gtf", "-m", "g", "-b", str(sam), str(upd),
+                 "-o", str(unq)]) == 0
+    assert "transcript" in unq.read_text()
