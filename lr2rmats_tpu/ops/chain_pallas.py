@@ -1,0 +1,142 @@
+"""Pallas TPU kernel for the splice-aware chaining DP.
+
+Layout: TRANSPOSED relative to the scan kernel — the anchor axis lives on
+sublanes and reads live on lanes ([W+A, R] blocks, R=128 lanes), because the
+Mosaic toolchain only supports dynamic slicing on the sublane dimension.
+Each grid program walks its 128 reads' anchors once; the W-predecessor
+window is a [W, R] vector op on the VPU, and the running scores stay in a
+VMEM scratch with W dead rows of -inf at the top so the window slice is
+always in-bounds.
+
+Agrees with ops.chain_jax / align.chain (tests/test_pallas.py runs it in
+interpreter mode on CPU; compiled on the real TPU by bench/ops tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..align.chain import ChainParams
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+LANE_BLOCK = 128  # reads per grid program (lane dimension)
+
+_LOG2E = 1.4426950408889634
+
+
+def _kernel(qpos_ref, rpos_ref, n_ref, f_out_ref, parent_ref, f_ref, *, W, k,
+            max_qgap, max_intron, gap_open, gap_scale, intron_scale,
+            min_intron_gap):
+    AW, R = qpos_ref.shape          # AW = W + A (top-padded)
+    A = AW - W
+    neg = jnp.float32(-1e18)
+
+    n_anchor = n_ref[0, :]          # [R] int32
+    f_ref[: W, :] = jnp.full((W, R), neg)
+    f_ref[W:, :] = jnp.full((A, R), jnp.float32(k))
+
+    def body(i, _):
+        # predecessors j = i-W .. i-1 live at padded rows i .. i+W-1
+        fw = f_ref[pl.ds(i, W), :]              # [W, R]
+        qw = qpos_ref[pl.ds(i, W), :]
+        rw = rpos_ref[pl.ds(i, W), :]
+        qi = qpos_ref[pl.ds(i + W, 1), :]       # [1, R]
+        ri = rpos_ref[pl.ds(i + W, 1), :]
+        widx = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+        jreal = i - W + widx
+        valid_j = (jreal >= 0) & (jreal < n_anchor[None, :])
+        dq = qi - qw
+        dr = ri - rw
+        ok = valid_j & (dq > 0) & (dr > 0) & (dq <= max_qgap) & (dr <= max_intron)
+        gain = jnp.minimum(jnp.minimum(dq, dr), k).astype(jnp.float32)
+        dd = dr - dq
+        add = jnp.abs(dd).astype(jnp.float32)
+        lin = jnp.float32(gap_open) + jnp.float32(gap_scale) * add
+        logc = jnp.float32(gap_open) + jnp.float32(intron_scale) * (
+            jnp.log(add + 1.0) * jnp.float32(_LOG2E))
+        cost = jnp.where(dd > min_intron_gap, jnp.minimum(logc, lin), lin)
+        cost = jnp.where(dd == 0, jnp.float32(0.0), cost)
+        sc = jnp.where(ok, fw + gain - cost, neg)   # [W, R]
+        best_w = jnp.argmax(sc, axis=0)             # [R]
+        best_sc = jnp.max(sc, axis=0)               # [R]
+        cur = f_ref[pl.ds(i + W, 1), :][0, :]
+        anchor_valid = i < n_anchor
+        take = anchor_valid & (best_sc > cur)
+        new_f = jnp.where(take, best_sc, cur)
+        new_parent = jnp.where(take, i - W + best_w, -1)
+        f_ref[pl.ds(i + W, 1), :] = new_f[None, :]
+        parent_ref[pl.ds(i, 1), :] = new_parent[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, A, body, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (A, R), 0)
+    f_out_ref[:] = jnp.where(row < n_anchor[None, :], f_ref[W:, :], neg)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "W", "k", "max_qgap", "max_intron", "gap_open", "gap_scale",
+    "intron_scale", "min_intron_gap", "interpret"))
+def _chain_pallas(qpos_pad, rpos_pad, n_anchor, W: int, k: int,
+                  max_qgap: int, max_intron: int, gap_open: float,
+                  gap_scale: float, intron_scale: float,
+                  min_intron_gap: int, interpret: bool = False):
+    AW, B = qpos_pad.shape
+    A = AW - W
+    grid = (B // LANE_BLOCK,)
+    kern = functools.partial(
+        _kernel, W=W, k=k, max_qgap=max_qgap, max_intron=max_intron,
+        gap_open=gap_open, gap_scale=gap_scale, intron_scale=intron_scale,
+        min_intron_gap=min_intron_gap)
+    f, parent = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((AW, LANE_BLOCK), lambda i: (0, i)),
+            pl.BlockSpec((AW, LANE_BLOCK), lambda i: (0, i)),
+            pl.BlockSpec((1, LANE_BLOCK), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((A, LANE_BLOCK), lambda i: (0, i)),
+            pl.BlockSpec((A, LANE_BLOCK), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((A, B), jnp.float32),
+            jax.ShapeDtypeStruct((A, B), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((AW, LANE_BLOCK), jnp.float32)],
+        interpret=interpret,
+    )(qpos_pad, rpos_pad, n_anchor.reshape(1, -1))
+    return f, parent
+
+
+def chain_anchors_batch_pallas(qpos: np.ndarray, rpos: np.ndarray,
+                               n_anchor: np.ndarray, p: ChainParams,
+                               interpret: bool = False
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pallas chaining; same contract as ops.chain_jax.chain_anchors_batch."""
+    B, A = qpos.shape
+    W = p.window
+    Bp = -(-B // LANE_BLOCK) * LANE_BLOCK
+    qp = np.full((W + A, Bp), -1, np.int32)
+    rp = np.full((W + A, Bp), -1, np.int32)
+    qp[W:, :B] = qpos.T
+    rp[W:, :B] = rpos.T
+    nn = np.zeros(Bp, np.int32)
+    nn[:B] = n_anchor
+    f, parent = _chain_pallas(
+        jnp.asarray(qp), jnp.asarray(rp), jnp.asarray(nn), W, p.k,
+        int(p.max_qgap), int(p.max_intron), float(p.gap_open),
+        float(p.gap_scale), float(p.intron_scale), int(p.min_intron_gap),
+        interpret=interpret)
+    return np.asarray(f).T[:B], np.asarray(parent).T[:B]
