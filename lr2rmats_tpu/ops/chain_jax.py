@@ -80,12 +80,29 @@ def _chain_scan(qpos, rpos, n_anchor, window: int, k: int,
 
 
 def chain_anchors_batch(qpos: np.ndarray, rpos: np.ndarray,
-                        n_anchor: np.ndarray, p: ChainParams
-                        ) -> Tuple[np.ndarray, np.ndarray]:
-    """Batched chaining; returns (f [B,A] float32, parent [B,A] int32)."""
+                        n_anchor: np.ndarray, p: ChainParams,
+                        shard: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched chaining; returns (f [B,A] float32, parent [B,A] int32).
+
+    With several local devices and a divisible batch, rows are placed with a
+    dp NamedSharding so XLA runs the batch data-parallel across chips.
+    """
+    q = jnp.asarray(qpos, jnp.int32)
+    r = jnp.asarray(rpos, jnp.int32)
+    n = jnp.asarray(n_anchor, jnp.int32)
+    if shard:
+        devs = jax.devices()
+        B = qpos.shape[0]
+        if len(devs) > 1 and B % len(devs) == 0 and B >= 2 * len(devs):
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            mesh = Mesh(np.array(devs), ("dp",))
+            s2 = NamedSharding(mesh, P("dp", None))
+            s1 = NamedSharding(mesh, P("dp"))
+            q = jax.device_put(q, s2)
+            r = jax.device_put(r, s2)
+            n = jax.device_put(n, s1)
     f, parent = _chain_scan(
-        jnp.asarray(qpos, jnp.int32), jnp.asarray(rpos, jnp.int32),
-        jnp.asarray(n_anchor, jnp.int32), p.window, p.k,
+        q, r, n, p.window, p.k,
         jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
         jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
         jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap))

@@ -74,8 +74,27 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
     _ensure_dirs(out_dir)
     A = lambda *p: os.path.join(out_dir, *p)
 
+    # tee stage logs into logs/pipeline.log (Snakemake `log:` role)
+    import sys
+    from ..utils.log import set_log_stream
+
+    class _Tee:
+        def __init__(self, *streams):
+            self.streams = streams
+
+        def write(self, s):
+            for st in self.streams:
+                st.write(s)
+
+        def flush(self):
+            for st in self.streams:
+                st.flush()
+
+    _logf = open(A("logs", "pipeline.log"), "a")
+    set_log_stream(_Tee(sys.stderr, _logf))
+
     # ---- stage: genome + index (minimap_idx, Snakefile:24-38)
-    with Timer("stage/index"):
+    with Timer("stage/index", benchmark_file=A("benchmark", "index.benchmark.txt")):
         genome = Genome.load(cfg.genome_fasta)
         aligner: Optional[BatchAligner] = None
 
@@ -93,7 +112,7 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         if first_sam is None:
             first_sam = sam_path
         if not _fresh(sam_path, cfg.genome_fasta, reads.long_read):
-            with Timer(f"stage/align[{sample}]"):
+            with Timer(f"stage/align[{sample}]", benchmark_file=A("benchmark", f"{sample}.minimap.benchmark.txt")):
                 if aligner is None:
                     aligner = BatchAligner(genome, align_params,
                                            backend=("host" if use_tpu is False
@@ -113,13 +132,13 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         filtered_bam = A("alignment", f"{sample}.filtered.bam")
         sam_novel = A("gtf", f"{sample}_sam_novel.gtf")
         if not _fresh(filtered_bam, sam_path):
-            with Timer(f"stage/filter[{sample}]"):
+            with Timer(f"stage/filter[{sample}]", benchmark_file=A("benchmark", f"{sample}.novel_gtf.benchmark.txt")):
                 cmd_filter(sam_path, filtered_bam,
                            FilterParams(cfg.aln_cov, cfg.iden_frac,
                                         cfg.sec_rat),
                            rm_gtf=cfg.rm_gtf or None)
         if not _fresh(sam_novel, filtered_bam, cfg.gtf):
-            with Timer(f"stage/update_gtf_pass1[{sample}]"):
+            with Timer(f"stage/update_gtf_pass1[{sample}]", benchmark_file=A("benchmark", f"{sample}_new_gtf.benchmark.txt")):
                 ugp = UpdateGtfParams(full_level=cfg.full_level)
                 cmd_update_gtf(filtered_bam, cfg.gtf, ugp, out_path=sam_novel)
 
@@ -138,7 +157,7 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         sj_tab = A("alignment", f"{sample}.STARSJ.out.tab")
         short_inputs = [p for p in (reads.short_first, reads.short_second) if p]
         if short_inputs and not _fresh(sj_tab, new_gtf, *short_inputs):
-            with Timer(f"stage/sj_count[{sample}]"):
+            with Timer(f"stage/sj_count[{sample}]", benchmark_file=A("benchmark", f"{sample}.star.benchmark.txt")):
                 cname = ChrNames(genome.names)
                 merged = read_anno_trans(new_gtf, cname)
                 read_sets = [read_fasta(p) for p in short_inputs]
@@ -150,7 +169,7 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         gtf_novel = A("gtf", f"{sample}_gtf_novel.gtf")
         if not _fresh(gtf_novel, filtered_bam, cfg.gtf,
                       *( [sj_tab] if short_inputs else [] )):
-            with Timer(f"stage/update_gtf_pass2[{sample}]"):
+            with Timer(f"stage/update_gtf_pass2[{sample}]", benchmark_file=A("benchmark", f"{sample}_gtf_novel_gtf.benchmark.txt")):
                 ugp = UpdateGtfParams(full_level=cfg.full_level,
                                       split_trans=cfg.split_trans,
                                       min_sj_cnt=cfg.sup_cnt)
@@ -168,7 +187,7 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         gtf_novel_paths.append(gtf_novel)
 
     # ---- stage: update_gtf (cross-sample merge, Snakefile:172-192)
-    with Timer("stage/final_merge"):
+    with Timer("stage/final_merge", benchmark_file=A("benchmark", "update_gtf.benchmark.txt")):
         tmp = A("gtf", "tmp.gtf")
         with open(tmp, "w") as out:
             for p in gtf_novel_paths:
@@ -184,4 +203,6 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         sort_gtf_file(tmp, updated_gtf)
         os.remove(tmp)
     log("pipeline", "updated GTF written to %s", updated_gtf)
+    set_log_stream(sys.stderr)
+    _logf.close()
     return updated_gtf

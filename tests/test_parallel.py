@@ -64,3 +64,17 @@ def test_allgather_candidates(devices):
     ges, gee, gen_, gtid = gather(es, ee, en, tid)
     np.testing.assert_array_equal(np.asarray(ges), es)
     np.testing.assert_array_equal(np.asarray(gen_), en)
+
+
+def test_chain_dp_sharded_matches(devices):
+    """chain_anchors_batch with dp sharding over 8 devices == unsharded."""
+    from lr2rmats_tpu.align.chain import ChainParams
+    from lr2rmats_tpu.ops.chain_jax import chain_anchors_batch
+    from tests.test_chain_jax import random_anchor_rows
+    rng = np.random.default_rng(17)
+    qp, rp, n = random_anchor_rows(rng, B=16, A=64)
+    p = ChainParams()
+    f1, p1 = chain_anchors_batch(qp, rp, n, p, shard=False)
+    f2, p2 = chain_anchors_batch(qp, rp, n, p, shard=True)
+    np.testing.assert_allclose(f1, f2, rtol=1e-6)
+    np.testing.assert_array_equal(p1, p2)
