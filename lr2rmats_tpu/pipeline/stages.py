@@ -79,19 +79,23 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
     from ..utils.log import set_log_stream
 
     class _Tee:
-        def __init__(self, *streams):
-            self.streams = streams
+        """Writes to the log file and whatever sys.stderr currently is."""
+
+        def __init__(self, f):
+            self.f = f
 
         def write(self, s):
-            for st in self.streams:
-                st.write(s)
+            sys.stderr.write(s)
+            if not self.f.closed:
+                self.f.write(s)
 
         def flush(self):
-            for st in self.streams:
-                st.flush()
+            sys.stderr.flush()
+            if not self.f.closed:
+                self.f.flush()
 
     _logf = open(A("logs", "pipeline.log"), "a")
-    set_log_stream(_Tee(sys.stderr, _logf))
+    set_log_stream(_Tee(_logf))
 
     # ---- stage: genome + index (minimap_idx, Snakefile:24-38)
     with Timer("stage/index", benchmark_file=A("benchmark", "index.benchmark.txt")):
@@ -203,6 +207,6 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         sort_gtf_file(tmp, updated_gtf)
         os.remove(tmp)
     log("pipeline", "updated GTF written to %s", updated_gtf)
-    set_log_stream(sys.stderr)
+    set_log_stream(None)
     _logf.close()
     return updated_gtf

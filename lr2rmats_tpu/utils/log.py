@@ -13,10 +13,11 @@ import sys
 import time
 
 
-_LOG_STREAM = sys.stderr
+_LOG_STREAM = None  # None => resolve sys.stderr at call time
 
 
 def set_log_stream(stream) -> None:
+    """Set an extra/replacement log stream; None restores dynamic stderr."""
     global _LOG_STREAM
     _LOG_STREAM = stream
 
@@ -26,7 +27,11 @@ def log(func: str, msg: str, *args) -> None:
     if args:
         msg = msg % args
     ts = time.strftime("%m-%d-%Y %H:%M:%S")
-    print(f"=== {ts} === [{func}] {msg}", file=_LOG_STREAM, flush=True)
+    stream = _LOG_STREAM if _LOG_STREAM is not None else sys.stderr
+    try:
+        print(f"=== {ts} === [{func}] {msg}", file=stream, flush=True)
+    except ValueError:  # closed stream (e.g. a finished pytest capture)
+        pass
 
 
 class Timer:
