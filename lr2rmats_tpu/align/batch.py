@@ -45,12 +45,17 @@ class BatchAligner:
     """Throughput-oriented front end over SpliceAligner's extension."""
 
     def __init__(self, genome: Genome, params: Optional[AlignParams] = None,
-                 index: Optional[MinimizerIndex] = None, backend: str = "jax"):
+                 index: Optional[MinimizerIndex] = None, backend: str = "jax",
+                 n_threads: Optional[int] = None):
+        import os
         self.inner = SpliceAligner(genome, params, index)
         self.p = self.inner.p
         self.index = self.inner.index
         self.refs = self.inner.refs
         self.backend = backend
+        # GIL-bound small-op workload: threads hurt; keep serial unless asked
+        self.n_threads = n_threads if n_threads is not None else 1
+        self._pool = None
 
     # -------------------------------------------------------------- seeding
     def _batch_anchors(self, reads: List[np.ndarray]) -> List[_Row]:
@@ -184,11 +189,11 @@ class BatchAligner:
             if len(sec):
                 per_read.setdefault(r.read_i, []).append(
                     (ss, r.strand, r.qpos[sec], r.gpos[sec]))
-        recs: List[AlnRec] = []
-        for ri in sorted(per_read):
+        def _extend_read(ri):
             cands = sorted(per_read[ri], key=lambda c: -c[0])[:2]
             codes = reads[ri]
             rc = revcomp(codes)
+            out = []
             for rank, (score, s, cq, cg) in enumerate(cands):
                 seq_codes = rc if s == 1 else codes
                 pos_g, ops, ed, nmatch, vote = self.inner._extend(
@@ -207,10 +212,23 @@ class BatchAligner:
                     tags["XS"] = "+" if vote > 0 else "-"
                 mapq = 60 if len(cands) == 1 else max(0, min(60, int(
                     80.0 * (1.0 - cands[1][0] / max(cands[0][0], 1e-9)))))
-                recs.append(AlnRec(
+                out.append(AlnRec(
                     qname=names[ri], flag=flag, tid=tid, pos=pos,
                     mapq=mapq if rank == 0 else 0, cigar=cigar,
                     seq=decode_seq(seq_codes), qual="*", tags=tags))
+            return out
+
+        order = sorted(per_read)
+        if self.n_threads > 1 and len(order) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(self.n_threads)
+            results = list(self._pool.map(_extend_read, order))
+        else:
+            results = [_extend_read(ri) for ri in order]
+        recs: List[AlnRec] = []
+        for rr in results:
+            recs.extend(rr)
         return recs
 
     def align_seqset(self, reads: SeqSet, batch_size: int = 256
