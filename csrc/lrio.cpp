@@ -376,3 +376,291 @@ void hamming_many_c(const uint8_t* buf, int64_t n, const uint8_t* read,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full chain extension (align/aligner.py::SpliceAligner._extend +
+// _merge_chain_blocks + align/banded.py::banded_edit_path), one call per
+// read candidate.  CIGAR op codes: M=0 I=1 D=2 N=3 S=4.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct OpsBuf {
+    int32_t* buf;
+    int cap;
+    int n = 0;
+    void push(int op, int64_t len) {
+        if (len <= 0) return;
+        if (n > 0 && buf[2 * (n - 1)] == op) {
+            buf[2 * (n - 1) + 1] += (int32_t)len;
+            return;
+        }
+        if (n < cap) {
+            buf[2 * n] = op;
+            buf[2 * n + 1] = (int32_t)len;
+            ++n;
+        }
+    }
+};
+
+// banded global edit path (banded.py::banded_edit_path); ops appended via
+// cb(op, len) in M=0 I=1 D=2 codes.  Returns edit distance.
+int banded_edit_path(const uint8_t* q, int m, const uint8_t* r, int n,
+                     int band_pad, std::vector<std::pair<int, int>>& out) {
+    out.clear();
+    if (m == 0) {
+        if (n) out.emplace_back(2, n);
+        return n;
+    }
+    if (n == 0) {
+        out.emplace_back(1, m);
+        return m;
+    }
+    const int band = std::abs(n - m) + band_pad;
+    const int width = 2 * band + 1;
+    const int32_t INF = 1 << 30;
+    std::vector<int32_t> dp((size_t)(m + 1) * width, INF);
+    auto at = [&](int i, int c) -> int32_t& { return dp[(size_t)i * width + c]; };
+    // col c at row i corresponds to j = i + (c - band)
+    at(0, band) = 0;
+    for (int j = 1; j <= std::min(n, band); ++j) at(0, band + j) = j;
+    for (int i = 1; i <= m; ++i) {
+        int jlo = std::max(0, i - band);
+        int jhi = std::min(n, i + band);
+        int32_t best = INF;
+        for (int j = jlo; j <= jhi; ++j) {
+            int c = j - i + band;
+            int32_t ins = (c + 1 < width && at(i - 1, c + 1) < INF)
+                              ? at(i - 1, c + 1) + 1 : INF;
+            int32_t sub = INF;
+            if (j >= 1 && at(i - 1, c) < INF)
+                sub = at(i - 1, c) + (r[j - 1] != q[i - 1] ? 1 : 0);
+            int32_t v = std::min(sub, ins);
+            best = std::min(best >= INF ? INF : best + 1, v);
+            at(i, c) = best;
+        }
+    }
+    // traceback: diag -> I -> D (banded.py order)
+    int i = m, j = n, ed = 0;
+    std::vector<std::pair<int, int>> rev;
+    auto push = [&](int op) {
+        if (!rev.empty() && rev.back().first == op) rev.back().second++;
+        else rev.emplace_back(op, 1);
+    };
+    while (i > 0 || j > 0) {
+        int c = j - i + band;
+        int32_t cur = (c >= 0 && c < width) ? at(i, c) : INF;
+        if (i > 0 && j > 0 && c >= 0 && c < width) {
+            int mism = (q[i - 1] != r[j - 1]) ? 1 : 0;
+            if (at(i - 1, c) + mism == cur) {
+                push(0); ed += mism; --i; --j; continue;
+            }
+        }
+        if (i > 0 && c + 1 < width && at(i - 1, c + 1) + 1 == cur) {
+            push(1); ++ed; --i; ++c; continue;
+        }
+        if (j > 0 && c - 1 >= 0 && at(i, c - 1) + 1 == cur) {
+            push(2); ++ed; --j; continue;
+        }
+        if (i > 0 && j > 0) { push(0); ed += (q[i-1] != r[j-1]); --i; --j; }
+        else if (i > 0) { push(1); ++ed; --i; }
+        else { push(2); ++ed; --j; }
+    }
+    out.assign(rev.rbegin(), rev.rend());
+    return ed;
+}
+
+}  // namespace
+
+extern "C" {
+
+int extend_chain_c(const uint8_t* codes, int64_t L,
+                   const uint8_t* ref, int64_t ref_len,
+                   const int64_t* cq, const int64_t* cg, int n_anchor,
+                   int k, int min_intron_gap, int min_intron_len,
+                   int band_pad, int ext_match, int ext_mismatch,
+                   int B_junc,
+                   int64_t* pos_out, int32_t* ops_out, int32_t* n_ops_cap_io,
+                   int64_t* ed_out, int64_t* nmatch_out, int32_t* vote_out) {
+    if (n_anchor <= 0) return -1;
+    // ---- merge chain anchors into colinear blocks
+    struct Blk { int64_t q0, g0, len; };
+    std::vector<Blk> blocks;
+    {
+        int64_t q0 = cq[0], g0 = cg[0];
+        int64_t qe = q0 + k, ge = g0 + k;
+        for (int i = 1; i < n_anchor; ++i) {
+            int64_t qi = cq[i], gi = cg[i];
+            if (qi - q0 == gi - g0) {  // same diagonal
+                qe = std::max(qe, qi + k);
+                ge = std::max(ge, gi + k);
+                continue;
+            }
+            int64_t d = std::max(qe - qi, ge - gi);
+            int64_t klen = k;
+            if (d > 0) {
+                if (d >= k) continue;
+                qi += d; gi += d; klen = k - d;
+            }
+            blocks.push_back({q0, g0, qe - q0});
+            q0 = qi; g0 = gi; qe = qi + klen; ge = gi + klen;
+        }
+        blocks.push_back({q0, g0, qe - q0});
+    }
+    // ---- pull anchor-block edges back into intron gaps (E = 6)
+    const int64_t E = 6;
+    for (size_t i = 1; i < blocks.size(); ++i) {
+        Blk& pb = blocks[i - 1];
+        Blk& bb = blocks[i];
+        int64_t gq = bb.q0 - (pb.q0 + pb.len);
+        int64_t gg = bb.g0 - (pb.g0 + pb.len);
+        if (gg - gq >= min_intron_gap) {
+            int64_t El = pb.len > 8 ? std::min(E, pb.len - 8) : 0;
+            int64_t Er = bb.len > 8 ? std::min(E, bb.len - 8) : 0;
+            pb.len -= El;
+            bb.q0 += Er; bb.g0 += Er; bb.len -= Er;
+        }
+    }
+
+    OpsBuf ops{ops_out, *n_ops_cap_io};
+    int64_t ed = 0, nmatch = 0;
+    int32_t vote = 0;
+
+    auto count_m = [&](int64_t qs, int64_t gs, int64_t l) {
+        int64_t mism = 0;
+        for (int64_t t = 0; t < l; ++t) mism += (codes[qs + t] != ref[gs + t]);
+        ed += mism;
+        nmatch += l - mism;
+    };
+    auto emit = [&](const std::vector<std::pair<int, int>>& sub,
+                    int64_t qi, int64_t gi) -> int64_t {
+        int64_t g_used = 0;
+        for (auto& ol : sub) {
+            ops.push(ol.first, ol.second);
+            if (ol.first == 0) {
+                count_m(qi, gi + g_used, ol.second);
+                qi += ol.second;
+                g_used += ol.second;
+            } else if (ol.first == 1) {
+                qi += ol.second;
+                ed += ol.second;
+            } else if (ol.first == 2) {
+                g_used += ol.second;
+                ed += ol.second;
+            } else if (ol.first == 3) {
+                g_used += ol.second;
+            }
+        }
+        return g_used;
+    };
+
+    // ---- left end extension (drop-off, no indels)
+    int64_t q0 = blocks[0].q0, g0 = blocks[0].g0;
+    int64_t ext = std::min(q0, g0);
+    int64_t take = 0;
+    if (ext > 0) {
+        double sc = 0.0, best = 0.0;
+        int64_t arg = -1;
+        for (int64_t t = 0; t < ext; ++t) {  // outward from the anchor
+            sc += (codes[q0 - 1 - t] == ref[g0 - 1 - t]) ? ext_match
+                                                         : -ext_mismatch;
+            if (sc > best) { best = sc; arg = t; }
+        }
+        take = (best > 0) ? arg + 1 : 0;
+    }
+    *pos_out = g0 - take;
+    ops.push(4, q0 - take);
+    if (take) { ops.push(0, take); count_m(q0 - take, g0 - take, take); }
+
+    std::vector<std::pair<int, int>> sub;
+    std::vector<int32_t> lops(4 * (L + 16)), rops(4 * (L + 16));
+    for (size_t bi = 0; bi < blocks.size(); ++bi) {
+        if (bi > 0) {
+            const Blk& pb = blocks[bi - 1];
+            const Blk& bb = blocks[bi];
+            int64_t gq = std::max<int64_t>(bb.q0 - (pb.q0 + pb.len), 0);
+            int64_t gg = std::max<int64_t>(bb.g0 - (pb.g0 + pb.len), 0);
+            int64_t pqe = pb.q0 + pb.len, pge = pb.g0 + pb.len;
+            if (gg - gq >= min_intron_gap && gg - gq >= min_intron_len) {
+                // fast path: clean split + canonical motif
+                double fsc; int32_t v;
+                int j = refine_splice_c(codes + pqe, (int)gq, ref, ref_len,
+                                        pge, bb.g0, &fsc, &v);
+                if (fsc >= (double)gq + BONUS_CANON) {
+                    vote += v;
+                    int64_t intron = gg - gq;
+                    if (j) { ops.push(0, j); count_m(pqe, pge, j); }
+                    ops.push(3, intron);
+                    int64_t rest = gq - j;
+                    if (rest) {
+                        ops.push(0, rest);
+                        count_m(pqe + j, bb.g0 - rest, rest);
+                    }
+                } else {
+                    int32_t ln = 0, rn = 0, v2 = 0;
+                    int64_t ilen = 0;
+                    double sc2 = 0;
+                    int rc = refine_splice_indel_c(
+                        codes + pqe, (int)gq, ref, ref_len, pge, bb.g0,
+                        B_junc, min_intron_len, lops.data(), &ln,
+                        rops.data(), &rn, &ilen, &v2, &sc2);
+                    if (rc == 0) {
+                        vote += v2;
+                        sub.clear();
+                        int64_t lq = 0;
+                        for (int t = 0; t < ln; ++t) {
+                            sub.emplace_back(lops[2 * t], lops[2 * t + 1]);
+                            if (lops[2 * t] != 2) lq += lops[2 * t + 1];
+                        }
+                        int64_t g_used = emit(sub, pqe, pge);
+                        ops.push(3, ilen);
+                        sub.clear();
+                        for (int t = 0; t < rn; ++t)
+                            sub.emplace_back(rops[2 * t], rops[2 * t + 1]);
+                        emit(sub, pqe + lq, pge + g_used + ilen);
+                    } else {
+                        banded_edit_path(codes + pqe, (int)gq, ref + pge,
+                                         (int)gg, band_pad, sub);
+                        emit(sub, pqe, pge);
+                    }
+                }
+            } else if (gq == gg) {
+                ops.push(0, gq);
+                count_m(pqe, pge, gq);
+            } else {
+                banded_edit_path(codes + pqe, (int)gq, ref + pge, (int)gg,
+                                 band_pad, sub);
+                emit(sub, pqe, pge);
+            }
+        }
+        ops.push(0, blocks[bi].len);
+        count_m(blocks[bi].q0, blocks[bi].g0, blocks[bi].len);
+    }
+
+    // ---- right end extension
+    const Blk& lb = blocks.back();
+    int64_t qend = lb.q0 + lb.len, gend = lb.g0 + lb.len;
+    int64_t rem = L - qend;
+    ext = std::min(rem, ref_len - gend);
+    take = 0;
+    if (ext > 0) {
+        double sc = 0.0, best = 0.0;
+        int64_t arg = -1;
+        for (int64_t t = 0; t < ext; ++t) {
+            sc += (codes[qend + t] == ref[gend + t]) ? ext_match
+                                                     : -ext_mismatch;
+            if (sc > best) { best = sc; arg = t; }
+        }
+        take = (best > 0) ? arg + 1 : 0;
+    }
+    if (take) { ops.push(0, take); count_m(qend, gend, take); }
+    ops.push(4, L - qend - take);
+
+    *n_ops_cap_io = ops.n;
+    *ed_out = ed;
+    *nmatch_out = nmatch;
+    *vote_out = vote;
+    return 0;
+}
+
+}  // extern "C"

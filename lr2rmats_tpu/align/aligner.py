@@ -125,7 +125,45 @@ class SpliceAligner:
 
     def _extend(self, codes: np.ndarray, q: np.ndarray, g: np.ndarray):
         """Build (pos, cigar, NM, nmatch, splice_vote) from chain anchors
-        over the concatenated genome buffer."""
+        over the concatenated genome buffer.
+
+        Dispatches to the native one-call kernel when available (bit-equal;
+        tests/test_native.py::test_extend_chain_match)."""
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            return self._extend_native(lib, codes, q, g)
+        return self._extend_py(codes, q, g)
+
+    def _extend_native(self, lib, codes: np.ndarray, q: np.ndarray,
+                       g: np.ndarray):
+        import ctypes
+        p = self.p
+        L = len(codes)
+        cap = 2 * (L + 64)
+        ops_buf = np.zeros(2 * cap, np.int32)
+        n_ops = ctypes.c_int32(cap)
+        pos = ctypes.c_int64()
+        ed = ctypes.c_int64()
+        nmatch = ctypes.c_int64()
+        vote = ctypes.c_int32()
+        rc = lib.extend_chain_c(
+            np.ascontiguousarray(codes, np.uint8), L,
+            self.genome.codes, len(self.genome.codes),
+            np.ascontiguousarray(q, np.int64),
+            np.ascontiguousarray(g, np.int64), len(q),
+            p.k, p.min_intron_gap, p.min_intron_len, p.band_pad,
+            p.ext_match, p.ext_mismatch, 4,
+            ctypes.byref(pos), ops_buf, ctypes.byref(n_ops),
+            ctypes.byref(ed), ctypes.byref(nmatch), ctypes.byref(vote))
+        if rc != 0:
+            return self._extend_py(codes, q, g)
+        ops = [(int(ops_buf[2 * i]), int(ops_buf[2 * i + 1]))
+               for i in range(n_ops.value)]
+        return (int(pos.value), ops, int(ed.value), int(nmatch.value),
+                int(vote.value))
+
+    def _extend_py(self, codes: np.ndarray, q: np.ndarray, g: np.ndarray):
         p = self.p
         ref = self.genome.codes
         L = len(codes)

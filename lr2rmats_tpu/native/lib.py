@@ -89,6 +89,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_i64p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
 
+        lib.extend_chain_c.restype = ctypes.c_int
+        lib.extend_chain_c.argtypes = [
+            c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int64,
+            c_i64p, c_i64p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), c_i32p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
+
         lib.hamming_many_c.restype = None
         lib.hamming_many_c.argtypes = [
             c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int, c_i64p,

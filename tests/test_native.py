@@ -113,3 +113,38 @@ def test_refine_splice_fast_match():
         assert a[0] == b[0], trial
         assert a[1] == pytest.approx(b[1]), trial
         assert a[2] == b[2], trial
+
+
+def test_extend_chain_match():
+    """Native one-call extension == Python reference on simulated reads."""
+    from lr2rmats_tpu.align.aligner import SpliceAligner
+    from tests.test_aligner import plant_motifs, random_genome, splice_read
+    g = random_genome(150_000, seed=77)
+    exon_sets = [
+        [(10_000, 10_400), (14_000, 14_300), (21_000, 21_500)],
+        [(50_000, 50_250), (58_000, 58_200)],
+        [(90_000, 90_300), (95_000, 95_400), (99_000, 99_100), (103_000, 103_200)],
+    ]
+    for es in exon_sets:
+        plant_motifs(g, es)
+    al = SpliceAligner(g)
+    lib = get_lib()
+    for i, es in enumerate(exon_sets):
+        for err, seed in ((0.0, 1), (0.02, 2), (0.05, 3)):
+            read = splice_read(g, es, "+", err=err, seed=seed + i)
+            anch = al._anchors(read)
+            if anch[0] is None:
+                continue
+            from lr2rmats_tpu.align.chain import backtrack, chain_anchors
+            q, gg = anch[0]
+            f, parent = chain_anchors(q, gg, al.p.chain)
+            pri, _, _, _ = backtrack(f, parent, al.p.min_score)
+            if not len(pri):
+                continue
+            a = al._extend_native(lib, read, q[pri], gg[pri])
+            b = al._extend_py(read, q[pri], gg[pri])
+            assert a[0] == b[0], (i, err, "pos")
+            assert a[1] == b[1], (i, err, "ops", a[1], b[1])
+            assert a[2] == b[2], (i, err, "ed")
+            assert a[3] == b[3], (i, err, "nmatch")
+            assert a[4] == b[4], (i, err, "vote")
