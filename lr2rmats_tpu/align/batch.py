@@ -151,23 +151,30 @@ class BatchAligner:
         for i, r in enumerate(rows):
             A = next(b for b in A_BUCKETS if len(r.qpos) <= b)
             buckets.setdefault(A, []).append(i)
+        # fixed row-chunk size per A bucket => exactly one compiled shape
+        # per bucket for the whole run
+        CHUNK = {64: 2048, 256: 1024, 1024: 128}
         for A, members in buckets.items():
-            # pad the row count to a power of two to bound recompilation
-            B = max(16, 1 << (len(members) - 1).bit_length())
-            qp = np.zeros((B, A), np.int32)
-            gp = np.zeros((B, A), np.int32)
-            nn = np.zeros(B, np.int32)
-            for bi, i in enumerate(members):
-                r = rows[i]
-                n = len(r.qpos)
-                qp[bi, :n] = r.qpos
-                gp[bi, :n] = r.gpos - r.base
-                nn[bi] = n
-            f, parent = chain_anchors_batch(qp, gp, nn, self.p.chain)
-            for bi, i in enumerate(members):
-                n = int(nn[bi])
-                out[i] = (f[bi, :n].astype(np.float64),
-                          parent[bi, :n].astype(np.int64))
+            C = CHUNK[A]
+            for off in range(0, len(members), C):
+                part = members[off: off + C]
+                B = C if len(members) > C or len(part) > C // 4 else \
+                    max(16, 1 << (len(part) - 1).bit_length())
+                B = max(B, len(part))
+                qp = np.zeros((B, A), np.int32)
+                gp = np.zeros((B, A), np.int32)
+                nn = np.zeros(B, np.int32)
+                for bi, i in enumerate(part):
+                    r = rows[i]
+                    n = len(r.qpos)
+                    qp[bi, :n] = r.qpos
+                    gp[bi, :n] = r.gpos - r.base
+                    nn[bi] = n
+                f, parent = chain_anchors_batch(qp, gp, nn, self.p.chain)
+                for bi, i in enumerate(part):
+                    n = int(nn[bi])
+                    out[i] = (f[bi, :n].astype(np.float64),
+                              parent[bi, :n].astype(np.int64))
         return out
 
     # ------------------------------------------------------------ top level
