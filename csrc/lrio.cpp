@@ -664,3 +664,26 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Bucketed sorted-hash range lookup (index/minimizer.py::MinimizerIndex.lookup).
+// bucket_start has n_buckets+1 entries over hash >> shift.
+void lookup_range_c(const uint64_t* hashes, int64_t M,
+                    const int64_t* bucket_start, int64_t n_buckets, int shift,
+                    const uint64_t* q, int64_t nq,
+                    int64_t* lo_out, int64_t* hi_out) {
+    for (int64_t i = 0; i < nq; ++i) {
+        uint64_t h = q[i];
+        int64_t b = (int64_t)(h >> shift);
+        if (b >= n_buckets) b = n_buckets - 1;
+        const uint64_t* s = hashes + bucket_start[b];
+        const uint64_t* e = hashes + bucket_start[b + 1];
+        const uint64_t* l = std::lower_bound(s, e, h);
+        const uint64_t* u = std::upper_bound(l, e, h);
+        lo_out[i] = l - hashes;
+        hi_out[i] = u - hashes;
+    }
+}
+
+}  // extern "C"

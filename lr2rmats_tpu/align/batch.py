@@ -75,8 +75,7 @@ class BatchAligner:
         qp = np.concatenate(all_q)
         qs = np.concatenate(all_s)
         rid = np.concatenate(all_rid)
-        lo = np.searchsorted(idx.hashes, h, side="left")
-        hi = np.searchsorted(idx.hashes, h, side="right")
+        lo, hi = idx.lookup(h)
         cnt = (hi - lo).astype(np.int64)
         keep = cnt > 0
         if not keep.any():
@@ -139,7 +138,7 @@ class BatchAligner:
     # ------------------------------------------------------------- chaining
     def _chain_rows(self, rows: List[_Row]):
         """Run the chain DP for all rows; returns list of (f, parent)."""
-        from ..ops.chain_jax import chain_anchors_batch
+        from ..ops.chain_jax import chain_anchors_batch_async
         out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(rows)
         if self.backend == "host":
             from .chain import chain_anchors
@@ -152,8 +151,11 @@ class BatchAligner:
             A = next(b for b in A_BUCKETS if len(r.qpos) <= b)
             buckets.setdefault(A, []).append(i)
         # fixed row-chunk size per A bucket => exactly one compiled shape
-        # per bucket for the whole run
+        # per bucket for the whole run; all chunks are dispatched before any
+        # result is materialized so device work overlaps host prep (jax
+        # dispatch is async)
         CHUNK = {64: 2048, 256: 1024, 1024: 128}
+        pending = []
         for A, members in buckets.items():
             C = CHUNK[A]
             for off in range(0, len(members), C):
@@ -170,11 +172,16 @@ class BatchAligner:
                     qp[bi, :n] = r.qpos
                     gp[bi, :n] = r.gpos - r.base
                     nn[bi] = n
-                f, parent = chain_anchors_batch(qp, gp, nn, self.p.chain)
-                for bi, i in enumerate(part):
-                    n = int(nn[bi])
-                    out[i] = (f[bi, :n].astype(np.float64),
-                              parent[bi, :n].astype(np.int64))
+                pending.append((part, nn,
+                                chain_anchors_batch_async(qp, gp, nn,
+                                                          self.p.chain)))
+        for part, nn, (fdev, pdev) in pending:
+            f = np.asarray(fdev)
+            parent = np.asarray(pdev)
+            for bi, i in enumerate(part):
+                n = int(nn[bi])
+                out[i] = (f[bi, :n].astype(np.float64),
+                          parent[bi, :n].astype(np.int64))
         return out
 
     # ------------------------------------------------------------ top level

@@ -176,8 +176,35 @@ class MinimizerIndex:
         return cls(k, w, h, p, s, genome.offsets.copy(), list(genome.names),
                    max_occ)
 
+    def _ensure_buckets(self) -> None:
+        """Prefix-bucket table over the sorted hashes: bucket b covers
+        hashes with (h >> shift) == b, so per-query binary search narrows to
+        ~a dozen entries."""
+        if getattr(self, "_bshift", None) is not None:
+            return
+        nbits = 18
+        self._bshift = max(0, 2 * self.k - nbits)
+        nb = 1 << min(nbits, 2 * self.k)
+        edges = (np.arange(nb, dtype=np.uint64) << np.uint64(self._bshift))
+        starts = np.searchsorted(self.hashes, edges, side="left")
+        self._bstart = np.concatenate(
+            [starts, [len(self.hashes)]]).astype(np.int64)
+        self._nbuckets = nb
+
     def lookup(self, qhashes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """searchsorted range per query hash -> (lo, hi) index arrays."""
+        """searchsorted range per query hash -> (lo, hi) index arrays.
+
+        Dispatches to the native bucketed lookup when available."""
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and len(qhashes):
+            self._ensure_buckets()
+            q = np.ascontiguousarray(qhashes, np.uint64)
+            lo = np.empty(len(q), np.int64)
+            hi = np.empty(len(q), np.int64)
+            lib.lookup_range_c(self.hashes, len(self.hashes), self._bstart,
+                               self._nbuckets, self._bshift, q, len(q), lo, hi)
+            return lo, hi
         lo = np.searchsorted(self.hashes, qhashes, side="left")
         hi = np.searchsorted(self.hashes, qhashes, side="right")
         return lo, hi

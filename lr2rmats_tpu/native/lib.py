@@ -100,6 +100,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32)]
 
+        lib.lookup_range_c.restype = None
+        lib.lookup_range_c.argtypes = [
+            c_u64p, ctypes.c_int64, c_i64p, ctypes.c_int64, ctypes.c_int,
+            c_u64p, ctypes.c_int64, c_i64p, c_i64p]
+
         lib.hamming_many_c.restype = None
         lib.hamming_many_c.argtypes = [
             c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int, c_i64p,

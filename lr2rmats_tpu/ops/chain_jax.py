@@ -79,6 +79,31 @@ def _chain_scan(qpos, rpos, n_anchor, window: int, k: int,
     return f, parent
 
 
+def chain_anchors_batch_async(qpos: np.ndarray, rpos: np.ndarray,
+                              n_anchor: np.ndarray, p: ChainParams,
+                              shard: bool = True):
+    """Dispatch the chain DP without blocking; returns device arrays."""
+    q = jnp.asarray(qpos, jnp.int32)
+    r = jnp.asarray(rpos, jnp.int32)
+    n = jnp.asarray(n_anchor, jnp.int32)
+    if shard:
+        devs = jax.devices()
+        B = qpos.shape[0]
+        if len(devs) > 1 and B % len(devs) == 0 and B >= 2 * len(devs):
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            mesh = Mesh(np.array(devs), ("dp",))
+            s2 = NamedSharding(mesh, P("dp", None))
+            s1 = NamedSharding(mesh, P("dp"))
+            q = jax.device_put(q, s2)
+            r = jax.device_put(r, s2)
+            n = jax.device_put(n, s1)
+    return _chain_scan(
+        q, r, n, p.window, p.k,
+        jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
+        jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
+        jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap))
+
+
 def chain_anchors_batch(qpos: np.ndarray, rpos: np.ndarray,
                         n_anchor: np.ndarray, p: ChainParams,
                         shard: bool = True) -> Tuple[np.ndarray, np.ndarray]:

@@ -148,3 +148,22 @@ def test_extend_chain_match():
             assert a[2] == b[2], (i, err, "ed")
             assert a[3] == b[3], (i, err, "nmatch")
             assert a[4] == b[4], (i, err, "vote")
+
+
+def test_lookup_range_match():
+    from lr2rmats_tpu.index.minimizer import MinimizerIndex
+    import lr2rmats_tpu.native.lib as nl
+    rng = np.random.default_rng(23)
+    h = np.sort(rng.integers(0, 1 << 30, 100_000).astype(np.uint64))
+    idx = MinimizerIndex(15, 5, h, np.arange(len(h), dtype=np.int64),
+                         np.zeros(len(h), np.int8),
+                         np.array([0, 10**6], np.int64), ["c"])
+    q = np.concatenate([rng.choice(h, 500),
+                        rng.integers(0, 1 << 30, 500).astype(np.uint64)])
+    lo1, hi1 = idx.lookup(q)
+    saved = (nl._lib, nl._tried)
+    nl._lib, nl._tried = None, True
+    lo2, hi2 = idx.lookup(q)
+    nl._lib, nl._tried = saved
+    np.testing.assert_array_equal(lo1, lo2)
+    np.testing.assert_array_equal(hi1, hi2)
