@@ -79,7 +79,7 @@ def main():
 
     t1 = time.perf_counter()
     n_aligned = 0
-    B = 1024
+    B = 2048
     for off in range(0, len(reads), B):
         recs = aligner.align_batch(names[off: off + B], reads[off: off + B])
         n_aligned += sum(1 for r in recs if not (r.flag & 0x100))
