@@ -213,3 +213,42 @@ class MinimizerIndex:
         """global offset -> (tid, 0-based chrom offset)."""
         tid = np.searchsorted(self.chrom_offsets, gpos, side="right") - 1
         return tid.astype(np.int32), (gpos - self.chrom_offsets[tid])
+
+    # ------------------------------------------------------------- caching
+    def save(self, path: str) -> None:
+        """Persist the index (the minimap_idx_file artifact role,
+        reference config.yaml:6-9)."""
+        np.savez_compressed(
+            path, k=self.k, w=self.w, hashes=self.hashes, pos=self.pos,
+            strand=self.strand, chrom_offsets=self.chrom_offsets,
+            names=np.asarray(self.names, object), max_occ=self.max_occ)
+
+    @classmethod
+    def load(cls, path: str) -> "MinimizerIndex":
+        z = np.load(path, allow_pickle=True)
+        return cls(int(z["k"]), int(z["w"]), z["hashes"], z["pos"],
+                   z["strand"], z["chrom_offsets"], list(z["names"]),
+                   int(z["max_occ"]))
+
+    @classmethod
+    def build_or_load(cls, genome, cache_path: Optional[str] = None,
+                      k: int = K_DEFAULT, w: int = W_DEFAULT) -> "MinimizerIndex":
+        """Reuse a cached index when fresh ("lr2rmats will build them if
+        they do not exist", reference config.yaml:7)."""
+        import os
+        if cache_path and os.path.exists(cache_path):
+            try:
+                idx = cls.load(cache_path)
+                if idx.k == k and idx.w == w and idx.names == list(genome.names):
+                    log("index", "loaded cached minimizer index from %s",
+                        cache_path)
+                    return idx
+            except Exception:
+                pass
+        idx = cls.build(genome, k, w)
+        if cache_path:
+            try:
+                idx.save(cache_path)
+            except OSError:
+                pass
+        return idx

@@ -167,13 +167,12 @@ class JunctionCounter:
         if not cand:
             return 10 ** 9, []
         max_mm = int(p.max_mm_frac * L)
-        best_mm = 10 ** 9
-        placements = []
         n = len(self.buf)
+        # segment-respecting candidates
+        valid_pos = []
         for pos in cand:
             if pos < 0 or pos + L > n:
                 continue
-            # segment check
             if pos < self.gn:
                 if pos + L > self.gn:
                     continue
@@ -181,12 +180,25 @@ class JunctionCounter:
                 c0 = np.searchsorted(self.ctx_offs, pos - self.gn, side="right") - 1
                 if pos + L - self.gn > self.ctx_offs[c0 + 1]:
                     continue
-            mm = int(np.sum(self.buf[pos: pos + L] != read))
-            if mm > max_mm:
-                continue
-            placements.append((pos, mm))
-            best_mm = min(best_mm, mm)
-        return best_mm, [pl for pl in placements if pl[1] == best_mm]
+            valid_pos.append(pos)
+        if not valid_pos:
+            return 10 ** 9, []
+        pos_arr = np.asarray(valid_pos, np.int64)
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            mm_arr = np.empty(len(pos_arr), np.int32)
+            lib.hamming_many_c(self.buf, n, np.ascontiguousarray(read, np.uint8),
+                               L, pos_arr, len(pos_arr), mm_arr)
+        else:
+            mm_arr = np.array([int(np.sum(self.buf[t: t + L] != read))
+                               for t in pos_arr], np.int32)
+        ok = mm_arr <= max_mm
+        if not ok.any():
+            return 10 ** 9, []
+        best_mm = int(mm_arr[ok].min())
+        sel = ok & (mm_arr == best_mm)
+        return best_mm, [(int(t), best_mm) for t in pos_arr[sel]]
 
     def add_read(self, read: np.ndarray) -> None:
         """Place one read (both orientations) and accumulate junction counts."""

@@ -118,7 +118,10 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         if not _fresh(sam_path, cfg.genome_fasta, reads.long_read):
             with Timer(f"stage/align[{sample}]", benchmark_file=A("benchmark", f"{sample}.minimap.benchmark.txt")):
                 if aligner is None:
-                    aligner = BatchAligner(genome, align_params,
+                    from ..index.minimizer import MinimizerIndex
+                    cache = cfg.index_cache or (cfg.genome_fasta + ".tmmi.npz")
+                    idx = MinimizerIndex.build_or_load(genome, cache)
+                    aligner = BatchAligner(genome, align_params, index=idx,
                                            backend=("host" if use_tpu is False
                                                     else "jax"))
                 long_reads = read_fasta(reads.long_read)

@@ -161,3 +161,43 @@ def test_cli_subcommands_on_sam(world, tmp_path):
     assert main(["unique-gtf", "-m", "g", "-b", str(sam), str(upd),
                  "-o", str(unq)]) == 0
     assert "transcript" in unq.read_text()
+
+
+def test_index_cache_roundtrip(world, tmp_path):
+    from lr2rmats_tpu.index.minimizer import MinimizerIndex
+    from lr2rmats_tpu.io.fasta import Genome
+    import numpy as np
+    g = Genome.load(str(world["genome"]))
+    cache = str(tmp_path / "idx.npz")
+    i1 = MinimizerIndex.build_or_load(g, cache)
+    assert os.path.exists(cache)
+    i2 = MinimizerIndex.build_or_load(g, cache)
+    np.testing.assert_array_equal(i1.hashes, i2.hashes)
+    np.testing.assert_array_equal(i1.pos, i2.pos)
+    assert i2.names == g.names
+
+
+def test_fusion_cli(world, tmp_path):
+    """fusion subcommand end-to-end on a synthetic chimeric read."""
+    from lr2rmats_tpu.io.fasta import Genome, decode_seq
+    from lr2rmats_tpu.io.sam import SamWriter, AlnRec, parse_cigar
+    from lr2rmats_tpu.pipeline.cli import main
+    g = Genome.load(str(world["genome"]))
+    refs = [(g.names[0], int(g.lengths()[0]))]
+    sam = tmp_path / "fus.sam"
+    # two segments of one read mapping 100kb apart
+    with open(sam, "w") as f:
+        w = SamWriter(f, refs)
+        w.write(AlnRec("chimera", 0, 0, 10_000, 60, parse_cigar("500M500S"),
+                       seq="A" * 1000, tags={"AS": 500, "NM": 0}))
+        w.write(AlnRec("chimera", 2048, 0, 130_000, 60, parse_cigar("500S500M"),
+                       seq="A" * 1000, tags={"AS": 480, "NM": 1}))
+    fs = tmp_path / "fusion_sites.txt"
+    out = tmp_path / "fusion.bam"
+    assert main(["fusion", str(sam), "--output", str(out),
+                 "-f", str(fs)]) == 0
+    sites = fs.read_text().splitlines()
+    assert sites[0].startswith("#fusion_id")
+    assert len(sites) == 2
+    f = sites[1].split("\t")
+    assert f[0] == "chimera"
