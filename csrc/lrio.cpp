@@ -687,3 +687,27 @@ void lookup_range_c(const uint64_t* hashes, int64_t M,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Hamming verify of (read_i, pos) candidate pairs against the combined
+// buffer; reads are concatenated with an offsets table.
+void hamming_pairs_c(const uint8_t* buf, int64_t n,
+                     const uint8_t* reads, const int64_t* read_off,
+                     const int32_t* cand_read, const int64_t* cand_pos,
+                     int64_t n_cand, int32_t* out_mm) {
+    for (int64_t i = 0; i < n_cand; ++i) {
+        int64_t ri = cand_read[i];
+        int64_t off = read_off[ri];
+        int64_t L = read_off[ri + 1] - off;
+        int64_t p = cand_pos[i];
+        if (p < 0 || p + L > n) { out_mm[i] = 1 << 30; continue; }
+        const uint8_t* a = buf + p;
+        const uint8_t* b = reads + off;
+        int mm = 0;
+        for (int64_t t = 0; t < L; ++t) mm += (a[t] != b[t]);
+        out_mm[i] = mm;
+    }
+}
+
+}  // extern "C"

@@ -110,10 +110,11 @@ class JunctionCounter:
         n = len(codes) - k + 1
         if n <= 0:
             return np.zeros(0, np.uint64), np.zeros(0, bool)
-        c = codes.astype(np.uint64)
+        c = np.bitwise_and(codes, 3).astype(np.uint64)
         km = np.zeros(n, np.uint64)
         for j in range(k):
-            km = (km << np.uint64(2)) | (c[j: j + n] & np.uint64(3))
+            np.left_shift(km, np.uint64(2), out=km)
+            np.bitwise_or(km, c[j: j + n], out=km)
         bad = (codes >= 4).astype(np.int32)
         cs = np.concatenate([[0], np.cumsum(bad)])
         ok = (cs[k:] - cs[:-k]) == 0
@@ -135,8 +136,31 @@ class JunctionCounter:
         valid = np.nonzero(ok)[0]
         kv = km[valid]
         order = np.argsort(kv, kind="stable")
-        self.idx_hash = kv[order]
+        self.idx_hash = np.ascontiguousarray(kv[order])
         self.idx_pos = valid[order]
+        # prefix buckets for the native range lookup
+        nbits = 18
+        self._bshift = max(0, 2 * self.p.seed_k - nbits)
+        nb = 1 << min(nbits, 2 * self.p.seed_k)
+        edges = (np.arange(nb, dtype=np.uint64) << np.uint64(self._bshift))
+        starts = np.searchsorted(self.idx_hash, edges, side="left")
+        self._bstart = np.concatenate(
+            [starts, [len(self.idx_hash)]]).astype(np.int64)
+        self._nbuckets = nb
+
+    def _lookup(self, h: np.ndarray):
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and len(h):
+            q = np.ascontiguousarray(h, np.uint64)
+            lo = np.empty(len(q), np.int64)
+            hi = np.empty(len(q), np.int64)
+            lib.lookup_range_c(self.idx_hash, len(self.idx_hash),
+                               self._bstart, self._nbuckets, self._bshift,
+                               q, len(q), lo, hi)
+            return lo, hi
+        return (np.searchsorted(self.idx_hash, h, side="left"),
+                np.searchsorted(self.idx_hash, h, side="right"))
 
     # ------------------------------------------------------------ placement
     def _place(self, read: np.ndarray) -> Tuple[int, List[Tuple[int, int]]]:
@@ -248,6 +272,169 @@ class JunctionCounter:
         for i in range(reads.n):
             self.add_read(reads.get(i))
 
+    # --------------------------------------------------- batched counting
+    def _seed_kmers_concat(self, codes: np.ndarray, offsets: np.ndarray):
+        """k-mers of a concatenated read buffer at every position."""
+        k = self.p.seed_k
+        n = len(codes) - k + 1
+        c = np.bitwise_and(codes, 3).astype(np.uint64)
+        km = np.zeros(max(n, 0), np.uint64)
+        for j in range(k):
+            np.left_shift(km, np.uint64(2), out=km)
+            np.bitwise_or(km, c[j: j + n], out=km)
+        bad = (codes >= 4).astype(np.int32)
+        cs = np.concatenate([[0], np.cumsum(bad)])
+        ok = (cs[k:] - cs[:-k]) == 0
+        return km, ok
+
+    def count_seqset_batched(self, reads: SeqSet) -> None:
+        """Vectorized equivalent of per-read add_read (agreement tested in
+        tests/test_sjcount.py::test_batched_matches_per_read)."""
+        from ..native import get_lib
+        lib = get_lib()
+        p = self.p
+        k = p.seed_k
+        R = reads.n
+        if R == 0:
+            return
+        # forward + reverse-complement concatenated read buffers
+        fwd = reads.codes
+        offs = reads.offsets
+        total = int(offs[-1])
+        from ..io.fasta import revcomp
+        rc_all = revcomp(fwd)  # reverses segment order too
+        # rc read i lives at [total - offs[i+1], total - offs[i])
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+
+        # seeds: 3 positions per read per orientation
+        seed_frac = np.linspace(0, 1, p.seeds_per_read)
+        cand_read = []
+        cand_pos = []
+        for codes_all, is_rc in ((fwd, False), (rc_all, True)):
+            km, ok = self._seed_kmers_concat(codes_all, np.zeros(0))
+            base = (total - offs[1:]) if is_rc else offs[:-1]
+            for frac in seed_frac:
+                sp = (base + np.maximum(
+                    (frac * (lens - k)).astype(np.int64), 0))
+                good = (lens >= k) & ok[np.clip(sp, 0, max(len(ok) - 1, 0))]
+                ridx = np.nonzero(good)[0]
+                if not len(ridx):
+                    continue
+                spos = sp[ridx]
+                h = km[spos]
+                lo, hi = self._lookup(h)
+                cnt = hi - lo
+                keep = (cnt > 0) & (cnt <= 100)
+                if not keep.any():
+                    continue
+                ridx, spos, lo, cnt = (ridx[keep], spos[keep], lo[keep],
+                                       cnt[keep])
+                tot = int(cnt.sum())
+                starts = np.zeros(len(cnt) + 1, np.int64)
+                np.cumsum(cnt, out=starts[1:])
+                flat = (np.repeat(lo, cnt) +
+                        (np.arange(tot) - np.repeat(starts[:-1], cnt)))
+                tpos = self.idx_pos[flat]
+                seed_in_read = spos - base[ridx]  # seed offset within read
+                diag = tpos - np.repeat(seed_in_read, cnt)
+                rr = np.repeat(ridx, cnt)
+                # encode orientation in read id: rc reads get id + R
+                cand_read.append(rr + (R if is_rc else 0))
+                cand_pos.append(diag)
+        if not cand_read:
+            return
+        cr = np.concatenate(cand_read).astype(np.int64)
+        cp = np.concatenate(cand_pos).astype(np.int64)
+        # dedupe (read+orient, diag)
+        order = np.lexsort((cp, cr))
+        cr, cp = cr[order], cp[order]
+        keep = np.ones(len(cr), bool)
+        keep[1:] = (cr[1:] != cr[:-1]) | (cp[1:] != cp[:-1])
+        cr, cp = cr[keep], cp[keep]
+        ori = (cr >= R).astype(np.int8)
+        ri = np.where(ori == 1, cr - R, cr)
+        L = lens[ri]
+        nbuf = len(self.buf)
+        # validity: bounds + segment-respecting
+        valid = (cp >= 0) & (cp + L <= nbuf)
+        in_genome = cp < self.gn
+        valid &= ~(in_genome & (cp + L > self.gn))
+        cpos = cp - self.gn
+        c0 = np.searchsorted(self.ctx_offs, np.maximum(cpos, 0),
+                             side="right") - 1
+        c0 = np.clip(c0, 0, max(len(self.ctx_offs) - 2, 0))
+        ctx_ok = in_genome | (cpos + L <= self.ctx_offs[c0 + 1])
+        valid &= ctx_ok
+        cr, cp, ori, ri, L, c0, in_genome = (
+            cr[valid], cp[valid], ori[valid], ri[valid], L[valid],
+            c0[valid], in_genome[valid])
+        if not len(cr):
+            return
+        # Hamming verify: rc candidates compare the rc read buffer
+        mm = np.empty(len(cr), np.int32)
+        if lib is not None:
+            # unified reads buffer: fwd ++ rc; segment R+j is the rc of
+            # read R-1-j, so rc of read i = segment 2R-1-i
+            comb = np.concatenate([fwd, rc_all])
+            comb_off = np.empty(2 * R + 1, np.int64)
+            comb_off[: R + 1] = offs
+            comb_off[R + 1:] = 2 * total - offs[R - 1:: -1].astype(np.int64)
+            # read id for candidate: fwd -> ri, rc -> index of rc segment
+            rc_seg = 2 * R - 1 - ri
+            rid_comb = np.where(ori == 1, rc_seg, ri).astype(np.int32)
+            lib.hamming_pairs_c(self.buf, nbuf, comb,
+                                np.ascontiguousarray(comb_off),
+                                np.ascontiguousarray(rid_comb),
+                                np.ascontiguousarray(cp), len(cp), mm)
+        else:
+            for t in range(len(cr)):
+                if ori[t]:
+                    seg = rc_all[total - int(offs[ri[t] + 1]):
+                                 total - int(offs[ri[t]])]
+                else:
+                    seg = fwd[int(offs[ri[t]]): int(offs[ri[t] + 1])]
+                mm[t] = int(np.sum(self.buf[cp[t]: cp[t] + L[t]] != seg))
+        max_mm = (p.max_mm_frac * L).astype(np.int32)
+        okmm = mm <= max_mm
+        cr, cp, ori, ri, L, c0, in_genome, mm = (
+            cr[okmm], cp[okmm], ori[okmm], ri[okmm], L[okmm], c0[okmm],
+            in_genome[okmm], mm[okmm])
+        if not len(cr):
+            return
+        # group by read (both orientations together)
+        order = np.lexsort((cp, ori, ri))
+        cr, cp, ori, ri, L, c0, in_genome, mm = (
+            x[order] for x in (cr, cp, ori, ri, L, c0, in_genome, mm))
+        grp_start = np.concatenate(
+            [[0], np.nonzero(ri[1:] != ri[:-1])[0] + 1])
+        best_mm = np.minimum.reduceat(mm, grp_start)
+        best_per_cand = np.repeat(best_mm,
+                                  np.diff(np.concatenate([grp_start, [len(ri)]])))
+        is_best = mm == best_per_cand
+        # crossing classification for best placements
+        off_in_ctx = cp - self.gn - self.ctx_offs[c0]
+        left = self.ctx_left_len[c0].astype(np.int64)
+        lpart = left - off_in_ctx
+        rpart = off_in_ctx + L - left
+        crossing = (~in_genome) & (lpart >= p.min_overhang) & \
+            (rpart >= p.min_overhang) & is_best
+        genomic_tie = in_genome & is_best
+        n_grp = len(grp_start)
+        grp_sizes = np.diff(np.concatenate([grp_start, [len(ri)]]))
+        cross_cnt = np.add.reduceat(crossing.astype(np.int64), grp_start)
+        tie_cnt = np.add.reduceat(genomic_tie.astype(np.int64), grp_start)
+        count_grp = (cross_cnt > 0) & (tie_cnt == 0)
+        uniq_grp = count_grp & (cross_cnt == 1)
+        count_per_cand = np.repeat(count_grp, grp_sizes)
+        uniq_per_cand = np.repeat(uniq_grp, grp_sizes)
+        sel = crossing & count_per_cand
+        cc = c0[sel]
+        over = np.minimum(lpart[sel], rpart[sel]).astype(np.int32)
+        u = uniq_per_cand[sel]
+        np.add.at(self.uniq_c, cc[u], 1)
+        np.add.at(self.multi_c, cc[~u], 1)
+        np.maximum.at(self.max_over, cc, over)
+
     def result(self) -> SJTable:
         n = len(self.jtid)
         strand = np.zeros(n, np.int8)
@@ -274,6 +461,6 @@ def count_junction_support(genome: Genome, gtf_sets: List[Transcripts],
     jc = JunctionCounter(genome, tid, don, acc, anno, params)
     log("sjcount", "placing %d read sets ...", len(read_sets))
     for rs in read_sets:
-        jc.count_seqset(rs)
+        jc.count_seqset_batched(rs)
     log("sjcount", "junction support counting done.")
     return jc.result()

@@ -105,6 +105,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u64p, ctypes.c_int64, c_i64p, ctypes.c_int64, ctypes.c_int,
             c_u64p, ctypes.c_int64, c_i64p, c_i64p]
 
+        lib.hamming_pairs_c.restype = None
+        lib.hamming_pairs_c.argtypes = [
+            c_u8p, ctypes.c_int64, c_u8p, c_i64p, c_i32p, c_i64p,
+            ctypes.c_int64, c_i32p]
+
         lib.hamming_many_c.restype = None
         lib.hamming_many_c.argtypes = [
             c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int, c_i64p,

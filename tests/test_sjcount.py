@@ -102,3 +102,62 @@ def test_toy_data_junction_support(ref_data):
     assert by_j[(1139867, 1140749)] > 20
     # the long-read's novel exon-skip junction is supported
     assert by_j[(1139867, 1141764)] >= 1
+
+
+def test_batched_matches_per_read(ref_data):
+    """Batched counting must reproduce the per-read reference path."""
+    from lr2rmats_tpu.io.fasta import read_fasta
+    from lr2rmats_tpu.io.gtf import ChrNames, read_anno_trans
+    g = Genome.load(str(ref_data / "genome" / "genome.fa"))
+    cname = ChrNames(g.names)
+    anno = read_anno_trans(str(ref_data / "gtf" / "original.gtf"), cname)
+    novel = Transcripts()
+    novel.append(0, True, [1138891, 1139435, 1139779, 1141765],
+                 [1139348, 1139616, 1139866, 1141947], init_novel=False)
+    from lr2rmats_tpu.junctions.sjcount import JunctionCounter, gather_junctions
+    tid, don, acc, is_anno = gather_junctions([anno, novel])
+    r1 = read_fasta(str(ref_data / "read" / "samp1_short_1.fa"))
+    r2 = read_fasta(str(ref_data / "read" / "samp1_short_2.fa"))
+
+    jc_a = JunctionCounter(g, tid, don, acc, is_anno)
+    for rs in (r1, r2):
+        jc_a.count_seqset(rs)
+    jc_b = JunctionCounter(g, tid, don, acc, is_anno)
+    for rs in (r1, r2):
+        jc_b.count_seqset_batched(rs)
+    a, b = jc_a.result(), jc_b.result()
+    np.testing.assert_array_equal(a.uniq_c, b.uniq_c)
+    np.testing.assert_array_equal(a.multi_c, b.multi_c)
+    np.testing.assert_array_equal(a.max_over, b.max_over)
+
+
+def test_batched_synthetic_matches():
+    rng = np.random.default_rng(3)
+    g = mk_genome(80_000, seed=8)
+    tid = np.array([0, 0], np.int32)
+    don = np.array([2001, 30001], np.int32)
+    acc = np.array([5000, 44000], np.int32)
+    anno = np.array([1, 0], np.int32)
+    reads = []
+    for i in range(200):
+        j = int(rng.integers(0, 2))
+        d, a = int(don[j]), int(acc[j])
+        left = int(rng.integers(4, 90))
+        seg = np.concatenate([g.codes[d - 1 - left: d - 1],
+                              g.codes[a: a + (101 - left)]])
+        if rng.random() < 0.3:
+            seg = revcomp(seg)
+        if rng.random() < 0.2:  # plain genomic read
+            off = int(rng.integers(0, 70_000))
+            seg = g.codes[off: off + 101].copy()
+        reads.append(seg)
+    rs = mk_reads(reads)
+    a = JunctionCounter(g, tid, don, acc, anno)
+    a.count_seqset(rs)
+    b = JunctionCounter(g, tid, don, acc, anno)
+    b.count_seqset_batched(rs)
+    ra, rb = a.result(), b.result()
+    np.testing.assert_array_equal(ra.uniq_c, rb.uniq_c)
+    np.testing.assert_array_equal(ra.multi_c, rb.multi_c)
+    np.testing.assert_array_equal(ra.max_over, rb.max_over)
+    assert ra.uniq_c.sum() + ra.multi_c.sum() > 50
