@@ -245,7 +245,7 @@ class BatchAligner:
             recs.extend(rr)
         return recs
 
-    def align_seqset(self, reads: SeqSet, batch_size: int = 256
+    def align_seqset(self, reads: SeqSet, batch_size: int = 1024
                      ) -> Iterator[AlnRec]:
         for off in range(0, reads.n, batch_size):
             hi = min(off + batch_size, reads.n)

@@ -201,7 +201,7 @@ _BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
 
-def bgzf_compress(data: bytes, level: int = 6) -> bytes:
+def bgzf_compress(data: bytes, level: int = 2) -> bytes:
     out = bytearray()
     for off in range(0, len(data), 0xFF00):
         chunk = data[off: off + 0xFF00]

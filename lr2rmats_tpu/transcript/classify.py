@@ -14,8 +14,8 @@ Faithful reimplementation of the update-gtf classification core
 
 All per-transcript inner loops are vectorized with numpy over the padded
 exon tensors; the outer sweep keeps the reference's merge-join cursor over
-coordinate-sorted transcript lists.  A batched JAX path for large runs lives
-in lr2rmats_tpu.transcript.batch.
+coordinate-sorted transcript lists (the cursor makes the sweep O(n + m)
+overall, so transcript counts in the hundreds of thousands stay cheap).
 """
 
 from __future__ import annotations

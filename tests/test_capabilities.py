@@ -201,3 +201,53 @@ def test_fusion_cli(world, tmp_path):
     assert len(sites) == 2
     f = sites[1].split("\t")
     assert f[0] == "chimera"
+
+
+def test_update_gtf_gtf_input_mode(world, tmp_path):
+    """update-gtf -m g: GTF input with a BAM/SAM for header info
+    (reference update_gtf.c:1071-1075)."""
+    from lr2rmats_tpu.io.sam import SamWriter, AlnRec, parse_cigar
+    from lr2rmats_tpu.pipeline.cli import main
+    hdr_sam = tmp_path / "hdr.sam"
+    with open(hdr_sam, "w") as f:
+        SamWriter(f, [("chrS", 150_000)])
+    # input GTF: one known transcript + one novel-donor transcript
+    in_gtf = tmp_path / "in.gtf"
+    ae = world["anno_exons"]
+    ne = world["novel_exons"]
+    with open(in_gtf, "w") as f:
+        for nm, exons in (("known1", ae), ("novel1", ne)):
+            at = f'gene_id "{nm}"; transcript_id "{nm}";'
+            f.write(f"chrS\tx\ttranscript\t{exons[0][0]+1}\t{exons[-1][1]}\t.\t+\t.\t{at}\n")
+            for s, e in exons:
+                f.write(f"chrS\tx\texon\t{s+1}\t{e}\t.\t+\t.\t{at}\n")
+    out = tmp_path / "out.gtf"
+    known = tmp_path / "known.gtf"
+    novel = tmp_path / "novel.gtf"
+    assert main(["update-gtf", "-m", "g", "-b", str(hdr_sam), str(in_gtf),
+                 str(world["gtf"]), "-o", str(out), "-k", str(known),
+                 "-v", str(novel), "-l", "5"]) == 0
+    assert "known1" in known.read_text()
+    assert "novel1" in novel.read_text()
+    assert "novel1" in out.read_text()
+
+
+def test_unique_gtf_intersect(world, tmp_path):
+    from lr2rmats_tpu.io.sam import SamWriter
+    from lr2rmats_tpu.pipeline.cli import main
+    hdr_sam = tmp_path / "hdr.sam"
+    with open(hdr_sam, "w") as f:
+        SamWriter(f, [("chrS", 150_000)])
+    in_gtf = tmp_path / "dups.gtf"
+    ae = world["anno_exons"]
+    with open(in_gtf, "w") as f:
+        for nm in ("a", "b"):  # identical duplicates
+            at = f'gene_id "{nm}"; transcript_id "{nm}";'
+            f.write(f"chrS\tx\ttranscript\t{ae[0][0]+1}\t{ae[-1][1]}\t.\t+\t.\t{at}\n")
+            for s, e in ae:
+                f.write(f"chrS\tx\texon\t{s+1}\t{e}\t.\t+\t.\t{at}\n")
+    shared = tmp_path / "shared.gtf"
+    assert main(["unique-gtf", "-m", "g", "-b", str(hdr_sam), str(in_gtf),
+                 "-I", "-o", str(shared)]) == 0
+    # the duplicate lands in the intersect output
+    assert 'transcript_id "b"' in shared.read_text()
