@@ -112,6 +112,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("input")
     sp.add_argument("-g", "--genome-file", default=None)
     sp.add_argument("-i", "--intron-len", type=int, default=INTRON_MIN_LEN)
+    sp.add_argument("-p", "--prop-pair", action="store_true", default=True,
+                    help="filter out reads mapped in improper pair "
+                         "(always on, matching the reference default)")
+    sp.add_argument("--no-prop-pair", dest="prop_pair", action="store_false")
     sp.add_argument("-o", "--output", default=None)
 
     sp = sub.add_parser("run", help="run the full two-pass pipeline")
@@ -201,7 +205,7 @@ def main(argv=None) -> int:
         return 0
     if args.cmd == "bam2sj":
         C.cmd_bam2sj(args.input, args.genome_file, args.output,
-                     args.intron_len)
+                     args.intron_len, require_proper_pair=args.prop_pair)
         return 0
     if args.cmd == "run":
         from .config import PipelineConfig, SampleReads

@@ -168,12 +168,14 @@ def cmd_bam2gtf(in_path: str, out_path: Optional[str] = None,
 
 
 def cmd_bam2sj(in_path: str, genome_path: Optional[str] = None,
-               out_path: Optional[str] = None, min_intron: int = 3) -> int:
+               out_path: Optional[str] = None, min_intron: int = 3,
+               require_proper_pair: bool = True) -> int:
     """`bam2sj` (reference parse_bam.c:987-1058)."""
     refs, _, records = open_alignments(in_path)
     cname = ChrNames([n for n, _ in refs])
     genome = Genome.load(genome_path) if genome_path else None
-    sj = bam2sj_records(records, genome, min_intron)
+    sj = bam2sj_records(records, genome, min_intron,
+                        require_proper_pair=require_proper_pair)
     with _out(out_path) as f:
         write_sj(sj, cname, f)
     return sj.n

@@ -97,6 +97,30 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
     _logf = open(A("logs", "pipeline.log"), "a")
     set_log_stream(_Tee(_logf))
 
+    # record the resolved configuration (run_snakemake.py writes config.yaml
+    # into the out dir, run_snakemake.py:132-135)
+    try:
+        import yaml
+        with open(A("config.yaml"), "w") as f:
+            yaml.safe_dump({
+                "genome": {"fasta": cfg.genome_fasta, "gtf": cfg.gtf},
+                "sample": {
+                    "long_read": {s: r.long_read
+                                  for s, r in cfg.samples.items()},
+                    "short_read": {s: {"first": r.short_first,
+                                       "second": r.short_second or []}
+                                   for s, r in cfg.samples.items()},
+                },
+                "output": {"updated_gtf": cfg.updated_gtf},
+                "lr2rmats": {"rm_gtf": cfg.rm_gtf, "aln_cov": cfg.aln_cov,
+                             "iden_frac": cfg.iden_frac,
+                             "sec_rat": cfg.sec_rat, "sup_cnt": cfg.sup_cnt,
+                             "split_trans": "-s" if cfg.split_trans else "",
+                             "full_level": cfg.full_level},
+            }, f, default_flow_style=False)
+    except Exception:
+        pass
+
     # ---- stage: genome + index (minimap_idx, Snakefile:24-38)
     with Timer("stage/index", benchmark_file=A("benchmark", "index.benchmark.txt")):
         genome = Genome.load(cfg.genome_fasta)
