@@ -35,6 +35,11 @@ FSUPPLEMENTARY = 0x800
 
 _SEQ_NT16 = "=ACMGRSVTWYHKDBN"
 _NT16_OF = {c: i for i, c in enumerate(_SEQ_NT16)}
+_NT16_BYTES = np.frombuffer(_SEQ_NT16.encode(), np.uint8)
+_BASE_TO_NT16 = np.full(256, 15, np.uint8)
+for _i, _c in enumerate(_SEQ_NT16):
+    _BASE_TO_NT16[ord(_c)] = _i
+    _BASE_TO_NT16[ord(_c.lower())] = _i
 
 
 def parse_cigar(s: str) -> np.ndarray:
@@ -329,11 +334,15 @@ def read_bam(path: str) -> Tuple[List[Tuple[str, int]], List[str], Iterator[AlnR
             cig = np.frombuffer(data, np.uint32, n_cig, q).copy()
             q += 4 * n_cig
             nb = (l_seq + 1) // 2
-            seqbuf = data[q: q + nb]
+            seqbuf = np.frombuffer(data, np.uint8, nb, q)
             q += nb
-            seq = "".join(
-                _SEQ_NT16[(seqbuf[i >> 1] >> (4 if i % 2 == 0 else 0)) & 0xF]
-                for i in range(l_seq)) if l_seq else "*"
+            if l_seq:
+                codes = np.empty(2 * nb, np.uint8)
+                codes[0::2] = seqbuf >> 4
+                codes[1::2] = seqbuf & 0xF
+                seq = _NT16_BYTES[codes[:l_seq]].tobytes().decode()
+            else:
+                seq = "*"
             qual = data[q: q + l_seq]
             q += l_seq
             qstr = ("*" if not l_seq or qual[0] == 0xFF
@@ -350,20 +359,20 @@ def read_bam(path: str) -> Tuple[List[Tuple[str, int]], List[str], Iterator[AlnR
 def encode_bam_rec(r: AlnRec) -> bytes:
     qname = r.qname.encode() + b"\x00"
     l_seq = 0 if r.seq == "*" else len(r.seq)
-    seqbuf = bytearray((l_seq + 1) // 2)
-    for i in range(l_seq):
-        code = _NT16_OF.get(r.seq[i].upper(), 15)
-        if i % 2 == 0:
-            seqbuf[i >> 1] |= code << 4
-        else:
-            seqbuf[i >> 1] |= code
+    if l_seq:
+        codes = _BASE_TO_NT16[np.frombuffer(r.seq.encode(), np.uint8)]
+        if l_seq % 2:
+            codes = np.concatenate([codes, np.zeros(1, np.uint8)])
+        seqbuf = ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8).tobytes()
+    else:
+        seqbuf = b""
     qual = (bytes([0xFF] * l_seq) if r.qual == "*" else
             bytes((ord(c) - 33) & 0xFF for c in r.qual[:l_seq]))
     tags = _encode_tags(r.tags)
     body = struct.pack("<iiBBHHHiiii", r.tid, r.pos, len(qname), r.mapq,
                        4680, len(r.cigar), r.flag, l_seq, r.mtid, r.mpos,
                        r.isize)
-    body += qname + r.cigar.astype("<u4").tobytes() + bytes(seqbuf) + qual + tags
+    body += qname + r.cigar.astype("<u4").tobytes() + seqbuf + qual + tags
     return struct.pack("<i", len(body)) + body
 
 
