@@ -251,3 +251,18 @@ def test_unique_gtf_intersect(world, tmp_path):
                  "-I", "-o", str(shared)]) == 0
     # the duplicate lands in the intersect output
     assert 'transcript_id "b"' in shared.read_text()
+
+
+def test_simulate_script(tmp_path):
+    """scripts/simulate.py stays runnable (scale-config generator)."""
+    import subprocess, sys
+    out = tmp_path / "sim"
+    r = subprocess.run(
+        [sys.executable, "scripts/simulate.py", "--out", str(out),
+         "--genome-mb", "0.5", "--genes", "5", "--long-reads", "20",
+         "--short-pairs", "50"],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ""})
+    assert r.returncode == 0, r.stderr
+    assert (out / "genome.fa").exists()
+    assert (out / "anno.gtf").exists()
