@@ -77,12 +77,15 @@ def main():
     # warmup: one small batch (compiles the chain kernel buckets)
     aligner.align_batch(names[:64], reads[:64])
 
+    from lr2rmats_tpu.io.fasta import SeqSet
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    seqset = SeqSet(names, np.concatenate(reads), offs)
     t1 = time.perf_counter()
     n_aligned = 0
-    B = 2048
-    for off in range(0, len(reads), B):
-        recs = aligner.align_batch(names[off: off + B], reads[off: off + B])
-        n_aligned += sum(1 for r in recs if not (r.flag & 0x100))
+    # pipelined batches: device chains batch N+1 while host extends batch N
+    for r in aligner.align_seqset(seqset, batch_size=512):
+        n_aligned += 0 if (r.flag & 0x100) else 1
     dt = time.perf_counter() - t1
     rps = len(reads) / dt
 

@@ -136,33 +136,29 @@ class BatchAligner:
         return rows
 
     # ------------------------------------------------------------- chaining
-    def _chain_rows(self, rows: List[_Row]):
-        """Run the chain DP for all rows; returns list of (f, parent)."""
-        from ..ops.chain_jax import chain_anchors_batch_async
-        out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(rows)
+    def _chain_rows_async(self, rows: List[_Row]):
+        """Dispatch the chain DP for all rows; returns the pending list
+        (device arrays not yet materialized)."""
         if self.backend == "host":
-            from .chain import chain_anchors
-            for i, r in enumerate(rows):
-                out[i] = chain_anchors(r.qpos, r.gpos, self.p.chain)
-            return out
+            return None
+        from ..ops.chain_jax import chain_anchors_batch_async
         # bucket rows by padded anchor count
         buckets: Dict[int, List[int]] = {}
         for i, r in enumerate(rows):
             A = next(b for b in A_BUCKETS if len(r.qpos) <= b)
             buckets.setdefault(A, []).append(i)
         # fixed row-chunk size per A bucket => exactly one compiled shape
-        # per bucket for the whole run; all chunks are dispatched before any
-        # result is materialized so device work overlaps host prep (jax
-        # dispatch is async)
+        # per bucket for the whole run; dispatch is async so device work
+        # overlaps host work
         CHUNK = {64: 2048, 256: 1024, 1024: 128}
         pending = []
         for A, members in buckets.items():
             C = CHUNK[A]
             for off in range(0, len(members), C):
                 part = members[off: off + C]
-                B = C if len(members) > C or len(part) > C // 4 else \
-                    max(16, 1 << (len(part) - 1).bit_length())
-                B = max(B, len(part))
+                # ALWAYS the fixed chunk shape: variable shapes trigger
+                # fresh device compiles (slow/flaky over the remote relay)
+                B = C
                 qp = np.zeros((B, A), np.int32)
                 gp = np.zeros((B, A), np.int32)
                 nn = np.zeros(B, np.int32)
@@ -175,6 +171,15 @@ class BatchAligner:
                 pending.append((part, nn,
                                 chain_anchors_batch_async(qp, gp, nn,
                                                           self.p.chain)))
+        return pending
+
+    def _materialize_chains(self, rows: List[_Row], pending):
+        out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(rows)
+        if pending is None:  # host backend
+            from .chain import chain_anchors
+            for i, r in enumerate(rows):
+                out[i] = chain_anchors(r.qpos, r.gpos, self.p.chain)
+            return out
         for part, nn, (fdev, pdev) in pending:
             f = np.asarray(fdev)
             parent = np.asarray(pdev)
@@ -184,14 +189,21 @@ class BatchAligner:
                           parent[bi, :n].astype(np.int64))
         return out
 
+    def _chain_rows(self, rows: List[_Row]):
+        """Run the chain DP for all rows; returns list of (f, parent)."""
+        return self._materialize_chains(rows, self._chain_rows_async(rows))
+
     # ------------------------------------------------------------ top level
     def align_batch(self, names: Sequence[str], reads: List[np.ndarray]
                     ) -> List[AlnRec]:
+        rows = self._batch_anchors(reads)
+        chained = self._chain_rows(rows)
+        return self._build_records(names, reads, rows, chained)
+
+    def _build_records(self, names, reads, rows, chained) -> List[AlnRec]:
         from ..io.fasta import decode_seq, revcomp
         from ..io.sam import FREVERSE, FSECONDARY, OP_N
         p = self.p
-        rows = self._batch_anchors(reads)
-        chained = self._chain_rows(rows)
         # collect candidate chains per read
         per_read: Dict[int, List[Tuple[float, int, np.ndarray, np.ndarray]]] = {}
         for r, ch in zip(rows, chained):
@@ -245,10 +257,30 @@ class BatchAligner:
             recs.extend(rr)
         return recs
 
+    def dispatch_batch(self, names: Sequence[str], reads: List[np.ndarray]):
+        """Phase 1: seeding + async chain dispatch; returns a handle."""
+        rows = self._batch_anchors(reads)
+        pending = self._chain_rows_async(rows)
+        return (names, reads, rows, pending)
+
+    def finish_batch(self, handle) -> List[AlnRec]:
+        """Phase 2: materialize chains, backtrack, extend, build records."""
+        names, reads, rows, pending = handle
+        chained = self._materialize_chains(rows, pending)
+        return self._build_records(names, reads, rows, chained)
+
     def align_seqset(self, reads: SeqSet, batch_size: int = 1024
                      ) -> Iterator[AlnRec]:
+        """Pipelined batches: while the device chains batch N+1, the host
+        extends batch N."""
+        handle = None
         for off in range(0, reads.n, batch_size):
             hi = min(off + batch_size, reads.n)
             names = [reads.names[i] for i in range(off, hi)]
             codes = [reads.get(i) for i in range(off, hi)]
-            yield from self.align_batch(names, codes)
+            nxt = self.dispatch_batch(names, codes)
+            if handle is not None:
+                yield from self.finish_batch(handle)
+            handle = nxt
+        if handle is not None:
+            yield from self.finish_batch(handle)
