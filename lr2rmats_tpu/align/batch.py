@@ -24,8 +24,8 @@ import numpy as np
 from ..index.minimizer import MinimizerIndex, extract_minimizers
 from ..io.fasta import Genome, SeqSet
 from ..io.sam import AlnRec
-from ..utils import Timer, log
 from .aligner import AlignParams, SpliceAligner
+from ..utils import log
 from .chain import backtrack
 
 A_BUCKETS = (64, 256, 1024)

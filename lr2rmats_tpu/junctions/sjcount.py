@@ -343,6 +343,8 @@ class JunctionCounter:
                 cand_pos.append(diag)
         if not cand_read:
             return
+        if len(self.jtid) == 0:
+            return  # no candidate junctions to count against
         cr = np.concatenate(cand_read).astype(np.int64)
         cp = np.concatenate(cand_pos).astype(np.int64)
         # dedupe (read+orient, diag)

@@ -16,19 +16,18 @@ Snakemake's output-existence semantics — reference SURVEY §5 checkpoint):
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Dict, List, Optional
 
 from ..io.fasta import Genome, read_fasta
-from ..io.gtf import ChrNames, read_anno_trans, write_read_trans
+from ..io.gtf import ChrNames, read_anno_trans
 from ..io.sam import SamWriter, open_alignments
 from ..io.sj import write_sj_star
-from ..align.aligner import AlignParams, SpliceAligner
+from ..align.aligner import AlignParams
 from ..align.batch import BatchAligner
-from ..junctions.sjcount import SJCountParams, count_junction_support
+from ..junctions.sjcount import count_junction_support
 from ..report.sortgtf import sort_gtf_file
 from ..transcript.filter import FilterParams
-from ..transcript.model import Transcripts, UpdateGtfParams
+from ..transcript.model import UpdateGtfParams
 from ..utils import Timer, log
 from .commands import cmd_filter, cmd_unique_gtf, cmd_update_gtf
 from .config import PipelineConfig
