@@ -81,12 +81,18 @@ def main():
     offs = np.zeros(len(reads) + 1, np.int64)
     np.cumsum([len(r) for r in reads], out=offs[1:])
     seqset = SeqSet(names, np.concatenate(reads), offs)
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
     t1 = time.perf_counter()
     n_aligned = 0
     # pipelined batches: device chains batch N+1 while host extends batch N
     for r in aligner.align_seqset(seqset, batch_size=512):
         n_aligned += 0 if (r.flag & 0x100) else 1
     dt = time.perf_counter() - t1
+    if profile_dir:
+        jax.profiler.stop_trace()
     rps = len(reads) / dt
 
     baseline = None

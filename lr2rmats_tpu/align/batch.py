@@ -53,8 +53,9 @@ class BatchAligner:
         self.index = self.inner.index
         self.refs = self.inner.refs
         self.backend = backend
-        # GIL-bound small-op workload: threads hurt; keep serial unless asked
-        self.n_threads = n_threads if n_threads is not None else 1
+        # extension is dominated by GIL-releasing native calls, so a small
+        # thread pool pays off
+        self.n_threads = n_threads if n_threads is not None else min(4, os.cpu_count() or 1)
         self._pool = None
 
     # -------------------------------------------------------------- seeding
