@@ -711,3 +711,60 @@ void hamming_pairs_c(const uint8_t* buf, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Splice-site classification of one bam transcript vs one annotation
+// transcript (transcript/classify.py::check_splice_site, itself a faithful
+// port of reference update_gtf.c:717-779).  Returns 0 (no known site),
+// 1 (known: all bam sites identical), 2 (has known site); clears
+// novel_site/exon/junction flags in place.
+int check_splice_site_c(const int32_t* bs, const int32_t* be, int bn,
+                        const int32_t* as_, const int32_t* ae, int an,
+                        int64_t bstart, int64_t bend,
+                        int64_t astart, int64_t aend, int dis,
+                        uint8_t* novel_site_flag,
+                        uint8_t* novel_exon_flag,
+                        uint8_t* novel_junction_flag) {
+    int64_t ovs = std::max(bstart, astart);
+    int64_t ove = std::min(bend, aend);
+    int bam_ovlp = 0, identical = 0;
+    for (int i = 0; i < bn - 1; ++i) {
+        if (be[i] >= ovs && be[i] <= ove) ++bam_ovlp;
+        if (bs[i + 1] >= ovs && bs[i + 1] <= ove) ++bam_ovlp;
+    }
+    for (int i = 0; i < an - 1; ++i) {
+        if (ae[i] >= ovs && ae[i] <= ove) {
+            for (int j = 0; j < bn - 1; ++j) {
+                if (std::abs((int64_t)ae[i] - be[j]) <= dis) {
+                    ++identical;
+                    novel_site_flag[2 * j] = 0;
+                }
+            }
+        }
+        if (as_[i + 1] >= ovs && as_[i + 1] <= ove) {
+            for (int j = 0; j < bn - 1; ++j) {
+                if (std::abs((int64_t)as_[i + 1] - bs[j + 1]) <= dis) {
+                    ++identical;
+                    novel_site_flag[2 * j + 1] = 0;
+                }
+            }
+        }
+    }
+    for (int i = 0; i < an; ++i)
+        for (int j = 0; j < bn; ++j)
+            if (std::abs((int64_t)as_[i] - bs[j]) <= dis &&
+                std::abs((int64_t)ae[i] - be[j]) <= dis)
+                novel_exon_flag[j] = 0;
+    for (int i = 0; i < an - 1; ++i)
+        for (int j = 0; j < bn - 1; ++j)
+            if (std::abs((int64_t)ae[i] - be[j]) <= dis &&
+                std::abs((int64_t)as_[i + 1] - bs[j + 1]) <= dis)
+                novel_junction_flag[j] = 0;
+    int bam_all = (bn - 1) * 2;
+    if (bam_all == bam_ovlp && bam_ovlp == identical) return 1;
+    if (identical > 0) return 2;
+    return 0;
+}
+
+}  // extern "C"

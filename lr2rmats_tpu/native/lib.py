@@ -110,6 +110,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u8p, ctypes.c_int64, c_u8p, c_i64p, c_i32p, c_i64p,
             ctypes.c_int64, c_i32p]
 
+        lib.check_splice_site_c.restype = ctypes.c_int
+        lib.check_splice_site_c.argtypes = [
+            c_i32p, c_i32p, ctypes.c_int, c_i32p, c_i32p, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+
         lib.hamming_many_c.restype = None
         lib.hamming_many_c.argtypes = [
             c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int, c_i64p,

@@ -167,7 +167,31 @@ def check_splice_site(bam_T: Transcripts, bi: int, anno_T: Transcripts, ai: int,
 
     Returns 0 (no known site), 1 (known), 2 (has known site); clears
     novel_site/exon/junction flags on matches (reference update_gtf.c:717-779).
+    Dispatches to the native kernel when available (bit-equal; tested).
     """
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        bn = int(bam_T.exon_n[bi])
+        an = int(anno_T.exon_n[ai])
+        ret = lib.check_splice_site_c(
+            bam_T.exon_start[bi, :bn], bam_T.exon_end[bi, :bn], bn,
+            anno_T.exon_start[ai, :an], anno_T.exon_end[ai, :an], an,
+            int(bam_T.start[bi]), int(bam_T.end[bi]),
+            int(anno_T.start[ai]), int(anno_T.end[ai]), dis,
+            bam_T.novel_site_flag[bi], bam_T.novel_exon_flag[bi],
+            bam_T.novel_junction_flag[bi])
+        if ret == 1:
+            bam_T.flags["known"][bi] = True
+        elif ret == 2:
+            bam_T.flags["has_known_site"][bi] = True
+        return ret
+    return check_splice_site_np(bam_T, bi, anno_T, ai, dis)
+
+
+def check_splice_site_np(bam_T: Transcripts, bi: int, anno_T: Transcripts,
+                         ai: int, dis: int) -> int:
+    """Numpy reference implementation (see check_splice_site)."""
     bs, be = bam_T.exons(bi)
     as_, ae = anno_T.exons(ai)
     bn, an = len(bs), len(as_)

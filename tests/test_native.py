@@ -167,3 +167,47 @@ def test_lookup_range_match():
     nl._lib, nl._tried = saved
     np.testing.assert_array_equal(lo1, lo2)
     np.testing.assert_array_equal(hi1, hi2)
+
+
+def test_check_splice_site_match():
+    from lr2rmats_tpu.transcript import classify as cl
+    from lr2rmats_tpu.transcript.model import Transcripts
+    import lr2rmats_tpu.native.lib as nl
+    rng = np.random.default_rng(31)
+    for trial in range(40):
+        def mk_t(n_ex, base):
+            T = Transcripts()
+            starts, ends = [], []
+            pos = base
+            for _ in range(n_ex):
+                pos += int(rng.integers(50, 400))
+                starts.append(pos)
+                pos += int(rng.integers(80, 300))
+                ends.append(pos)
+            T.append(0, False, starts, ends, init_novel=True)
+            return T
+        bam = mk_t(int(rng.integers(2, 6)), 1000)
+        anno = mk_t(int(rng.integers(2, 6)), 1000 + int(rng.integers(-300, 300)))
+        # occasionally copy some boundaries so matches occur
+        bn = int(bam.exon_n[0]); an = int(anno.exon_n[0])
+        for _ in range(int(rng.integers(0, 3))):
+            j = int(rng.integers(0, min(bn, an)))
+            anno.exon_start[0, j] = bam.exon_start[0, j]
+            anno.exon_end[0, j] = bam.exon_end[0, j]
+        anno.start[0] = anno.exon_start[0, 0]
+        anno.end[0] = anno.exon_end[0, an - 1]
+        import copy
+        bam2 = Transcripts(); bam2.append_from(bam, 0)
+        dis = int(rng.integers(0, 3))
+        r1 = cl.check_splice_site(bam, 0, anno, 0, dis)
+        saved = (nl._lib, nl._tried)
+        nl._lib, nl._tried = None, True
+        r2 = cl.check_splice_site(bam2, 0, anno, 0, dis)
+        nl._lib, nl._tried = saved
+        assert r1 == r2, trial
+        np.testing.assert_array_equal(bam.novel_site_flag[0], bam2.novel_site_flag[0])
+        np.testing.assert_array_equal(bam.novel_exon_flag[0], bam2.novel_exon_flag[0])
+        np.testing.assert_array_equal(bam.novel_junction_flag[0], bam2.novel_junction_flag[0])
+        assert bool(bam.flags["known"][0]) == bool(bam2.flags["known"][0])
+        assert (bool(bam.flags["has_known_site"][0]) ==
+                bool(bam2.flags["has_known_site"][0]))
