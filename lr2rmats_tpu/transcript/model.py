@@ -189,22 +189,16 @@ class Transcripts:
         if en > self._ecap:
             self._grow_exons(en)
         i = self.n
+        # rows at index >= n are untouched-zero (fresh or grown with zero
+        # padding; append indices are never reused), so no re-zeroing needed
         self.exon_start[i, :en] = exon_start
-        self.exon_start[i, en:] = 0
         self.exon_end[i, :en] = exon_end
-        self.exon_end[i, en:] = 0
         self.exon_n[i] = en
         self.tid[i] = tid
         self.is_rev[i] = 1 if is_rev else 0
         self.start[i] = exon_start[0]
         self.end[i] = exon_end[en - 1]
         self.cov[i] = cov
-        for k in FLAG_NAMES:
-            self.flags[k][i] = False
-        self.novel_exon_flag[i] = 0
-        self.novel_site_flag[i] = 0
-        self.novel_junction_flag[i] = 0
-        self.unreliable_junction_flag[i] = 0
         if init_novel:
             self.flags["lnoth"][i] = True
             self.flags["rnoth"][i] = True
