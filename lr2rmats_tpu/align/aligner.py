@@ -132,8 +132,138 @@ class SpliceAligner:
         from ..native import get_lib
         lib = get_lib()
         if lib is not None:
-            return self._extend_native(lib, codes, q, g)
-        return self._extend_py(codes, q, g)
+            res = self._extend_native(lib, codes, q, g)
+        else:
+            res = self._extend_py(codes, q, g)
+        return self._rescue_terminal_exons(codes, res)
+
+    def _rescue_terminal_exons(self, codes: np.ndarray, res):
+        """Place large soft-clips as spliced terminal exons.
+
+        A read whose first/last exon had no anchors ends up soft-clipped;
+        minimap2 recovers such exons during DP.  Here: seed the clipped
+        sequence against the index within max_intron of the alignment edge,
+        and if a colinear block is found, join it with the indel-aware
+        junction DP (motif-scored), extending the CIGAR with exon + N.
+        """
+        p = self.p
+        pos, ops, ed, nmatch, vote = res
+        if not ops:
+            return res
+        MIN_RESCUE = p.k + p.w + 4  # need at least one minimizer
+        ref = self.genome.codes
+
+        def _seed_clip(clip_codes, lo_g, hi_g):
+            """Best colinear block of the clip within ref window [lo_g, hi_g);
+            returns (qpos, gpos) arrays or None.  The clip is already in
+            aligned-read orientation, so only forward-strand matches
+            (index strand == query minimizer strand) count."""
+            h, qp, qs = extract_minimizers(clip_codes, p.k, p.w)
+            if not len(h):
+                return None
+            lo, hi = self.index.lookup(h)
+            cand_q, cand_g = [], []
+            for t in range(len(h)):
+                if hi[t] - lo[t] > 16:
+                    continue  # repetitive seed
+                for i in range(int(lo[t]), int(hi[t])):
+                    if int(self.index.strand[i]) != int(qs[t]):
+                        continue
+                    gp = int(self.index.pos[i])
+                    if lo_g <= gp < hi_g:
+                        cand_q.append(int(qp[t]))
+                        cand_g.append(gp)
+            if not cand_q:
+                return None
+            cq = np.asarray(cand_q, np.int64)
+            cg = np.asarray(cand_g, np.int64)
+            order = np.lexsort((cq, cg))
+            cq, cg = cq[order], cg[order]
+            # keep the most-supported diagonal
+            diag = cg - cq
+            vals, counts = np.unique(diag, return_counts=True)
+            best_d = vals[int(np.argmax(counts))]
+            m = diag == best_d
+            if int(counts.max()) < 1:
+                return None
+            return cq[m], cg[m]
+
+        # ---- leading clip
+        if ops[0][0] == OP_S and ops[0][1] >= MIN_RESCUE:
+            c = ops[0][1]
+            clip = codes[:c]
+            hit = _seed_clip(clip, max(0, pos - p.chain.max_intron), pos)
+            if hit is not None:
+                cq, cg = hit
+                exon_g0 = int(cg[0] - cq[0])          # diagonal placement
+                exon_len0 = int(cq[-1]) + p.k          # covered clip prefix
+                gap_q = c - exon_len0                  # unaligned clip middle
+                left_end_g = exon_g0 + exon_len0
+                if 0 <= gap_q and pos - left_end_g - gap_q >= p.min_intron_len \
+                        and exon_g0 >= 0:
+                    r2 = refine_splice_indel(
+                        codes[exon_len0: c], ref, left_end_g, pos,
+                        min_intron=p.min_intron_len)
+                    if r2 is not None and r2[4] > 0:
+                        lops, intron, rops, v, _ = r2
+                        mism = int(np.sum(codes[:exon_len0] !=
+                                          ref[exon_g0: exon_g0 + exon_len0]))
+                        if mism > 0.25 * exon_len0:
+                            return pos, ops, ed, nmatch, vote
+                        new_ops = [(OP_M, exon_len0)]
+                        new_ops += lops + [(OP_N, intron)] + rops
+                        # merge with the remaining ops (drop the S)
+                        rest = ops[1:]
+                        merged = list(new_ops)
+                        for op, l in rest:
+                            if merged and merged[-1][0] == op:
+                                merged[-1] = (op, merged[-1][1] + l)
+                            else:
+                                merged.append((op, l))
+                        ops = merged
+                        pos = exon_g0
+                        ed += mism + sum(l for op, l in lops + rops
+                                         if op in (OP_I, OP_D))
+                        nmatch += exon_len0 - mism + 0
+                        vote += v
+        # ---- trailing clip
+        if ops and ops[-1][0] == OP_S and ops[-1][1] >= MIN_RESCUE:
+            c = ops[-1][1]
+            L = len(codes)
+            qstart = L - c
+            ref_end = pos + sum(l for op, l in ops
+                                if op in (OP_M, OP_D, OP_N))
+            hit = _seed_clip(codes[qstart:], ref_end,
+                             min(len(ref), ref_end + p.chain.max_intron))
+            if hit is not None:
+                cq, cg = hit
+                exon_gs = int(cg[0] - cq[0])           # diagonal
+                exon_q0 = int(cq[0])                   # first covered clip base
+                exon_len0 = c - exon_q0                # exon part to read end
+                if (exon_gs + exon_q0) - ref_end >= p.min_intron_len and \
+                        exon_gs + c <= len(ref):
+                    r2 = refine_splice_indel(
+                        codes[qstart: qstart + exon_q0], ref, ref_end,
+                        exon_gs + exon_q0, min_intron=p.min_intron_len)
+                    if r2 is not None and r2[4] > 0:
+                        lops, intron, rops, v, _ = r2
+                        gs = exon_gs + exon_q0
+                        mism = int(np.sum(codes[qstart + exon_q0:] !=
+                                          ref[gs: gs + exon_len0]))
+                        if mism > 0.25 * exon_len0:
+                            return pos, ops, ed, nmatch, vote
+                        ops = ops[:-1]
+                        for op, l in lops + [(OP_N, intron)] + rops + \
+                                [(OP_M, exon_len0)]:
+                            if ops and ops[-1][0] == op:
+                                ops[-1] = (op, ops[-1][1] + l)
+                            else:
+                                ops.append((op, l))
+                        ed += mism + sum(l for op, l in lops + rops
+                                         if op in (OP_I, OP_D))
+                        nmatch += exon_len0 - mism
+                        vote += v
+        return pos, ops, ed, nmatch, vote
 
     def _extend_native(self, lib, codes: np.ndarray, q: np.ndarray,
                        g: np.ndarray):

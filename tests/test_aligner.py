@@ -174,3 +174,51 @@ def test_toy_read_full_pipeline(ref_data):
     annotated = {1139348, 1139435, 1139616, 1139779, 1139866, 1141765,
                  1139414, 1139224, 1140750, 1140872, 1141951}
     assert all(x in annotated for x in sites), sites
+
+
+class TestTerminalExonRescue:
+    def test_small_leading_exon_recovered(self):
+        g = random_genome(200_000, seed=55)
+        # 40bp first exon (too short for chain anchors to always win),
+        # then two normal exons
+        exons = [(50_000, 50_040), (60_000, 60_400), (66_000, 66_350)]
+        plant_motifs(g, exons)
+        al = SpliceAligner(g)
+        read = splice_read(g, exons, "+")
+        recs = al.align_read("r", read)
+        assert recs
+        s, e, _ = gen_exons(recs[0], 3, 3, 50)
+        got = list(zip((s - 1).tolist(), e.tolist()))
+        assert got == [(a, b) for a, b in exons], got
+
+    def test_small_trailing_exon_recovered(self):
+        g = random_genome(200_000, seed=56)
+        exons = [(50_000, 50_400), (60_000, 60_300), (66_000, 66_040)]
+        plant_motifs(g, exons)
+        al = SpliceAligner(g)
+        read = splice_read(g, exons, "+")
+        recs = al.align_read("r", read)
+        assert recs
+        s, e, _ = gen_exons(recs[0], 3, 3, 50)
+        got = list(zip((s - 1).tolist(), e.tolist()))
+        assert got == [(a, b) for a, b in exons], got
+
+    def test_junk_clip_not_rescued(self):
+        rng = np.random.default_rng(57)
+        g = random_genome(200_000, seed=58)
+        exons = [(60_000, 60_400), (66_000, 66_350)]
+        plant_motifs(g, exons)
+        al = SpliceAligner(g)
+        body = splice_read(g, exons, "+")
+        junk = rng.integers(0, 4, 60).astype(np.uint8)
+        read = np.concatenate([junk, body])
+        recs = al.align_read("r", read)
+        assert recs
+        s, e, _ = gen_exons(recs[0], 3, 3, 50)
+        # junk must not become an extra exon; splice sites unchanged
+        # (the terminal START may absorb 1-2 coincidentally matching junk
+        # bases via drop-off extension — same as minimap2)
+        assert len(s) == 2
+        assert int(e[0]) == exons[0][1]       # donor
+        assert int(s[1]) == exons[1][0] + 1   # acceptor
+        assert int(e[1]) == exons[1][1]
