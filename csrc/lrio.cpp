@@ -476,6 +476,7 @@ extern "C" {
 
 int extend_chain_c(const uint8_t* codes, int64_t L,
                    const uint8_t* ref, int64_t ref_len,
+                   int64_t chrom_lo, int64_t chrom_hi,
                    const int64_t* cq, const int64_t* cg, int n_anchor,
                    int k, int min_intron_gap, int min_intron_len,
                    int band_pad, int ext_match, int ext_mismatch,
@@ -556,7 +557,7 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
 
     // ---- left end extension (drop-off, no indels)
     int64_t q0 = blocks[0].q0, g0 = blocks[0].g0;
-    int64_t ext = std::min(q0, g0);
+    int64_t ext = std::min(q0, g0 - chrom_lo);
     int64_t take = 0;
     if (ext > 0) {
         double sc = 0.0, best = 0.0;
@@ -641,7 +642,7 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
     const Blk& lb = blocks.back();
     int64_t qend = lb.q0 + lb.len, gend = lb.g0 + lb.len;
     int64_t rem = L - qend;
-    ext = std::min(rem, ref_len - gend);
+    ext = std::min(rem, chrom_hi - gend);
     take = 0;
     if (ext > 0) {
         double sc = 0.0, best = 0.0;

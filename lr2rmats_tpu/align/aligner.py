@@ -189,10 +189,12 @@ class SpliceAligner:
             return cq[m], cg[m]
 
         # ---- leading clip
+        chrom_lo, chrom_hi = self._chrom_bounds(pos)
         if ops[0][0] == OP_S and ops[0][1] >= MIN_RESCUE:
             c = ops[0][1]
             clip = codes[:c]
-            hit = _seed_clip(clip, max(0, pos - p.chain.max_intron), pos)
+            hit = _seed_clip(clip, max(chrom_lo, pos - p.chain.max_intron),
+                             pos)
             if hit is not None:
                 cq, cg = hit
                 exon_g0 = int(cg[0] - cq[0])          # diagonal placement
@@ -200,7 +202,7 @@ class SpliceAligner:
                 gap_q = c - exon_len0                  # unaligned clip middle
                 left_end_g = exon_g0 + exon_len0
                 if 0 <= gap_q and pos - left_end_g - gap_q >= p.min_intron_len \
-                        and exon_g0 >= 0:
+                        and exon_g0 >= chrom_lo:
                     r2 = refine_splice_indel(
                         codes[exon_len0: c], ref, left_end_g, pos,
                         min_intron=p.min_intron_len)
@@ -234,14 +236,14 @@ class SpliceAligner:
             ref_end = pos + sum(l for op, l in ops
                                 if op in (OP_M, OP_D, OP_N))
             hit = _seed_clip(codes[qstart:], ref_end,
-                             min(len(ref), ref_end + p.chain.max_intron))
+                             min(chrom_hi, ref_end + p.chain.max_intron))
             if hit is not None:
                 cq, cg = hit
                 exon_gs = int(cg[0] - cq[0])           # diagonal
                 exon_q0 = int(cq[0])                   # first covered clip base
                 exon_len0 = c - exon_q0                # exon part to read end
                 if (exon_gs + exon_q0) - ref_end >= p.min_intron_len and \
-                        exon_gs + c <= len(ref):
+                        exon_gs + c <= chrom_hi:
                     r2 = refine_splice_indel(
                         codes[qstart: qstart + exon_q0], ref, ref_end,
                         exon_gs + exon_q0, min_intron=p.min_intron_len)
@@ -265,11 +267,18 @@ class SpliceAligner:
                         vote += v
         return pos, ops, ed, nmatch, vote
 
+    def _chrom_bounds(self, gpos0: int):
+        t = int(np.searchsorted(self.index.chrom_offsets, gpos0,
+                                side="right") - 1)
+        return (int(self.index.chrom_offsets[t]),
+                int(self.index.chrom_offsets[t + 1]))
+
     def _extend_native(self, lib, codes: np.ndarray, q: np.ndarray,
                        g: np.ndarray):
         import ctypes
         p = self.p
         L = len(codes)
+        chrom_lo, chrom_hi = self._chrom_bounds(int(g[0]))
         cap = 2 * (L + 64)
         ops_buf = np.zeros(2 * cap, np.int32)
         n_ops = ctypes.c_int32(cap)
@@ -280,6 +289,7 @@ class SpliceAligner:
         rc = lib.extend_chain_c(
             np.ascontiguousarray(codes, np.uint8), L,
             self.genome.codes, len(self.genome.codes),
+            chrom_lo, chrom_hi,
             np.ascontiguousarray(q, np.int64),
             np.ascontiguousarray(g, np.int64), len(q),
             p.k, p.min_intron_gap, p.min_intron_len, p.band_pad,
@@ -295,6 +305,7 @@ class SpliceAligner:
 
     def _extend_py(self, codes: np.ndarray, q: np.ndarray, g: np.ndarray):
         p = self.p
+        chrom_lo, chrom_hi = self._chrom_bounds(int(g[0]))
         ref = self.genome.codes
         L = len(codes)
         blocks = [list(b) for b in self._merge_chain_blocks(q, g)]
@@ -354,9 +365,10 @@ class SpliceAligner:
                     g_used += l
             return g_used
 
-        # ---- left end extension (no-indel drop-off)
+        # ---- left end extension (no-indel drop-off; never crosses the
+        # chromosome boundary in the concatenated buffer)
         q0, g0, _ = blocks[0]
-        ext = min(q0, g0)
+        ext = min(q0, g0 - chrom_lo)
         if ext > 0:
             a = codes[q0 - ext: q0]
             b = ref[g0 - ext: g0]
@@ -431,7 +443,7 @@ class SpliceAligner:
         lq, lg, ll = blocks[-1]
         qend, gend = lq + ll, lg + ll
         rem = L - qend
-        ext = min(rem, len(ref) - gend)
+        ext = min(rem, chrom_hi - gend)
         if ext > 0:
             a = codes[qend: qend + ext]
             b = ref[gend: gend + ext]
@@ -457,12 +469,21 @@ class SpliceAligner:
             if anchors[s] is None:
                 continue
             q, g = anchors[s]
-            f, parent = chain_anchors(q, g, p.chain)
-            pri, ps, sec, ss = backtrack(f, parent, p.min_score)
-            if len(pri):
-                cands.append((ps, s, q[pri], g[pri]))
-            if len(sec):
-                cands.append((ss, s, q[sec], g[sec]))
+            # chains must not cross chromosome boundaries in the
+            # concatenated buffer: chain per chrom group
+            atid = np.searchsorted(self.index.chrom_offsets, g,
+                                   side="right") - 1
+            for t in np.unique(atid):
+                m = atid == t
+                qt, gt = q[m], g[m]
+                if len(qt) < 2:
+                    continue
+                f, parent = chain_anchors(qt, gt, p.chain)
+                pri, ps, sec, ss = backtrack(f, parent, p.min_score)
+                if len(pri):
+                    cands.append((ps, s, qt[pri], gt[pri]))
+                if len(sec):
+                    cands.append((ss, s, qt[sec], gt[sec]))
         if not cands:
             return []
         cands.sort(key=lambda c: -c[0])

@@ -102,12 +102,16 @@ class BatchAligner:
         order = np.lexsort((qfinal, gp, strand, ridx))
         ridx, strand, qfinal, gp = (ridx[order], strand[order],
                                     qfinal[order], gp[order])
-        # boundaries where (read, strand) changes or gpos jumps > max_intron
+        # boundaries where (read, strand) changes, gpos jumps > max_intron,
+        # or the anchors cross a chromosome boundary (the genome buffer is
+        # concatenated; a chain must never span two chromosomes)
+        atid = np.searchsorted(idx.chrom_offsets, gp, side="right") - 1
         newgrp = np.ones(len(ridx), bool)
         if len(ridx) > 1:
             newgrp[1:] = ((ridx[1:] != ridx[:-1]) |
                           (strand[1:] != strand[:-1]) |
-                          (gp[1:] - gp[:-1] > p.chain.max_intron))
+                          (gp[1:] - gp[:-1] > p.chain.max_intron) |
+                          (atid[1:] != atid[:-1]))
         gids = np.cumsum(newgrp) - 1
         n_g = int(gids[-1]) + 1 if len(gids) else 0
         counts = np.bincount(gids, minlength=n_g)

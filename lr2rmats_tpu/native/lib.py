@@ -92,6 +92,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.extend_chain_c.restype = ctypes.c_int
         lib.extend_chain_c.argtypes = [
             c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
             c_i64p, c_i64p, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -222,3 +222,60 @@ class TestTerminalExonRescue:
         assert int(e[0]) == exons[0][1]       # donor
         assert int(s[1]) == exons[1][0] + 1   # acceptor
         assert int(e[1]) == exons[1][1]
+
+
+class TestMultiChrom:
+    """The genome buffer is concatenated; alignments must never cross
+    chromosome boundaries."""
+
+    def setup_method(self):
+        rng = np.random.default_rng(71)
+        c1 = rng.integers(0, 4, 60_000).astype(np.uint8)
+        c2 = rng.integers(0, 4, 60_000).astype(np.uint8)
+        codes = np.concatenate([c1, c2])
+        self.g = Genome(["chrA", "chrB"], codes,
+                        np.array([0, 60_000, 120_000], np.int64))
+        # exons near the end of chrA and near the start of chrB
+        self.exA = [(58_000, 58_400), (59_200, 59_600)]
+        self.exB = [(60_200, 60_600), (61_500, 61_900)]  # global coords
+        plant_motifs(self.g, self.exA)
+        plant_motifs(self.g, self.exB)
+        self.al = SpliceAligner(self.g)
+
+    def test_reads_map_to_correct_chrom(self):
+        from lr2rmats_tpu.align.batch import BatchAligner
+        ba = BatchAligner(self.g, index=self.al.index)
+        rA = splice_read(self.g, self.exA, "+")
+        rB = splice_read(self.g, self.exB, "+")
+        recs = {r.qname: r for r in ba.align_batch(["a", "b"], [rA, rB])
+                if not (r.flag & 0x100)}
+        assert recs["a"].tid == 0
+        assert recs["b"].tid == 1
+        sa, ea, _ = gen_exons(recs["a"], 3, 3, 50)
+        assert list(sa) == [58_001, 59_201]          # chrA-local 1-based
+        sb, eb, _ = gen_exons(recs["b"], 3, 3, 50)
+        assert list(sb) == [201, 1_501]              # chrB-local 1-based
+
+    def test_no_cross_chrom_splice(self):
+        """A chimeric A+B read must not produce one spliced alignment whose
+        intron spans the chromosome boundary."""
+        half1 = self.g.codes[59_000: 59_600]
+        half2 = self.g.codes[60_200: 60_800]
+        read = np.concatenate([half1, half2])
+        recs = self.al.align_read("chimera", read)
+        for r in recs:
+            s, e, _ = gen_exons(r, 3, 3, 50)
+            chrom_len = 60_000
+            assert e[-1] <= chrom_len, (r.tid, list(s), list(e))
+
+    def test_extension_stops_at_boundary(self):
+        # read = last 500bp of chrA + first 40bp of chrB (joined junk-ish):
+        # the alignment of the chrA part must clamp at the boundary
+        read = np.concatenate([self.g.codes[59_500: 60_000],
+                               self.g.codes[60_000: 60_040]])
+        recs = self.al.align_read("edge", read)
+        assert recs
+        r = recs[0]
+        s, e, _ = gen_exons(r, 3, 3, 50)
+        assert r.tid == 0
+        assert e[-1] <= 60_000
