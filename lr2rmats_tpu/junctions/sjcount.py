@@ -194,11 +194,16 @@ class JunctionCounter:
         n = len(self.buf)
         # segment-respecting candidates
         valid_pos = []
+        goffs = self.genome.offsets
         for pos in cand:
             if pos < 0 or pos + L > n:
                 continue
             if pos < self.gn:
                 if pos + L > self.gn:
+                    continue
+                # genomic placements must stay within one chromosome
+                t0 = np.searchsorted(goffs, pos, side="right") - 1
+                if pos + L > goffs[t0 + 1]:
                     continue
             else:
                 c0 = np.searchsorted(self.ctx_offs, pos - self.gn, side="right") - 1
@@ -361,6 +366,11 @@ class JunctionCounter:
         valid = (cp >= 0) & (cp + L <= nbuf)
         in_genome = cp < self.gn
         valid &= ~(in_genome & (cp + L > self.gn))
+        # genomic placements must stay within one chromosome
+        goffs = self.genome.offsets
+        gt0 = np.searchsorted(goffs, np.clip(cp, 0, None), side="right") - 1
+        gt0 = np.clip(gt0, 0, len(goffs) - 2)
+        valid &= ~(in_genome & (cp + L > goffs[gt0 + 1]))
         cpos = cp - self.gn
         c0 = np.searchsorted(self.ctx_offs, np.maximum(cpos, 0),
                              side="right") - 1
