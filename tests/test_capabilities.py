@@ -266,3 +266,52 @@ def test_simulate_script(tmp_path):
     assert r.returncode == 0, r.stderr
     assert (out / "genome.fa").exists()
     assert (out / "anno.gtf").exists()
+
+
+def test_multichrom_pipeline(tmp_path):
+    """Full pipeline over a two-chromosome genome."""
+    import numpy as np
+    from lr2rmats_tpu.io.fasta import Genome, decode_seq
+    from lr2rmats_tpu.pipeline.config import PipelineConfig, SampleReads
+    from lr2rmats_tpu.pipeline.stages import run_pipeline
+    from tests.test_aligner import plant_motifs, splice_read
+
+    rng = np.random.default_rng(91)
+    c1 = rng.integers(0, 4, 80_000).astype(np.uint8)
+    c2 = rng.integers(0, 4, 80_000).astype(np.uint8)
+    g = Genome(["chr1", "chr2"], np.concatenate([c1, c2]),
+               np.array([0, 80_000, 160_000], np.int64))
+    ex1 = [(10_000, 10_300), (14_000, 14_250), (20_000, 20_300)]   # chr1
+    ex2 = [(95_000, 95_300), (99_000, 99_400)]                     # chr2 global
+    plant_motifs(g, ex1)
+    plant_motifs(g, ex2)
+    d = tmp_path
+    with open(d / "genome.fa", "w") as f:
+        for name, lo, hi in (("chr1", 0, 80_000), ("chr2", 80_000, 160_000)):
+            f.write(f">{name}\n")
+            seq = decode_seq(g.codes[lo:hi])
+            for i in range(0, len(seq), 60):
+                f.write(seq[i: i + 60] + "\n")
+    with open(d / "anno.gtf", "w") as f:
+        for gid, chrom, off, exons in (("g1", "chr1", 0, ex1),
+                                       ("g2", "chr2", 80_000, ex2)):
+            at = f'gene_id "{gid}"; transcript_id "{gid}.t";'
+            f.write(f"{chrom}\tt\ttranscript\t{exons[0][0]-off+1}\t{exons[-1][1]-off}\t.\t+\t.\t{at}\n")
+            for a, b in exons:
+                f.write(f"{chrom}\tt\texon\t{a-off+1}\t{b-off}\t.\t+\t.\t{at}\n")
+    with open(d / "long.fa", "w") as f:
+        for i in range(2):
+            f.write(f">r1_{i}\n{decode_seq(splice_read(g, ex1, '+', seed=i))}\n")
+            f.write(f">r2_{i}\n{decode_seq(splice_read(g, ex2, '+', seed=i))}\n")
+    cfg = PipelineConfig(genome_fasta=str(d / "genome.fa"),
+                         gtf=str(d / "anno.gtf"), out_dir=str(d / "out"),
+                         full_level=5)
+    cfg.samples["s1"] = SampleReads(str(d / "long.fa"), None, None)
+    out = run_pipeline(cfg)
+    upd = open(out).read()
+    assert "chr1\t" in upd and "chr2\t" in upd
+    # reads classified per chromosome correctly
+    detail = (d / "out" / "output" / "s1.detail.txt").read_text().splitlines()
+    rows = {r.split("\t")[0]: r.split("\t") for r in detail[1:]}
+    assert rows["r1_0"][1] == "chr1" and rows["r1_0"][3] == "0"
+    assert rows["r2_0"][1] == "chr2" and rows["r2_0"][3] == "0"
