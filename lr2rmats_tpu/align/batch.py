@@ -146,7 +146,14 @@ class BatchAligner:
         (device arrays not yet materialized)."""
         if self.backend == "host":
             return None
-        from ..ops.chain_jax import chain_anchors_batch_async
+        if self.backend == "pallas":
+            from ..ops.chain_pallas import chain_anchors_batch_pallas
+
+            def chain_anchors_batch_async(qp, gp, nn, params):
+                # the Pallas wrapper materializes; wrap as a pseudo-pending
+                return chain_anchors_batch_pallas(qp, gp, nn, params)
+        else:
+            from ..ops.chain_jax import chain_anchors_batch_async
         # bucket rows by padded anchor count
         buckets: Dict[int, List[int]] = {}
         for i, r in enumerate(rows):
