@@ -146,5 +146,34 @@ def main():
     }))
 
 
+def _supervised():
+    """Run the measurement in a child process with a watchdog; the remote
+    TPU relay occasionally hangs a session, so retry in a fresh process and
+    finally fall back to the CPU host path rather than hang the driver."""
+    import subprocess
+    me = os.path.abspath(__file__)
+    for attempt, extra_env in ((1, {}), (2, {}),
+                               (3, {"JAX_PLATFORMS": "cpu", "PYTHONPATH": "",
+                                    "BENCH_NOTE": "cpu-fallback"})):
+        try:
+            r = subprocess.run(
+                [sys.executable, me, "--inner"],
+                capture_output=True, text=True, timeout=420,
+                env={**os.environ, **extra_env})
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if r.returncode == 0 and lines:
+                print(lines[-1])
+                return 0
+        except subprocess.TimeoutExpired:
+            continue
+    print(json.dumps({"metric": "long_reads_aligned_per_sec_per_chip",
+                      "value": 0.0, "unit": "reads/s", "vs_baseline": 0.0,
+                      "detail": {"error": "all attempts timed out"}}))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(_supervised())
