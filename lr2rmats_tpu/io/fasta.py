@@ -57,8 +57,8 @@ def iter_fastx(path: str) -> Iterator[Tuple[str, bytes]]:
         if not first:
             return
         if first == b">":  # FASTA
-            name = fp.readline().split()[0].decode() if True else ""
-            # re-read: we already consumed '>' so readline gives the name line
+            # the '>' is consumed; the rest of the line is the header
+            name = fp.readline().split()[0].decode()
             chunks: List[bytes] = []
             for raw in fp:
                 if raw.startswith(b">"):

@@ -211,3 +211,43 @@ def test_check_splice_site_match():
         assert bool(bam.flags["known"][0]) == bool(bam2.flags["known"][0])
         assert (bool(bam.flags["has_known_site"][0]) ==
                 bool(bam2.flags["has_known_site"][0]))
+
+
+def test_extend_chain_fuzz_edges():
+    """Stress the native extension against the Python reference with chains
+    touching genome edges, overlapping anchors, and dense errors."""
+    from lr2rmats_tpu.align.aligner import SpliceAligner
+    from lr2rmats_tpu.align.chain import backtrack, chain_anchors
+    from lr2rmats_tpu.io.fasta import Genome
+    rng = np.random.default_rng(101)
+    codes = rng.integers(0, 4, 60_000).astype(np.uint8)
+    g = Genome(["c"], codes, np.array([0, 60_000], np.int64))
+    al = SpliceAligner(g)
+    lib = get_lib()
+    n_checked = 0
+    for trial in range(60):
+        n_ex = int(rng.integers(1, 5))
+        pos = int(rng.integers(0, 2000)) if trial % 3 else 0  # near edge
+        parts = []
+        for e in range(n_ex):
+            elen = int(rng.integers(60, 400))
+            parts.append((pos, min(pos + elen, 59_000)))
+            pos = parts[-1][1] + int(rng.integers(40, 3000))
+            if pos >= 58_000:
+                break
+        read = np.concatenate([g.codes[a:b] for a, b in parts]).copy()
+        mut = rng.random(len(read)) < 0.05
+        read[mut] = (read[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        anch = al._anchors(read)
+        if anch[0] is None:
+            continue
+        q, gg = anch[0]
+        f, parent = chain_anchors(q, gg, al.p.chain)
+        pri, _, _, _ = backtrack(f, parent, al.p.min_score)
+        if len(pri) < 1:
+            continue
+        a = al._extend_native(lib, read, q[pri], gg[pri])
+        b = al._extend_py(read, q[pri], gg[pri])
+        assert a == b, (trial, a, b)
+        n_checked += 1
+    assert n_checked > 20
