@@ -281,3 +281,49 @@ class TestUniqTrans:
         assert uniq.n == 2
         assert shared.n == 1
         assert uniq.cov[0] == 2  # merged duplicate bumped cov
+
+
+class TestFullLevels:
+    """set_full/check_full semantics per level (reference update_gtf.c:629-696)."""
+
+    def anno(self):
+        return anno_one_gene()  # '-' strand exons (1000-1100),(1200-1300),(1400-1500)
+
+    def read_flags(self, exons, level):
+        bam = mk(exons, trans_id="r", trans_name="r")
+        run_check(bam, self.anno(), full_level=level)
+        return bam
+
+    def test_level1_requires_exact_terminal_sites(self):
+        # exact first-exon end (1100) and last-exon start (1400)
+        bam = self.read_flags([(1050, 1100), (1200, 1300), (1400, 1450)], 1)
+        assert bam.flags["full"][0]
+        # shifted first splice end -> lfull stays 0 -> not full
+        bam = self.read_flags([(1050, 1099), (1200, 1300), (1400, 1450)], 1)
+        assert not bam.flags["full"][0]
+
+    def test_level2_requires_terminal_exon_overlap(self):
+        bam = self.read_flags([(1080, 1100), (1200, 1300), (1400, 1410)], 2)
+        assert bam.flags["full"][0]
+        # first exon overlaps only the MIDDLE annotated exon -> lfull=0
+        bam = self.read_flags([(1210, 1300), (1400, 1500)], 2)
+        assert not bam.flags["full"][0]
+
+    def test_level4_only_left_side_matters(self):
+        # right end overlapping the middle exon would fail level 3 but
+        # level 4 only checks the 5'/left side
+        bam = self.read_flags([(1000, 1100), (1200, 1250)], 4)
+        assert bam.flags["full"][0]
+
+    def test_level5_always_full(self):
+        bam = self.read_flags([(1210, 1300), (1400, 1500)], 5)
+        assert bam.flags["full"][0]
+
+
+def test_end_distance_gate_in_merge():
+    """-D end_dis bounds terminal-end differences when merging
+    (reference merge_trans1 via check_iden end_dis)."""
+    kept = mk([(100, 200), (300, 400)])
+    t = mk([(50, 200), (300, 450)])
+    assert not merge_trans(t, 0, kept, False, 0, 10, 0.8)   # ends differ by 50
+    assert merge_trans(t, 0, kept, False, 0, 60, 0.8)
