@@ -15,8 +15,10 @@ replaces that with a batched junction-context matcher:
      contiguous genomic placement
   4. uniq_c / multi_c from placement-count uniqueness, max_over tracked
 
-The mismatch verification is a dense [candidates, read_len] compare — the
-TPU-batched version lives in lr2rmats_tpu.ops (host numpy here).
+Placement verification runs through the native batch kernels
+(csrc/lrio.cpp: lookup_range_c + hamming_pairs_c) with numpy fallbacks;
+count_seqset_batched is the production path, count_seqset/add_read the
+per-read reference it is agreement-tested against.
 """
 
 from __future__ import annotations

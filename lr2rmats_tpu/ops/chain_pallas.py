@@ -9,7 +9,8 @@ VMEM scratch with W dead rows of -inf at the top so the window slice is
 always in-bounds.
 
 Agrees with ops.chain_jax / align.chain (tests/test_pallas.py runs it in
-interpreter mode on CPU; compiled on the real TPU by bench/ops tests).
+interpreter mode on CPU; it compiles and runs on the real chip at parity
+with the lax.scan kernel, selectable via BatchAligner(backend="pallas")).
 """
 
 from __future__ import annotations
