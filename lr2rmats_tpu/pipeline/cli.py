@@ -156,6 +156,18 @@ def _ugp_from_args(args, unique: bool = False) -> UpdateGtfParams:
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except FileNotFoundError as e:
+        # reference-style fatal (err_fatal: '[func] Can not open "..."')
+        print(f'[{PROG}] Can not open "{e.filename or e}"', file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"[{PROG}] {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv=None) -> int:
     from . import commands as C
     args = build_parser().parse_args(argv)
 
