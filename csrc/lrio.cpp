@@ -769,3 +769,194 @@ int check_splice_site_c(const int32_t* bs, const int32_t* be, int bn,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streaming SAM-text filter (transcript/filter.py::filter_alignments +
+// gtf_filter, faithful to reference bam_filter.c:61-159).  Scans the whole
+// SAM buffer, applies the coverage/identity/rm-overlap gates and the
+// per-qname best/second-best selection, and returns the byte spans of the
+// KEPT alignment lines; the (few) kept lines are re-parsed host-side.
+// ---------------------------------------------------------------------------
+
+#include <string>
+#include <unordered_map>
+
+extern "C" {
+
+int64_t filter_sam_c(const char* buf, int64_t n,
+                     double cov_rate, double map_qual, double sec_rat,
+                     int min_intron_n,
+                     // rm intervals per target id (sorted by tid asc like the
+                     // reference's read order); -1 tid entries are ignored
+                     const int64_t* rm_tid, const int64_t* rm_start,
+                     const int64_t* rm_end, int64_t rm_n,
+                     int64_t* keep_off, int64_t* keep_len, int64_t cap) {
+    // pass 1: header @SQ order -> tid map
+    std::unordered_map<std::string, int64_t> tid_of;
+    int64_t pos = 0;
+    int64_t next_tid = 0;
+    while (pos < n && buf[pos] == '@') {
+        int64_t eol = pos;
+        while (eol < n && buf[eol] != '\n') ++eol;
+        if (eol - pos > 4 && std::memcmp(buf + pos, "@SQ", 3) == 0) {
+            // find SN:
+            for (int64_t t = pos; t + 3 < eol; ++t) {
+                if (buf[t] == 'S' && buf[t + 1] == 'N' && buf[t + 2] == ':' &&
+                    (buf[t - 1] == '\t')) {
+                    int64_t e = t + 3;
+                    while (e < eol && buf[e] != '\t') ++e;
+                    tid_of.emplace(std::string(buf + t + 3, e - t - 3),
+                                   next_tid++);
+                    break;
+                }
+            }
+        }
+        pos = eol + 1;
+    }
+
+    auto rm_overlap = [&](int64_t tid, int64_t p0, int64_t rlen) -> bool {
+        for (int64_t i = 0; i < rm_n; ++i) {
+            if (tid == rm_tid[i] &&
+                !(p0 > rm_end[i] || rm_start[i] > p0 + rlen - 1))
+                return true;
+            if (tid < rm_tid[i]) return false;
+        }
+        return false;
+    };
+
+    int64_t kept = 0;
+    std::string lqname;
+    int64_t best_off = -1, best_len = 0;
+    int64_t b_score = 0, s_score = 0;
+    int b_intron = 0;
+
+    auto flush = [&]() {
+        if (!lqname.empty() && (double)s_score < sec_rat * (double)b_score &&
+            b_intron >= min_intron_n && best_off >= 0 && kept < cap) {
+            keep_off[kept] = best_off;
+            keep_len[kept] = best_len;
+            ++kept;
+        }
+    };
+
+    while (pos < n) {
+        int64_t eol = pos;
+        while (eol < n && buf[eol] != '\n') ++eol;
+        int64_t llen = eol - pos;
+        // split fields lazily
+        const char* f[12];
+        int64_t fl[12];
+        int nf = 0;
+        {
+            int64_t s = pos;
+            for (int64_t t = pos; t <= eol && nf < 12; ++t) {
+                if (t == eol || buf[t] == '\t') {
+                    f[nf] = buf + s;
+                    fl[nf] = t - s;
+                    ++nf;
+                    s = t + 1;
+                }
+            }
+        }
+        if (nf < 11) { pos = eol + 1; continue; }
+        auto atoi_f = [&](int i) -> int64_t {
+            int64_t v = 0; bool neg = false; const char* c = f[i];
+            int64_t l = fl[i];
+            int64_t t = 0;
+            if (l && c[0] == '-') { neg = true; t = 1; }
+            for (; t < l; ++t) v = v * 10 + (c[t] - '0');
+            return neg ? -v : v;
+        };
+        int64_t flag = atoi_f(1);
+        bool keep_line = true;
+        int64_t score = 0;
+        int intron_n = 0;
+        if (flag & 0x4) keep_line = false;  // unmapped
+        int64_t tid = -1, p0 = 0, rlen = 0;
+        if (keep_line) {
+            auto it = tid_of.find(std::string(f[2], fl[2]));
+            tid = (it == tid_of.end()) ? -1 : it->second;
+            p0 = atoi_f(3) - 1;
+            // CIGAR walk: intron count, del len, clip-trimmed qlen, rlen
+            int64_t del_len = 0, clip0 = 0, clip1 = 0, qcons = 0;
+            int64_t num = 0;
+            int op_count = 0;
+            char last_op = 0;
+            int64_t last_clip = 0;
+            for (int64_t t = 0; t < fl[5]; ++t) {
+                char c = f[5][t];
+                if (c >= '0' && c <= '9') { num = num * 10 + (c - '0'); continue; }
+                switch (c) {
+                    case 'N': ++intron_n; rlen += num; break;
+                    case 'D': del_len += num; rlen += num; break;
+                    case 'M': case '=': case 'X':
+                        qcons += num; rlen += num; break;
+                    case 'I': qcons += num; break;
+                    case 'S': case 'H':
+                        if (op_count == 0) clip0 = num;
+                        last_clip = num;
+                        break;
+                    default: break;
+                }
+                ++op_count;
+                last_op = c;
+                num = 0;
+            }
+            // reference subtracts the trailing clip only when n_cigar > 1
+            // (bam_filter.c:76)
+            if (op_count > 1 && (last_op == 'S' || last_op == 'H'))
+                clip1 = last_clip;
+            else
+                clip1 = 0;
+            int64_t l_qseq = (fl[9] == 1 && f[9][0] == '*') ? 0 : fl[9];
+            int64_t cigar_qlen = l_qseq - clip0;
+            // reference: trailing clip subtracted only when n_cigar > 1;
+            // a 1-op CIGAR that is a clip keeps it as leading
+            cigar_qlen -= clip1;
+            double cov = (double)cigar_qlen / (double)l_qseq;  // 0/0 => nan
+            if (cov < cov_rate) keep_line = false;  // nan compares false
+            if (keep_line) {
+                // NM tag
+                int64_t ed = 0;
+                for (int i = 11; i < nf; ++i) {
+                    if (fl[i] > 5 && f[i][0] == 'N' && f[i][1] == 'M' &&
+                        f[i][2] == ':') {
+                        int64_t v = 0; bool neg = false;
+                        for (int64_t t = 5; t < fl[i]; ++t) {
+                            if (f[i][t] == '-') { neg = true; continue; }
+                            v = v * 10 + (f[i][t] - '0');
+                        }
+                        ed = neg ? -v : v;
+                        break;
+                    }
+                }
+                score = cigar_qlen - ed + del_len;
+                if ((double)score < map_qual * (double)cigar_qlen)
+                    keep_line = false;
+                if (keep_line && rm_n && rm_overlap(tid, p0, rlen))
+                    keep_line = false;
+            }
+        }
+        if (keep_line) {
+            std::string qname(f[0], fl[0]);
+            if (qname == lqname) {
+                if (score > b_score) {
+                    best_off = pos; best_len = llen;
+                    s_score = b_score; b_score = score; b_intron = intron_n;
+                } else if (score > s_score) {
+                    s_score = score;
+                }
+            } else {
+                flush();
+                best_off = pos; best_len = llen;
+                b_score = score; s_score = 0; b_intron = intron_n;
+                lqname = qname;
+            }
+        }
+        pos = eol + 1;
+    }
+    flush();
+    return kept;
+}
+
+}  // extern "C"

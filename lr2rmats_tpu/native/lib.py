@@ -120,6 +120,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
 
+        lib.filter_sam_c.restype = ctypes.c_int64
+        lib.filter_sam_c.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            c_i64p, c_i64p, c_i64p, ctypes.c_int64,
+            c_i64p, c_i64p, ctypes.c_int64]
+
         lib.hamming_many_c.restype = None
         lib.hamming_many_c.argtypes = [
             c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int, c_i64p,

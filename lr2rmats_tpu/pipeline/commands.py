@@ -40,17 +40,80 @@ def _out(path: Optional[str]):
             f.close()
 
 
+def _filter_sam_native(in_path: str, params: FilterParams,
+                       rm_gtf: Optional[str]) -> Optional[tuple]:
+    """Native streaming scan over SAM text: returns (refs, header, kept
+    records) or None when not applicable (BAM input / no native lib).
+    Agreement-tested against the Python path (tests/test_native.py)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(in_path, "rb") as f:
+        head = f.read(2)
+        if head == b"\x1f\x8b":  # BAM
+            return None
+        buf = head + f.read()
+    import ctypes
+    from ..io.sam import SamReader
+    import io as _io
+    rd = SamReader(_io.StringIO(buf.decode()))
+    refs, header = rd.refs, rd.header_lines
+    if rm_gtf:
+        cname = ChrNames([n for n, _ in refs])
+        rm = read_anno_trans(rm_gtf, cname)
+        rm_tid = rm.tid[: rm.n].astype(np.int64)
+        rm_start = rm.start[: rm.n].astype(np.int64)
+        rm_end = rm.end[: rm.n].astype(np.int64)
+    else:
+        rm_tid = rm_start = rm_end = np.zeros(0, np.int64)
+    cap = buf.count(b"\n") + 1
+    keep_off = np.zeros(cap, np.int64)
+    keep_len = np.zeros(cap, np.int64)
+    kept_n = lib.filter_sam_c(
+        buf, len(buf), params.cov_rate, params.map_qual, params.sec_rat,
+        params.min_intron_n,
+        np.ascontiguousarray(rm_tid), np.ascontiguousarray(rm_start),
+        np.ascontiguousarray(rm_end), len(rm_tid),
+        keep_off, keep_len, cap)
+    spans = [(int(keep_off[i]), int(keep_len[i])) for i in range(kept_n)]
+    return refs, header, buf, spans, rd
+
+
 def cmd_filter(in_path: str, out_path: Optional[str], params: FilterParams,
                rm_gtf: Optional[str] = None, out_format: str = "bam",
                sort_output: bool = True) -> int:
     """`filter` (reference bam_filter.c:98-164) + the downstream
     `samtools sort` role (Snakefile:90-92) via sort_output."""
-    refs, header, records = open_alignments(in_path)
-    rm = None
-    if rm_gtf:
-        cname = ChrNames([n for n, _ in refs])
-        rm = read_anno_trans(rm_gtf, cname)
-    kept: List[AlnRec] = list(filter_alignments(records, params, rm))
+    native = _filter_sam_native(in_path, params, rm_gtf)
+    if native is not None:
+        refs, header, buf, spans, rd = native
+        from ..utils import log
+        log("bam_filter", "Filtered alignments: %d", len(spans))
+        if out_format == "sam":
+            # raw-span fast path: sort by (tid, pos) parsed from the first
+            # fields only, then copy the kept lines verbatim
+            def _key(sp):
+                off, ln = sp
+                f = buf[off: off + min(ln, 256)].split(b"\t", 4)
+                return (rd._tid.get(f[2].decode(), -1), int(f[3]))
+            if sort_output:
+                spans.sort(key=_key)
+            with open(out_path or "out.sam", "wb") as f:
+                f.write(("\n".join(header) + "\n").encode()
+                        if header else b"")
+                for off, ln in spans:
+                    f.write(buf[off: off + ln])
+                    f.write(b"\n")
+            return len(spans)
+        kept = [rd._parse(buf[off: off + ln].decode()) for off, ln in spans]
+    else:
+        refs, header, records = open_alignments(in_path)
+        rm = None
+        if rm_gtf:
+            cname = ChrNames([n for n, _ in refs])
+            rm = read_anno_trans(rm_gtf, cname)
+        kept = list(filter_alignments(records, params, rm))
     if sort_output:
         kept.sort(key=lambda r: (r.tid, r.pos))
     if out_format == "bam":

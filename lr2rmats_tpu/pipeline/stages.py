@@ -159,14 +159,16 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
             write_bed12(sam_path, bed_path)
 
         # ---- stage: sam_novel_gtf (filter + pass-1 update-gtf, Snakefile:67-93)
-        filtered_bam = A("alignment", f"{sample}.filtered.bam")
+        # SAM artifact (raw-span fast path); BAM remains available
+        # via the `filter` CLI for interop
+        filtered_bam = A("alignment", f"{sample}.filtered.sam")
         sam_novel = A("gtf", f"{sample}_sam_novel.gtf")
         if not _fresh(filtered_bam, sam_path):
             with Timer(f"stage/filter[{sample}]", benchmark_file=A("benchmark", f"{sample}.novel_gtf.benchmark.txt")):
                 cmd_filter(sam_path, filtered_bam,
                            FilterParams(cfg.aln_cov, cfg.iden_frac,
                                         cfg.sec_rat),
-                           rm_gtf=cfg.rm_gtf or None)
+                           rm_gtf=cfg.rm_gtf or None, out_format="sam")
         if not _fresh(sam_novel, filtered_bam, cfg.gtf):
             with Timer(f"stage/update_gtf_pass1[{sample}]", benchmark_file=A("benchmark", f"{sample}_new_gtf.benchmark.txt")):
                 ugp = UpdateGtfParams(full_level=cfg.full_level)

@@ -251,3 +251,56 @@ def test_extend_chain_fuzz_edges():
         assert a == b, (trial, a, b)
         n_checked += 1
     assert n_checked > 20
+
+
+def test_filter_sam_native_matches(tmp_path):
+    """Native streaming SAM filter == Python filter_alignments on a real
+    aligner-produced SAM (with secondaries, rm-gtf, varied CIGARs)."""
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.io.fasta import Genome, decode_seq
+    from lr2rmats_tpu.io.gtf import ChrNames, read_anno_trans
+    from lr2rmats_tpu.io.sam import SamReader, SamWriter
+    from lr2rmats_tpu.pipeline.commands import _filter_sam_native
+    from lr2rmats_tpu.transcript.filter import FilterParams, filter_alignments
+    from tests.test_aligner import plant_motifs, random_genome, splice_read
+
+    g = random_genome(150_000, seed=63)
+    exon_sets = [
+        [(10_000, 10_400), (14_000, 14_300)],
+        [(50_000, 50_250), (58_000, 58_200), (63_000, 63_300)],
+        [(90_000, 90_800)],
+    ]
+    for es in exon_sets:
+        plant_motifs(g, es)
+    al = BatchAligner(g)
+    reads, names = [], []
+    for i, es in enumerate(exon_sets):
+        for err, seed in ((0.0, 1), (0.04, 2)):
+            reads.append(splice_read(g, es, "+", err=err, seed=seed + i))
+            names.append(f"q{i}_{seed}")
+    sam = tmp_path / "t.sam"
+    with open(sam, "w") as f:
+        w = SamWriter(f, al.refs)
+        for rec in al.align_batch(names, reads):
+            w.write(rec)
+    # rm gtf covering the single-exon gene
+    rm = tmp_path / "rm.gtf"
+    rm.write_text('chrT\tx\texon\t90001\t90800\t.\t+\t.\t'
+                  'gene_id "r"; transcript_id "r";\n')
+    for rmp in (None, str(rm)):
+        params = FilterParams()
+        native = _filter_sam_native(str(sam), params, rmp)
+        assert native is not None
+        _, _, buf, spans, rd = native
+        kept_n = [rd._parse(buf[o: o + l].decode()) for o, l in spans]
+        with open(sam) as f:
+            rd = SamReader(f)
+            rmT = None
+            if rmp:
+                cname = ChrNames([n for n, _ in rd.refs])
+                rmT = read_anno_trans(rmp, cname)
+            kept_p = list(filter_alignments(iter(rd), params, rmT))
+        assert [(r.qname, r.pos) for r in kept_n] == \
+               [(r.qname, r.pos) for r in kept_p], rmp
+        assert [r.tags.get("NM") for r in kept_n] == \
+               [r.tags.get("NM") for r in kept_p]

@@ -31,7 +31,7 @@ def test_all_outputs_exist(e2e_out):
               "samp1.unrecog.gtf", "samp1.bam.gtf", "samp1.detail.txt",
               "samp1.summary.txt", "samp1.novel_exon.bed"):
         assert (e2e_out / "output" / f).exists(), f
-    for f in ("samp1.minimap.sam", "samp1.minimap.bed", "samp1.filtered.bam",
+    for f in ("samp1.minimap.sam", "samp1.minimap.bed", "samp1.filtered.sam",
               "samp1.STARSJ.out.tab"):
         assert (e2e_out / "alignment" / f).exists(), f
 
