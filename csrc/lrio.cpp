@@ -960,3 +960,138 @@ int64_t filter_sam_c(const char* buf, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SAM text -> exon chains (transcript/exon_chain.py::gen_exons semantics,
+// faithful to reference bam2gtf.c:31-78): one scan over mapped records,
+// emitting per-record exon intervals + strand + qname spans.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Outputs (caller-allocated):
+//   rec_tid[i], rec_rev[i], rec_exon_off[i] (into exon arrays),
+//   rec_qname_off[i], rec_qname_len[i] (byte spans into buf)
+//   exon_start/exon_end: flat 1-based inclusive intervals
+// Returns record count; *exon_total receives total exon count.
+int64_t sam_to_exons_c(const char* buf, int64_t n,
+                       int min_exon, int min_intron, int max_delet,
+                       int64_t cap_rec, int64_t cap_exon,
+                       int32_t* rec_tid, uint8_t* rec_rev,
+                       int64_t* rec_exon_off,
+                       int64_t* rec_qname_off, int32_t* rec_qname_len,
+                       int32_t* exon_start, int32_t* exon_end,
+                       int64_t* exon_total) {
+    std::unordered_map<std::string, int64_t> tid_of;
+    int64_t pos = 0;
+    int64_t next_tid = 0;
+    while (pos < n && buf[pos] == '@') {
+        int64_t eol = pos;
+        while (eol < n && buf[eol] != '\n') ++eol;
+        if (eol - pos > 4 && std::memcmp(buf + pos, "@SQ", 3) == 0) {
+            for (int64_t t = pos; t + 3 < eol; ++t) {
+                if (buf[t] == 'S' && buf[t + 1] == 'N' && buf[t + 2] == ':' &&
+                    buf[t - 1] == '\t') {
+                    int64_t e = t + 3;
+                    while (e < eol && buf[e] != '\t') ++e;
+                    tid_of.emplace(std::string(buf + t + 3, e - t - 3),
+                                   next_tid++);
+                    break;
+                }
+            }
+        }
+        pos = eol + 1;
+    }
+
+    int64_t nr = 0, ne = 0;
+    while (pos < n && nr < cap_rec) {
+        int64_t eol = pos;
+        while (eol < n && buf[eol] != '\n') ++eol;
+        const char* f[12];
+        int64_t fl[12];
+        int nf = 0;
+        int64_t tag_start = -1;
+        {
+            int64_t s = pos;
+            for (int64_t t = pos; t <= eol; ++t) {
+                if (t == eol || buf[t] == '\t') {
+                    if (nf < 12) { f[nf] = buf + s; fl[nf] = t - s; }
+                    ++nf;
+                    if (nf == 11) tag_start = t + 1;
+                    s = t + 1;
+                }
+            }
+        }
+        if (nf < 11) { pos = eol + 1; continue; }
+        int64_t flag = 0;
+        for (int64_t t = 0; t < fl[1]; ++t) flag = flag * 10 + (f[1][t] - '0');
+        if (flag & 0x4) { pos = eol + 1; continue; }  // unmapped skipped
+        auto it = tid_of.find(std::string(f[2], fl[2]));
+        int32_t tid = (it == tid_of.end()) ? -1 : (int32_t)it->second;
+        int64_t p1 = 0;
+        for (int64_t t = 0; t < fl[3]; ++t) p1 = p1 * 10 + (f[3][t] - '0');
+        // strand: XS tag overrides FLAG (bam2gtf.c:35-37)
+        uint8_t is_rev = (flag & 0x10) ? 1 : 0;
+        if (tag_start >= 0) {
+            for (int64_t t = tag_start; t + 5 <= eol; ++t) {
+                if ((t == tag_start || buf[t - 1] == '\t') &&
+                    buf[t] == 'X' && buf[t + 1] == 'S' && buf[t + 2] == ':' &&
+                    t + 5 < eol) {
+                    is_rev = (buf[t + 5] == '+') ? 0 : 1;  // XS:A:+ value
+                    break;
+                }
+            }
+        }
+        // CIGAR walk (gen_exon)
+        int64_t start = p1, end = p1 - 1;
+        int64_t num = 0;
+        int64_t first_exon = ne;
+        auto add_exon = [&](int64_t s, int64_t e) {
+            if (ne < cap_exon) {
+                exon_start[ne] = (int32_t)s;
+                exon_end[ne] = (int32_t)e;
+                ++ne;
+            }
+        };
+        for (int64_t t = 0; t < fl[5]; ++t) {
+            char c = f[5][t];
+            if (c >= '0' && c <= '9') { num = num * 10 + (c - '0'); continue; }
+            switch (c) {
+                case 'N':
+                    if (num >= min_intron) {
+                        if (ne == first_exon || (end - start + 1) >= min_exon)
+                            add_exon(start, end);
+                        start = end + num + 1;
+                    }
+                    end += num;
+                    break;
+                case 'D':
+                    if (num > max_delet) {
+                        if (ne == first_exon || (end - start + 1) >= min_exon)
+                            add_exon(start, end);
+                        start = end + num + 1;
+                    }
+                    end += num;
+                    break;
+                case 'M': case '=': case 'X':
+                    end += num;
+                    break;
+                default:
+                    break;  // I/S/H/P consume no reference
+            }
+            num = 0;
+        }
+        add_exon(start, end);
+        rec_tid[nr] = tid;
+        rec_rev[nr] = is_rev;
+        rec_exon_off[nr] = first_exon;
+        rec_qname_off[nr] = pos;
+        rec_qname_len[nr] = (int32_t)fl[0];
+        ++nr;
+        pos = eol + 1;
+    }
+    *exon_total = ne;
+    return nr;
+}
+
+}  // extern "C"

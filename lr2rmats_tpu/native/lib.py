@@ -127,6 +127,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_i64p, c_i64p, c_i64p, ctypes.c_int64,
             c_i64p, c_i64p, ctypes.c_int64]
 
+        lib.sam_to_exons_c.restype = ctypes.c_int64
+        lib.sam_to_exons_c.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64,
+            c_i32p, np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            c_i64p, c_i64p, c_i32p, c_i32p, c_i32p,
+            ctypes.POINTER(ctypes.c_int64)]
+
         lib.hamming_many_c.restype = None
         lib.hamming_many_c.argtypes = [
             c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int, c_i64p,

@@ -131,6 +131,12 @@ def _load_input_trans(in_path: str, input_mode: str, hdr_bam: Optional[str],
                       ugp_max_delet: int):
     """Shared input ingest of update-gtf / unique-gtf (BAM or GTF mode)."""
     if input_mode == "bam":
+        from ..transcript.exon_chain import read_sam_trans_native
+        T = read_sam_trans_native(in_path, ugp_min_exon, ugp_min_intron,
+                                  ugp_max_delet)
+        if T is not None:
+            refs, _, _ = open_alignments(in_path)
+            return ChrNames([n for n, _ in refs]), T
         refs, _, records = open_alignments(in_path)
         cname = ChrNames([n for n, _ in refs])
         bam_T = read_bam_trans(records, ugp_min_exon, ugp_min_intron,

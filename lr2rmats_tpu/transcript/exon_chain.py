@@ -51,6 +51,46 @@ def gen_exons(rec: AlnRec, min_exon: int, min_intron: int, max_delet: int):
     return np.asarray(starts, np.int32), np.asarray(ends, np.int32), is_rev
 
 
+def read_sam_trans_native(path: str, min_exon: int, min_intron: int,
+                          max_delet: int) -> Optional[Transcripts]:
+    """Bulk SAM-text -> Transcripts via the native scanner
+    (csrc sam_to_exons_c + Transcripts.append_batch); returns None when not
+    applicable (BAM input / native lib unavailable).  Agreement-tested
+    against the record-wise path in tests/test_native.py."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        head = f.read(2)
+        if head == b"\x1f\x8b":
+            return None
+        buf = head + f.read()
+    import ctypes
+    cap_rec = buf.count(b"\n") + 1
+    cap_exon = 4 * cap_rec + len(buf) // 64 + 16
+    rec_tid = np.zeros(cap_rec, np.int32)
+    rec_rev = np.zeros(cap_rec, np.uint8)
+    rec_eoff = np.zeros(cap_rec, np.int64)
+    rec_qoff = np.zeros(cap_rec, np.int64)
+    rec_qlen = np.zeros(cap_rec, np.int32)
+    es = np.zeros(cap_exon, np.int32)
+    ee = np.zeros(cap_exon, np.int32)
+    etot = ctypes.c_int64()
+    nr = lib.sam_to_exons_c(buf, len(buf), min_exon, min_intron, max_delet,
+                            cap_rec, cap_exon, rec_tid, rec_rev, rec_eoff,
+                            rec_qoff, rec_qlen, es, ee, ctypes.byref(etot))
+    if int(etot.value) >= cap_exon:  # capacity overflow: fall back
+        return None
+    T = Transcripts(cap=max(int(nr), 1))
+    exon_off = np.concatenate([rec_eoff[:nr], [int(etot.value)]]).astype(np.int64)
+    names = [buf[rec_qoff[i]: rec_qoff[i] + rec_qlen[i]].decode()
+             for i in range(nr)]
+    T.append_batch(rec_tid[:nr], rec_rev[:nr], es[: int(etot.value)],
+                   ee[: int(etot.value)], exon_off, names)
+    return T
+
+
 def read_bam_trans(records: Iterable[AlnRec], min_exon: int, min_intron: int,
                    max_delet: int, T: Optional[Transcripts] = None) -> Transcripts:
     """Alignment stream -> all-novel-flagged transcripts (reference

@@ -224,6 +224,53 @@ class Transcripts:
         self.n += 1
         return i
 
+    def append_batch(self, tid: np.ndarray, is_rev: np.ndarray,
+                     exon_start_flat: np.ndarray, exon_end_flat: np.ndarray,
+                     exon_off: np.ndarray, names: List[str]) -> None:
+        """Bulk append of n all-novel-initialized transcripts (the
+        read_bam_trans init, bam2gtf.c:97-104) from ragged exon arrays.
+
+        exon_off has n+1 entries; record i's exons are
+        exon_*_flat[exon_off[i]:exon_off[i+1]] (coordinate-sorted).
+        All four name fields get names[i] (reference bam2gtf.c:104).
+        """
+        n = len(tid)
+        if n == 0:
+            return
+        en = np.diff(exon_off).astype(np.int32)
+        E = int(en.max())
+        if self.n + n > self._cap:
+            self._grow_rows(self.n + n)
+        if E > self._ecap:
+            self._grow_exons(E)
+        i0 = self.n
+        sl = slice(i0, i0 + n)
+        col = np.arange(self._ecap)
+        mask = col[None, :] < en[:, None]                      # [n, ecap]
+        idx = np.clip(exon_off[:-1, None] + col[None, :], 0,
+                      len(exon_start_flat) - 1)
+        self.exon_start[sl] = np.where(mask, exon_start_flat[idx], 0)
+        self.exon_end[sl] = np.where(mask, exon_end_flat[idx], 0)
+        self.exon_n[sl] = en
+        self.tid[sl] = tid
+        self.is_rev[sl] = is_rev
+        self.start[sl] = exon_start_flat[exon_off[:-1]]
+        self.end[sl] = exon_end_flat[exon_off[1:] - 1]
+        self.cov[sl] = 1
+        self.flags["lnoth"][sl] = True
+        self.flags["rnoth"][sl] = True
+        self.novel_exon_flag[sl] = mask.astype(np.uint8)
+        jcol = np.arange(self._ecap - 1)
+        jmask = jcol[None, :] < (en - 1)[:, None]
+        self.novel_junction_flag[sl] = jmask.astype(np.uint8)
+        self.novel_site_flag[sl] = np.repeat(jmask, 2, axis=1).astype(np.uint8)
+        self.unreliable_junction_flag[sl] = 0
+        self.gene_id.extend(names)
+        self.gene_name.extend(names)
+        self.trans_id.extend(names)
+        self.trans_name.extend(names)
+        self.n += n
+
     def append_from(self, other: "Transcripts", j: int) -> int:
         """Copy transcript j of `other` into self (reference add_read_trans,
         gtf.c:142-164)."""

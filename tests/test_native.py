@@ -304,3 +304,48 @@ def test_filter_sam_native_matches(tmp_path):
                [(r.qname, r.pos) for r in kept_p], rmp
         assert [r.tags.get("NM") for r in kept_n] == \
                [r.tags.get("NM") for r in kept_p]
+
+
+def test_sam_to_exons_native_matches(tmp_path):
+    """Native SAM->Transcripts ingestion == record-wise read_bam_trans."""
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.io.sam import SamReader, SamWriter
+    from lr2rmats_tpu.transcript.exon_chain import (read_bam_trans,
+                                                    read_sam_trans_native)
+    from tests.test_aligner import plant_motifs, random_genome, splice_read
+    g = random_genome(150_000, seed=81)
+    exon_sets = [
+        [(10_000, 10_400), (14_000, 14_300)],
+        [(50_000, 50_250), (58_000, 58_200), (63_000, 63_300)],
+        [(90_000, 90_800)],
+    ]
+    for es in exon_sets:
+        plant_motifs(g, es)
+    al = BatchAligner(g)
+    reads, names = [], []
+    for i, es in enumerate(exon_sets):
+        for strand in "+-":
+            reads.append(splice_read(g, es, strand, err=0.02, seed=3 + i))
+            names.append(f"s{i}{strand}")
+    sam = tmp_path / "x.sam"
+    with open(sam, "w") as f:
+        w = SamWriter(f, al.refs)
+        for rec in al.align_batch(names, reads):
+            w.write(rec)
+    Tn = read_sam_trans_native(str(sam), 3, 3, 50)
+    assert Tn is not None
+    with open(sam) as f:
+        rd = SamReader(f)
+        Tp = read_bam_trans(iter(rd), 3, 3, 50)
+    assert Tn.n == Tp.n
+    for i in range(Tp.n):
+        assert Tn.trans_id[i] == Tp.trans_id[i]
+        assert int(Tn.tid[i]) == int(Tp.tid[i])
+        assert int(Tn.is_rev[i]) == int(Tp.is_rev[i])
+        np.testing.assert_array_equal(Tn.exons(i)[0], Tp.exons(i)[0])
+        np.testing.assert_array_equal(Tn.exons(i)[1], Tp.exons(i)[1])
+        en = int(Tp.exon_n[i])
+        np.testing.assert_array_equal(Tn.novel_exon_flag[i, :en],
+                                      Tp.novel_exon_flag[i, :en])
+        np.testing.assert_array_equal(
+            Tn.novel_site_flag[i, :2*(en-1)], Tp.novel_site_flag[i, :2*(en-1)])
