@@ -281,18 +281,18 @@ class BatchAligner:
         chained = self._materialize_chains(rows, pending)
         return self._build_records(names, reads, rows, chained)
 
-    def align_seqset(self, reads: SeqSet, batch_size: int = 1024
-                     ) -> Iterator[AlnRec]:
-        """Pipelined batches: while the device chains batch N+1, the host
-        extends batch N."""
-        handle = None
+    def align_seqset(self, reads: SeqSet, batch_size: int = 1024,
+                     pipeline_depth: int = 2) -> Iterator[AlnRec]:
+        """Pipelined batches: up to `pipeline_depth` batches of device chain
+        work stay in flight while the host extends the oldest."""
+        from collections import deque
+        inflight = deque()
         for off in range(0, reads.n, batch_size):
             hi = min(off + batch_size, reads.n)
             names = [reads.names[i] for i in range(off, hi)]
             codes = [reads.get(i) for i in range(off, hi)]
-            nxt = self.dispatch_batch(names, codes)
-            if handle is not None:
-                yield from self.finish_batch(handle)
-            handle = nxt
-        if handle is not None:
-            yield from self.finish_batch(handle)
+            inflight.append(self.dispatch_batch(names, codes))
+            if len(inflight) > pipeline_depth:
+                yield from self.finish_batch(inflight.popleft())
+        while inflight:
+            yield from self.finish_batch(inflight.popleft())

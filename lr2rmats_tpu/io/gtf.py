@@ -189,16 +189,24 @@ def write_trans_simple(T: Transcripts, i: int, cname: ChrNames, src: str,
 
 
 def write_read_trans(T: Transcripts, cname: ChrNames, src: str, out: IO[str]) -> None:
-    """GTF writer, byte-identical to print_read_trans (reference gtf.c:607-632)."""
+    """GTF writer, byte-identical to print_read_trans (reference gtf.c:607-632).
+
+    Lines are accumulated and flushed in chunks — at 100k+ transcripts the
+    per-write overhead dominates otherwise."""
+    parts = []
     for i in range(T.n):
         chrom = cname[int(T.tid[i])]
         strand = "-" if T.is_rev[i] else "+"
         exon_attr = _attrs(T.gene_id[i], T.trans_id[i], T.gene_name[i], T.trans_name[i])
         trans_attr = f'{exon_attr} transcript_cov "{int(T.cov[i])}";'
-        out.write(f"{chrom}\t{src}\ttranscript\t{int(T.start[i])}\t{int(T.end[i])}\t.\t{strand}\t.\t{trans_attr}\n")
+        parts.append(f"{chrom}\t{src}\ttranscript\t{int(T.start[i])}\t{int(T.end[i])}\t.\t{strand}\t.\t{trans_attr}\n")
         en = int(T.exon_n[i])
         idx = range(en - 1, -1, -1) if T.is_rev[i] else range(en)
         for j in idx:
-            out.write(
+            parts.append(
                 f"{chrom}\t{src}\texon\t{int(T.exon_start[i, j])}\t{int(T.exon_end[i, j])}"
                 f"\t.\t{strand}\t.\t{exon_attr}\n")
+        if len(parts) >= 8192:
+            out.write("".join(parts))
+            parts.clear()
+    out.write("".join(parts))

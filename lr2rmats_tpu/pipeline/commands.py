@@ -227,9 +227,12 @@ def cmd_bam2gtf(in_path: str, out_path: Optional[str] = None,
                 source: str = PROG) -> int:
     """`bam2gtf` (reference bam2gtf.c:120-161)."""
     from ..io.gtf import write_trans_simple
+    from ..transcript.exon_chain import read_sam_trans_native
     refs, _, records = open_alignments(in_path)
     cname = ChrNames([n for n, _ in refs])
-    T = read_bam_trans(records, min_exon, min_intron, max_delet)
+    T = read_sam_trans_native(in_path, min_exon, min_intron, max_delet)
+    if T is None:
+        T = read_bam_trans(records, min_exon, min_intron, max_delet)
     with _out(out_path) as f:
         for i in range(T.n):
             write_trans_simple(T, i, cname, source, f)
