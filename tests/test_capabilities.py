@@ -13,6 +13,8 @@ import pytest
 from lr2rmats_tpu.io.fasta import Genome, decode_seq, revcomp
 from tests.test_aligner import plant_motifs, random_genome, splice_read
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture(scope="module")
 def world(tmp_path_factory):
@@ -315,3 +317,42 @@ def test_multichrom_pipeline(tmp_path):
     rows = {r.split("\t")[0]: r.split("\t") for r in detail[1:]}
     assert rows["r1_0"][1] == "chr1" and rows["r1_0"][3] == "0"
     assert rows["r2_0"][1] == "chr2" and rows["r2_0"][3] == "0"
+
+
+def test_native_and_fallback_outputs_identical(world, tmp_path):
+    """The full update-gtf output set must be byte-identical with and
+    without the native library (end-to-end determinism guarantee)."""
+    import subprocess, sys
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.io.fasta import Genome, read_fasta
+    from lr2rmats_tpu.io.sam import SamWriter
+
+    g = Genome.load(str(world["genome"]))
+    al = BatchAligner(g)
+    reads = read_fasta(str(world["long1"]))
+    sam = tmp_path / "in.sam"
+    with open(sam, "w") as f:
+        w = SamWriter(f, al.refs)
+        for rec in al.align_seqset(reads):
+            w.write(rec)
+
+    outs = {}
+    for tag, env_extra in (("native", {}), ("fallback",
+                                           {"LR2RMATS_NO_NATIVE": "1"})):
+        d = tmp_path / tag
+        d.mkdir()
+        r = subprocess.run(
+            [sys.executable, "-m", "lr2rmats_tpu", "update-gtf", str(sam),
+             str(world["gtf"]), "-l", "3", "-s",
+             "-o", str(d / "upd.gtf"), "-k", str(d / "known.gtf"),
+             "-v", str(d / "novel.gtf"), "-u", str(d / "unrecog.gtf"),
+             "-a", str(d / "bam.gtf"), "-A", str(d / "detail.txt"),
+             "-y", str(d / "summary.txt"), "-E", str(d / "exon.bed")],
+            capture_output=True, text=True, timeout=180, cwd=str(REPO_ROOT),
+            env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": "",
+                 **env_extra})
+        assert r.returncode == 0, r.stderr[-800:]
+        outs[tag] = {p.name: p.read_bytes() for p in d.iterdir()}
+    assert set(outs["native"]) == set(outs["fallback"])
+    for name in outs["native"]:
+        assert outs["native"][name] == outs["fallback"][name], name
