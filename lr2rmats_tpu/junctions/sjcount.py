@@ -122,47 +122,90 @@ class JunctionCounter:
         ok = (cs[k:] - cs[:-k]) == 0
         return km, ok
 
-    def _build_seed_index(self):
-        # combined buffer: genome codes ++ context codes
-        self.gn = len(self.genome.codes)
-        buf = np.concatenate([self.genome.codes, self.ctx]) if len(self.ctx) \
-            else self.genome.codes
-        self.buf = buf
-        km, ok = self._kmers(buf)
-        # suppress k-mers straddling context boundaries
-        if len(self.ctx):
-            k = self.p.seed_k
-            # a k-mer starting within k-1 bases BEFORE a segment start is bad
-            for s in np.concatenate([[self.gn], self.gn + self.ctx_offs[1:-1]]):
-                ok[max(0, s - k + 1): s] = False
+    def _sorted_table(self, km, ok, pos_offset):
         valid = np.nonzero(ok)[0]
         kv = km[valid]
         order = np.argsort(kv, kind="stable")
-        self.idx_hash = np.ascontiguousarray(kv[order])
-        self.idx_pos = valid[order]
-        # prefix buckets for the native range lookup
+        h = np.ascontiguousarray(kv[order])
+        pos = valid[order] + pos_offset
         nbits = 18
-        self._bshift = max(0, 2 * self.p.seed_k - nbits)
+        shift = max(0, 2 * self.p.seed_k - nbits)
         nb = 1 << min(nbits, 2 * self.p.seed_k)
-        edges = (np.arange(nb, dtype=np.uint64) << np.uint64(self._bshift))
-        starts = np.searchsorted(self.idx_hash, edges, side="left")
-        self._bstart = np.concatenate(
-            [starts, [len(self.idx_hash)]]).astype(np.int64)
-        self._nbuckets = nb
+        edges = (np.arange(nb, dtype=np.uint64) << np.uint64(shift))
+        starts = np.searchsorted(h, edges, side="left")
+        bstart = np.concatenate([starts, [len(h)]]).astype(np.int64)
+        return (h, pos, bstart, nb, shift)
 
-    def _lookup(self, h: np.ndarray):
+    def _build_seed_index(self):
+        """Two seed tables: the GENOME table is built once and cached on the
+        Genome object (junction sets change per sample, the genome doesn't);
+        the small CONTEXT table is per-counter."""
+        self.gn = len(self.genome.codes)
+        self.buf = (np.concatenate([self.genome.codes, self.ctx])
+                    if len(self.ctx) else self.genome.codes)
+        cache_key = ("_sjk_cache", self.p.seed_k)
+        cached = getattr(self.genome, "_sjk_cache", None)
+        if cached is not None and cached[0] == self.p.seed_k:
+            self._gtab = cached[1]
+        else:
+            km, ok = self._kmers(self.genome.codes)
+            self._gtab = self._sorted_table(km, ok, 0)
+            try:
+                self.genome._sjk_cache = (self.p.seed_k, self._gtab)
+            except AttributeError:
+                pass  # frozen Genome: skip caching
+        if len(self.ctx):
+            km, ok = self._kmers(self.ctx)
+            # suppress k-mers straddling context-segment boundaries
+            k = self.p.seed_k
+            for s0 in self.ctx_offs[1:-1]:
+                ok[max(0, int(s0) - k + 1): int(s0)] = False
+            self._ctab = self._sorted_table(km, ok, self.gn)
+        else:
+            self._ctab = self._sorted_table(
+                np.zeros(0, np.uint64), np.zeros(0, bool), self.gn)
+
+    def _lookup_tab(self, tab, h: np.ndarray):
+        th, tpos, bstart, nb, shift = tab
         from ..native import get_lib
         lib = get_lib()
-        if lib is not None and len(h):
+        if lib is not None and len(h) and len(th):
             q = np.ascontiguousarray(h, np.uint64)
             lo = np.empty(len(q), np.int64)
             hi = np.empty(len(q), np.int64)
-            lib.lookup_range_c(self.idx_hash, len(self.idx_hash),
-                               self._bstart, self._nbuckets, self._bshift,
-                               q, len(q), lo, hi)
+            lib.lookup_range_c(th, len(th), bstart, nb, shift, q, len(q),
+                               lo, hi)
             return lo, hi
-        return (np.searchsorted(self.idx_hash, h, side="left"),
-                np.searchsorted(self.idx_hash, h, side="right"))
+        return (np.searchsorted(th, h, side="left"),
+                np.searchsorted(th, h, side="right"))
+
+    def _hits(self, h: np.ndarray, cap_per_seed: int = 100):
+        """Expand seed hits over both tables.
+
+        Returns (rep, pos): rep[i] indexes into h; pos[i] is the hit's
+        global buffer position.  Seeds whose COMBINED hit count exceeds
+        cap_per_seed are dropped entirely (repetitive)."""
+        lo_g, hi_g = self._lookup_tab(self._gtab, h)
+        lo_c, hi_c = self._lookup_tab(self._ctab, h)
+        cnt = (hi_g - lo_g) + (hi_c - lo_c)
+        keep = (cnt > 0) & (cnt <= cap_per_seed)
+        reps, poss = [], []
+        for tab, lo, hi in ((self._gtab, lo_g, hi_g),
+                            (self._ctab, lo_c, hi_c)):
+            c = np.where(keep, hi - lo, 0).astype(np.int64)
+            if not c.sum():
+                continue
+            tot = int(c.sum())
+            starts = np.zeros(len(c) + 1, np.int64)
+            np.cumsum(c, out=starts[1:])
+            flat = (np.repeat(lo, c) +
+                    (np.arange(tot) - np.repeat(starts[:-1], c)))
+            poss.append(tab[1][flat])
+            reps.append(np.repeat(np.arange(len(h)), c))
+        if not reps:
+            z = np.zeros(0, np.int64)
+            return z, z
+        return np.concatenate(reps), np.concatenate(poss)
 
     # ------------------------------------------------------------ placement
     def _place(self, read: np.ndarray) -> Tuple[int, List[Tuple[int, int]]]:
@@ -179,17 +222,11 @@ class JunctionCounter:
         km, ok = self._kmers(read)
         seed_at = np.linspace(0, L - k, p.seeds_per_read).astype(np.int64)
         seed_at = np.unique(seed_at)
-        cand = set()
-        for s in seed_at:
-            if not ok[s]:
-                continue
-            h = km[s]
-            lo = np.searchsorted(self.idx_hash, h, side="left")
-            hi = np.searchsorted(self.idx_hash, h, side="right")
-            if hi - lo > 100:  # repetitive seed
-                continue
-            for t in self.idx_pos[lo:hi]:
-                cand.add(int(t) - int(s))
+        seed_ok = seed_at[ok[seed_at]]
+        if not len(seed_ok):
+            return 10 ** 9, []
+        rep, pos = self._hits(km[seed_ok])
+        cand = set((pos - seed_ok[rep]).tolist())
         if not cand:
             return 10 ** 9, []
         max_mm = int(p.max_mm_frac * L)
@@ -328,23 +365,12 @@ class JunctionCounter:
                 if not len(ridx):
                     continue
                 spos = sp[ridx]
-                h = km[spos]
-                lo, hi = self._lookup(h)
-                cnt = hi - lo
-                keep = (cnt > 0) & (cnt <= 100)
-                if not keep.any():
+                rep, tpos = self._hits(km[spos])
+                if not len(rep):
                     continue
-                ridx, spos, lo, cnt = (ridx[keep], spos[keep], lo[keep],
-                                       cnt[keep])
-                tot = int(cnt.sum())
-                starts = np.zeros(len(cnt) + 1, np.int64)
-                np.cumsum(cnt, out=starts[1:])
-                flat = (np.repeat(lo, cnt) +
-                        (np.arange(tot) - np.repeat(starts[:-1], cnt)))
-                tpos = self.idx_pos[flat]
-                seed_in_read = spos - base[ridx]  # seed offset within read
-                diag = tpos - np.repeat(seed_in_read, cnt)
-                rr = np.repeat(ridx, cnt)
+                seed_in_read = (spos - base[ridx])[rep]
+                diag = tpos - seed_in_read
+                rr = ridx[rep]
                 # encode orientation in read id: rc reads get id + R
                 cand_read.append(rr + (R if is_rc else 0))
                 cand_pos.append(diag)
