@@ -224,9 +224,31 @@ class SpliceAligner:
                                 merged.append((op, l))
                         ops = merged
                         pos = exon_g0
-                        ed += mism + sum(l for op, l in lops + rops
-                                         if op in (OP_I, OP_D))
-                        nmatch += exon_len0 - mism + 0
+                        # count mismatches inside the junction-DP M runs too
+                        gm = 0
+                        qi, gi = exon_len0, left_end_g
+                        for op, l in lops:
+                            if op == OP_M:
+                                gm += int(np.sum(codes[qi: qi + l] !=
+                                                 ref[gi: gi + l]))
+                                qi += l; gi += l
+                            elif op == OP_I:
+                                qi += l
+                            else:
+                                gi += l
+                        gi += intron
+                        for op, l in rops:
+                            if op == OP_M:
+                                gm += int(np.sum(codes[qi: qi + l] !=
+                                                 ref[gi: gi + l]))
+                                qi += l; gi += l
+                            elif op == OP_I:
+                                qi += l
+                            else:
+                                gi += l
+                        ed += mism + gm + sum(l for op, l in lops + rops
+                                              if op in (OP_I, OP_D))
+                        nmatch += exon_len0 - mism
                         vote += v
         # ---- trailing clip
         if ops and ops[-1][0] == OP_S and ops[-1][1] >= MIN_RESCUE:
@@ -261,8 +283,31 @@ class SpliceAligner:
                                 ops[-1] = (op, ops[-1][1] + l)
                             else:
                                 ops.append((op, l))
-                        ed += mism + sum(l for op, l in lops + rops
-                                         if op in (OP_I, OP_D))
+                        gm = 0
+                        qi, gi = qstart, ref_end
+                        for op, l in lops:
+                            if op == OP_M:
+                                gm += int(np.sum(codes[qi: qi + l] !=
+                                                 ref[gi: gi + l]))
+                                qi += l; gi += l
+                            elif op == OP_I:
+                                qi += l
+                            else:
+                                gi += l
+                        # right flank ends at gs; walk it from its start
+                        r_ref = sum(l for op, l in rops if op in (OP_M, OP_D))
+                        gi = gs - r_ref
+                        for op, l in rops:
+                            if op == OP_M:
+                                gm += int(np.sum(codes[qi: qi + l] !=
+                                                 ref[gi: gi + l]))
+                                qi += l; gi += l
+                            elif op == OP_I:
+                                qi += l
+                            else:
+                                gi += l
+                        ed += mism + gm + sum(l for op, l in lops + rops
+                                              if op in (OP_I, OP_D))
                         nmatch += exon_len0 - mism
                         vote += v
         return pos, ops, ed, nmatch, vote
