@@ -111,14 +111,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u8p, ctypes.c_int64, c_u8p, c_i64p, c_i32p, c_i64p,
             ctypes.c_int64, c_i32p]
 
+        # RAW POINTER binding (hot path: called per bam x anno overlap;
+        # ndpointer validation costs more than the C work at 500k+ calls).
+        # Callers pass arr.ctypes.data of C-contiguous arrays.
         lib.check_splice_site_c.restype = ctypes.c_int
         lib.check_splice_site_c.argtypes = [
-            c_i32p, c_i32p, ctypes.c_int, c_i32p, c_i32p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int,
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
 
         lib.filter_sam_c.restype = ctypes.c_int64
         lib.filter_sam_c.argtypes = [

@@ -174,13 +174,23 @@ def check_splice_site(bam_T: Transcripts, bi: int, anno_T: Transcripts, ai: int,
     if lib is not None:
         bn = int(bam_T.exon_n[bi])
         an = int(anno_T.exon_n[ai])
+        # raw-pointer call: row views of C-order 2D arrays are contiguous
+        it = int(bam_T.exon_start.itemsize)
+        bw = int(bam_T.exon_start.shape[1])
+        aw = int(anno_T.exon_start.shape[1])
         ret = lib.check_splice_site_c(
-            bam_T.exon_start[bi, :bn], bam_T.exon_end[bi, :bn], bn,
-            anno_T.exon_start[ai, :an], anno_T.exon_end[ai, :an], an,
+            bam_T.exon_start.ctypes.data + bi * bw * it,
+            bam_T.exon_end.ctypes.data + bi * bw * it, bn,
+            anno_T.exon_start.ctypes.data + ai * aw * it,
+            anno_T.exon_end.ctypes.data + ai * aw * it, an,
             int(bam_T.start[bi]), int(bam_T.end[bi]),
             int(anno_T.start[ai]), int(anno_T.end[ai]), dis,
-            bam_T.novel_site_flag[bi], bam_T.novel_exon_flag[bi],
-            bam_T.novel_junction_flag[bi])
+            bam_T.novel_site_flag.ctypes.data +
+            bi * bam_T.novel_site_flag.shape[1],
+            bam_T.novel_exon_flag.ctypes.data +
+            bi * bam_T.novel_exon_flag.shape[1],
+            bam_T.novel_junction_flag.ctypes.data +
+            bi * bam_T.novel_junction_flag.shape[1])
         if ret == 1:
             bam_T.flags["known"][bi] = True
         elif ret == 2:
