@@ -273,20 +273,36 @@ class Transcripts:
 
     def append_from(self, other: "Transcripts", j: int) -> int:
         """Copy transcript j of `other` into self (reference add_read_trans,
-        gtf.c:142-164)."""
+        gtf.c:142-164).  Direct array-to-array fast path."""
         en = int(other.exon_n[j])
-        return self.append(
-            int(other.tid[j]), bool(other.is_rev[j]),
-            other.exon_start[j, :en].copy(), other.exon_end[j, :en].copy(),
-            other.gene_id[j], other.gene_name[j],
-            other.trans_id[j], other.trans_name[j],
-            cov=int(other.cov[j]), init_novel=False,
-            flags={k: other.flags[k][j] for k in FLAG_NAMES},
-            novel_exon_flag=other.novel_exon_flag[j, :en].copy(),
-            novel_site_flag=other.novel_site_flag[j, : 2 * (en - 1)].copy(),
-            novel_junction_flag=other.novel_junction_flag[j, : en - 1].copy(),
-            unreliable_junction_flag=other.unreliable_junction_flag[j, : en - 1].copy(),
-        )
+        if self.n + 1 > self._cap:
+            self._grow_rows(self.n + 1)
+        if en > self._ecap:
+            self._grow_exons(en)
+        i = self.n
+        self.exon_start[i, :en] = other.exon_start[j, :en]
+        self.exon_end[i, :en] = other.exon_end[j, :en]
+        self.exon_n[i] = en
+        self.tid[i] = other.tid[j]
+        self.is_rev[i] = other.is_rev[j]
+        self.start[i] = other.start[j]
+        self.end[i] = other.end[j]
+        self.cov[i] = other.cov[j]
+        for k in FLAG_NAMES:
+            self.flags[k][i] = other.flags[k][j]
+        self.novel_exon_flag[i, :en] = other.novel_exon_flag[j, :en]
+        ns = 2 * (en - 1)
+        self.novel_site_flag[i, :ns] = other.novel_site_flag[j, :ns]
+        self.novel_junction_flag[i, : en - 1] = \
+            other.novel_junction_flag[j, : en - 1]
+        self.unreliable_junction_flag[i, : en - 1] = \
+            other.unreliable_junction_flag[j, : en - 1]
+        self.gene_id.append(other.gene_id[j])
+        self.gene_name.append(other.gene_name[j])
+        self.trans_id.append(other.trans_id[j])
+        self.trans_name.append(other.trans_name[j])
+        self.n += 1
+        return i
 
     def overwrite_from(self, i: int, other: "Transcripts", j: int) -> None:
         """Replace transcript i with other[j] in place (reference
