@@ -1095,3 +1095,50 @@ int64_t sam_to_exons_c(const char* buf, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Identity/containment check on splice chains
+// (transcript/classify.py::check_iden, faithful to reference gtf.c:54-92
+// including the dead return-1 path).  Raw-pointer binding.
+int check_iden_c(const int32_t* s1, const int32_t* e1, int n1,
+                 const int32_t* s2, const int32_t* e2, int n2,
+                 int64_t ss_dis, int64_t end_dis) {
+    if (n1 == n2) {
+        if (std::abs((int64_t)s1[0] - s2[0]) > end_dis) return -1;
+        for (int i = 0; i + 1 < n1; ++i) {
+            if (std::abs((int64_t)e1[i] - e2[i]) > ss_dis) return -1;
+            if (std::abs((int64_t)s1[i + 1] - s2[i + 1]) > ss_dis) return -1;
+        }
+        if (std::abs((int64_t)e1[n1 - 1] - e2[n2 - 1]) > end_dis) return -1;
+        return 0;
+    }
+    const int32_t *ls, *le, *ss, *se;
+    int ln, sn;
+    if (n1 > n2) { ls = s1; le = e1; ln = n1; ss = s2; se = e2; sn = n2; }
+    else         { ls = s2; le = e2; ln = n2; ss = s1; se = e1; sn = n1; }
+    // the reference reads s->exon[1] unconditionally here; its only caller
+    // (merge_trans) guarantees both chains are multi-exon.  Make the
+    // single-exon containment case explicitly "no match".
+    if (sn < 2) return -1;
+    if (std::abs((int64_t)ls[0] - ss[0]) > end_dis) return -1;
+    int result = -1;
+    for (int i = 0; i + 1 < ln; ++i) {
+        if (std::abs((int64_t)le[i] - se[0]) <= ss_dis &&
+            std::abs((int64_t)ls[i + 1] - ss[1]) <= ss_dis) {
+            int m = std::min(ln - 2 - i, sn - 2);
+            for (int t = 0; t < m; ++t) {
+                if (std::abs((int64_t)le[i + 1 + t] - se[1 + t]) > ss_dis)
+                    return -1;
+                if (std::abs((int64_t)ls[i + 2 + t] - ss[2 + t]) > ss_dis)
+                    return -1;
+            }
+            result = 2;
+            break;
+        }
+    }
+    if (std::abs((int64_t)le[ln - 1] - se[sn - 1]) > end_dis) return -1;
+    return result;
+}
+
+}  // extern "C"

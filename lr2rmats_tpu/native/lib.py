@@ -138,6 +138,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_i64p, c_i64p, c_i32p, c_i32p, c_i32p,
             ctypes.POINTER(ctypes.c_int64)]
 
+        lib.check_iden_c.restype = ctypes.c_int
+        lib.check_iden_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64]
+
         lib.hamming_many_c.restype = None
         lib.hamming_many_c.argtypes = [
             c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int, c_i64p,

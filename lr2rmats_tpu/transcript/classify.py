@@ -53,7 +53,27 @@ def check_iden(t1: Transcripts, i1: int, t2: Transcripts, i2: int,
     dead — on any successful containment anchor it is overwritten with 2
     (gtf.c:81), so a return of 1 ("t1 fully contains t2", consumed by
     merge_trans1's modify branch at update_gtf.c:114) can never happen.
+
+    Dispatches to the native kernel when available (bit-equal; tested).
     """
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        it = int(t1.exon_start.itemsize)
+        w1 = int(t1.exon_start.shape[1])
+        w2 = int(t2.exon_start.shape[1])
+        return lib.check_iden_c(
+            t1.exon_start.ctypes.data + i1 * w1 * it,
+            t1.exon_end.ctypes.data + i1 * w1 * it, int(t1.exon_n[i1]),
+            t2.exon_start.ctypes.data + i2 * w2 * it,
+            t2.exon_end.ctypes.data + i2 * w2 * it, int(t2.exon_n[i2]),
+            ss_dis, end_dis)
+    return check_iden_np(t1, i1, t2, i2, ss_dis, end_dis)
+
+
+def check_iden_np(t1: Transcripts, i1: int, t2: Transcripts, i2: int,
+                  ss_dis: int, end_dis: int) -> int:
+    """Numpy reference implementation (see check_iden)."""
     n1, n2 = int(t1.exon_n[i1]), int(t2.exon_n[i2])
     s1, e1 = t1.exons(i1)
     s2, e2 = t2.exons(i2)
@@ -75,6 +95,10 @@ def check_iden(t1: Transcripts, i1: int, t2: Transcripts, i2: int,
     else:
         ls, le, ln = s2, e2, n2
         ss, se, sn = s1, e1, n1
+    if sn < 2:
+        # reference precondition (merge_trans guards multi-exon); explicit
+        # no-match instead of the reference's out-of-bounds read
+        return -1
     if abs(int(ls[0]) - int(ss[0])) > end_dis:
         return -1
     result = -1

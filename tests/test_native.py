@@ -349,3 +349,39 @@ def test_sam_to_exons_native_matches(tmp_path):
                                       Tp.novel_exon_flag[i, :en])
         np.testing.assert_array_equal(
             Tn.novel_site_flag[i, :2*(en-1)], Tp.novel_site_flag[i, :2*(en-1)])
+
+
+def test_check_iden_match():
+    from lr2rmats_tpu.transcript.classify import check_iden, check_iden_np
+    from lr2rmats_tpu.transcript.model import Transcripts
+    rng = np.random.default_rng(41)
+    for trial in range(200):
+        def mk(n_ex, base, jitter=0):
+            T = Transcripts()
+            starts, ends = [], []
+            pos = base
+            for _ in range(n_ex):
+                pos += int(rng.integers(50, 300))
+                starts.append(pos + (int(rng.integers(-jitter, jitter + 1))
+                                     if jitter else 0))
+                pos += int(rng.integers(80, 250))
+                ends.append(pos)
+            T.append(0, False, sorted(starts), sorted(ends), init_novel=True)
+            return T
+        a = mk(int(rng.integers(1, 6)), 1000)
+        if rng.random() < 0.5:
+            b = mk(int(rng.integers(1, 6)), 1000 + int(rng.integers(-200, 200)))
+        else:
+            # related: copy of a, possibly truncated
+            b = Transcripts()
+            en = int(a.exon_n[0])
+            lo = int(rng.integers(0, en))
+            hi = int(rng.integers(lo, en)) + 1
+            b.append(0, False, a.exon_start[0, lo:hi].copy(),
+                     a.exon_end[0, lo:hi].copy(), init_novel=True)
+        ss = int(rng.integers(0, 3))
+        ee = int(rng.choice([5, 100, 1 << 30]))
+        assert check_iden(a, 0, b, 0, ss, ee) == \
+            check_iden_np(a, 0, b, 0, ss, ee), trial
+        assert check_iden(b, 0, a, 0, ss, ee) == \
+            check_iden_np(b, 0, a, 0, ss, ee), trial
