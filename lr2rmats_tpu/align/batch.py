@@ -8,10 +8,12 @@ engine restructures the work for throughput:
   * anchors are clustered per (read, strand) by reference-gap (> max_intron
     splits), the top clusters become rows of a padded [R, A] batch —
     positions are cluster-relative so they fit int32 on any genome size
-  * chaining runs as the batched JAX kernel (ops.chain_jax) on the
-    accelerator; rows are bucketed by anchor count to bound recompilation
-  * backtrack + splice-aware extension stay host-side (cheap, ragged),
-    reusing the reference implementation
+  * chaining AND backtrack run fused as one batched JAX kernel
+    (ops.chain_jax._chain_backtrack) on the accelerator; rows are bucketed
+    by anchor count to bound recompilation, and only a 1-byte/anchor chain
+    membership mask crosses back over the (bandwidth-limited) device link
+  * splice-aware extension stays host-side (cheap, ragged), reusing the
+    reference implementation
 """
 
 from __future__ import annotations
@@ -26,9 +28,8 @@ from ..io.fasta import Genome, SeqSet
 from ..io.sam import AlnRec
 from .aligner import AlignParams, SpliceAligner
 from ..utils import log
-from .chain import backtrack
 
-A_BUCKETS = (64, 256, 1024)
+A_BUCKETS = (64, 256)
 MAX_CLUSTERS_PER_STRAND = 4
 
 
@@ -142,18 +143,11 @@ class BatchAligner:
 
     # ------------------------------------------------------------- chaining
     def _chain_rows_async(self, rows: List[_Row]):
-        """Dispatch the chain DP for all rows; returns the pending list
-        (device arrays not yet materialized)."""
-        if self.backend == "host":
-            return None
-        if self.backend == "pallas":
-            from ..ops.chain_pallas import chain_anchors_batch_pallas
-
-            def chain_anchors_batch_async(qp, gp, nn, params):
-                # the Pallas wrapper materializes; wrap as a pseudo-pending
-                return chain_anchors_batch_pallas(qp, gp, nn, params)
-        else:
-            from ..ops.chain_jax import chain_anchors_batch_async
+        """Dispatch fused chain-DP + backtrack for all rows; returns the
+        pending list (device arrays not yet materialized)."""
+        if self.backend in ("host", "pallas"):
+            return self.backend
+        from ..ops.chain_jax import chain_backtrack_batch_async
         # bucket rows by padded anchor count
         buckets: Dict[int, List[int]] = {}
         for i, r in enumerate(rows):
@@ -162,7 +156,7 @@ class BatchAligner:
         # fixed row-chunk size per A bucket => exactly one compiled shape
         # per bucket for the whole run; dispatch is async so device work
         # overlaps host work
-        CHUNK = {64: 2048, 256: 1024, 1024: 128}
+        CHUNK = {64: 2048, 256: 1024}
         pending = []
         for A, members in buckets.items():
             C = CHUNK[A]
@@ -181,28 +175,58 @@ class BatchAligner:
                     gp[bi, :n] = r.gpos - r.base
                     nn[bi] = n
                 pending.append((part, nn,
-                                chain_anchors_batch_async(qp, gp, nn,
-                                                          self.p.chain)))
+                                chain_backtrack_batch_async(
+                                    qp, gp, nn, self.p.chain,
+                                    self.p.min_score)))
         return pending
 
     def _materialize_chains(self, rows: List[_Row], pending):
-        out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(rows)
-        if pending is None:  # host backend
-            from .chain import chain_anchors
+        """Resolve chains as per-row (pri_idx, ps, sec_idx, ss) tuples."""
+        out: List[Optional[tuple]] = [None] * len(rows)
+        if pending == "host":
+            from .chain import chain_anchors, backtrack
             for i, r in enumerate(rows):
-                out[i] = chain_anchors(r.qpos, r.gpos, self.p.chain)
+                f, parent = chain_anchors(r.qpos, r.gpos, self.p.chain)
+                out[i] = backtrack(f, parent, self.p.min_score)
             return out
-        for part, nn, (fdev, pdev) in pending:
-            f = np.asarray(fdev)
-            parent = np.asarray(pdev)
+        if pending == "pallas":
+            from .chain import backtrack
+            from ..ops.chain_pallas import chain_anchors_batch_pallas
+            CH = 512
+            for off in range(0, len(rows), CH):
+                part = rows[off: off + CH]
+                A = max(A_BUCKETS[0], 1 << (max(len(r.qpos) for r in part)
+                                            - 1).bit_length())
+                qp = np.zeros((len(part), A), np.int32)
+                gp = np.zeros((len(part), A), np.int32)
+                nn = np.zeros(len(part), np.int32)
+                for bi, r in enumerate(part):
+                    n = len(r.qpos)
+                    qp[bi, :n] = r.qpos
+                    gp[bi, :n] = r.gpos - r.base
+                    nn[bi] = n
+                f, parent = chain_anchors_batch_pallas(qp, gp, nn,
+                                                       self.p.chain)
+                for bi in range(len(part)):
+                    n = int(nn[bi])
+                    out[off + bi] = backtrack(
+                        f[bi, :n].astype(np.float64),
+                        parent[bi, :n].astype(np.int64), self.p.min_score)
+            return out
+        for part, nn, (mdev, psdev, ssdev) in pending:
+            mask = np.asarray(mdev)
+            ps = np.asarray(psdev)
+            ss = np.asarray(ssdev)
             for bi, i in enumerate(part):
                 n = int(nn[bi])
-                out[i] = (f[bi, :n].astype(np.float64),
-                          parent[bi, :n].astype(np.int64))
+                row = mask[bi, :n]
+                out[i] = (np.nonzero(row & 1)[0], float(ps[bi]),
+                          np.nonzero(row & 2)[0], float(ss[bi]))
         return out
 
     def _chain_rows(self, rows: List[_Row]):
-        """Run the chain DP for all rows; returns list of (f, parent)."""
+        """Run chain DP + backtrack for all rows; returns list of
+        (pri_idx, pri_score, sec_idx, sec_score)."""
         return self._materialize_chains(rows, self._chain_rows_async(rows))
 
     # ------------------------------------------------------------ top level
@@ -219,8 +243,7 @@ class BatchAligner:
         # collect candidate chains per read
         per_read: Dict[int, List[Tuple[float, int, np.ndarray, np.ndarray]]] = {}
         for r, ch in zip(rows, chained):
-            f, parent = ch
-            pri, ps, sec, ss = backtrack(f, parent, p.min_score)
+            pri, ps, sec, ss = ch
             if len(pri):
                 per_read.setdefault(r.read_i, []).append(
                     (ps, r.strand, r.qpos[pri], r.gpos[pri]))

@@ -86,6 +86,118 @@ def _chain_scan(qpos, rpos, n_anchor, window: int, k: int,
     return f.T, parents.T                            # back to [B, A]
 
 
+def _log2ceil(n: int) -> int:
+    l = 0
+    while (1 << l) < n:
+        l += 1
+    return l
+
+
+@functools.partial(jax.jit, static_argnames=("window", "k"))
+def _chain_backtrack(qpos, rpos, n_anchor, window: int, k: int,
+                     max_qgap, max_intron, gap_open, gap_scale, intron_scale,
+                     min_intron_gap, min_score):
+    """Fused chain DP + backtrack, fully on device.
+
+    Replicates align.chain.backtrack exactly (primary = argmax trace;
+    secondary = best-scoring end whose chain is anchor-disjoint from the
+    primary, searched over at most 48 candidate ends) but with O(log A)
+    vectorized gathers instead of sequential pointer-chasing: binary-jump
+    ancestor tables give every anchor's k-th ancestor, and an
+    ancestor-closure pass marks ends whose path to root crosses the primary
+    chain.  Only a [B, A] int8 membership mask (1=primary, 2=secondary) and
+    the two scores cross back to the host — 8x fewer bytes than shipping
+    f/parent, which dominated round-1 wall time over the relay.
+    """
+    B, A = qpos.shape
+    f, parent = _chain_scan(qpos, rpos, n_anchor, window, k, max_qgap,
+                            max_intron, gap_open, gap_scale, intron_scale,
+                            min_intron_gap)
+    fT = f.T                                      # [A, B]
+    pT = parent.T
+    neg = jnp.float32(-1e18)
+    LOG = _log2ceil(max(A, 2))
+    iota_a = jnp.arange(A, dtype=jnp.int32)[:, None]          # [A, 1]
+
+    def row_gather(mat, idx):
+        """mat[idx[a,b], b] with idx == -1 passed through as -1/identity."""
+        safe = jnp.clip(idx, 0, A - 1)
+        return jnp.take_along_axis(mat, safe, axis=0)
+
+    # ---- binary-jump ancestor tables + depth
+    anc = [pT]
+    for _ in range(LOG - 1):
+        prev = anc[-1]
+        nxt = jnp.where(prev >= 0, row_gather(prev, prev), -1)
+        anc.append(nxt)
+    depth = jnp.where(pT >= 0, 1, 0).astype(jnp.int32)
+    ptr = pT
+    for _ in range(LOG):
+        depth = depth + jnp.where(ptr >= 0, row_gather(depth, ptr), 0)
+        ptr = jnp.where(ptr >= 0, row_gather(ptr, ptr), -1)
+
+    def chain_mask(end, ok):
+        """[A, B] bool: anchor a is on the chain ending at end[lane].
+
+        a is on chain(end) iff jumping depth[end]-depth[a] parent steps from
+        end lands exactly on a."""
+        d_end = jnp.take_along_axis(depth, end[None, :], axis=0)  # [1, B]
+        kjump = d_end - depth                                     # [A, B]
+        cur = jnp.broadcast_to(end[None, :], (A, B)).astype(jnp.int32)
+        for l in range(LOG):
+            take = ((kjump >> l) & 1) == 1
+            nxt = jnp.where(cur >= 0, row_gather(anc[l], cur), -1)
+            cur = jnp.where(take, nxt, cur)
+        on = (cur == iota_a) & (kjump >= 0)
+        return on & ok[None, :]
+
+    valid = iota_a < n_anchor[None, :]                            # [A, B]
+    f_masked = jnp.where(valid, fT, neg)
+    pe = jnp.argmax(f_masked, axis=0).astype(jnp.int32)           # [B]
+    ps = jnp.max(f_masked, axis=0)
+    p_ok = ps >= min_score
+    mask1 = chain_mask(pe, p_ok)
+
+    # ---- ends whose root path crosses the primary chain (ancestor closure)
+    reach = mask1
+    ptr = pT
+    for _ in range(LOG):
+        reach = reach | (jnp.where(ptr >= 0, row_gather(reach, ptr), False))
+        ptr = jnp.where(ptr >= 0, row_gather(ptr, ptr), -1)
+
+    scorable = valid & (f_masked >= min_score) & p_ok[None, :]
+    disj = scorable & ~reach
+    f_disj = jnp.where(disj, f_masked, neg)
+    se = jnp.argmax(f_disj, axis=0).astype(jnp.int32)
+    ss = jnp.max(f_disj, axis=0)
+    any_disj = jnp.any(disj, axis=0)
+    # the host examines candidate ends in descending-score order and gives
+    # up after 48 overlapping ones: count overlapping ends ranked ahead
+    fse = jnp.take_along_axis(f_masked, se[None, :], axis=0)      # [1, B]
+    ahead = (f_masked > fse) | ((f_masked == fse) & (iota_a < se[None, :]))
+    n_better = jnp.sum((scorable & reach & ~mask1 & ahead), axis=0)
+    s_ok = any_disj & (n_better < 48)
+    mask2 = chain_mask(se, s_ok)
+
+    mask = (mask1.astype(jnp.int8) + 2 * mask2.astype(jnp.int8)).T  # [B, A]
+    return mask, jnp.where(p_ok, ps, 0.0), jnp.where(s_ok, ss, 0.0)
+
+
+def chain_backtrack_batch_async(qpos: np.ndarray, rpos: np.ndarray,
+                                n_anchor: np.ndarray, p: ChainParams,
+                                min_score: float):
+    """Dispatch fused chain+backtrack; returns device (mask, ps, ss)."""
+    q = jnp.asarray(qpos, jnp.int32)
+    r = jnp.asarray(rpos, jnp.int32)
+    n = jnp.asarray(n_anchor, jnp.int32)
+    return _chain_backtrack(
+        q, r, n, p.window, p.k,
+        jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
+        jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
+        jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap),
+        jnp.float32(min_score))
+
+
 def chain_anchors_batch_async(qpos: np.ndarray, rpos: np.ndarray,
                               n_anchor: np.ndarray, p: ChainParams,
                               shard: bool = True):
