@@ -174,10 +174,10 @@ class BatchAligner:
                     qp[bi, :n] = r.qpos
                     gp[bi, :n] = r.gpos - r.base
                     nn[bi] = n
-                pending.append((part, nn,
+                pending.append((part, nn, (A,
                                 chain_backtrack_batch_async(
                                     qp, gp, nn, self.p.chain,
-                                    self.p.min_score)))
+                                    self.p.min_score))))
         return pending
 
     def _materialize_chains(self, rows: List[_Row], pending):
@@ -213,10 +213,13 @@ class BatchAligner:
                         f[bi, :n].astype(np.float64),
                         parent[bi, :n].astype(np.int64), self.p.min_score)
             return out
-        for part, nn, (mdev, psdev, ssdev) in pending:
-            mask = np.asarray(mdev)
-            ps = np.asarray(psdev)
-            ss = np.asarray(ssdev)
+        import jax
+        from ..ops.chain_jax import unpack_chain_result
+        for part, nn, (A, dev) in pending:
+            # device_get, NOT np.asarray: some shape/dtype combos hit a
+            # pathologically slow per-array serialization path in the relay
+            flat = jax.device_get(dev)
+            mask, ps, ss = unpack_chain_result(flat, A, len(nn))
             for bi, i in enumerate(part):
                 n = int(nn[bi])
                 row = mask[bi, :n]

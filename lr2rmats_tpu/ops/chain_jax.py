@@ -1,19 +1,34 @@
-"""Batched splice-aware chaining DP in JAX (TPU path).
+"""Batched splice-aware chaining DP + backtrack in JAX (TPU path).
 
 Same recurrence as the host implementation (align.chain.chain_anchors) but
-over a padded batch of anchors.  Internally the DP runs TRANSPOSED — anchors
-on the sublane (row) axis, batch rows on lanes — so each step's window read
-and score update are contiguous row slices of an [A+W, B] buffer.  The
-round-1 [B, A] column-update layout cost ~0.3 ms per anchor step on a v5e
-through strided dynamic-update-slices; the row layout runs the same
-recurrence at ~50-60M anchors/s, linear in A (measured round 2).
+over a padded batch of anchors.  The DP runs TRANSPOSED — anchors on the
+sublane (row) axis, batch rows on lanes — so each step's window read and
+score update are contiguous row slices of an [A+W, B] buffer.  The round-1
+[B, A] column-update layout cost ~0.3 ms of strided dynamic-update-slice
+overhead per anchor step on a v5e; the row layout runs the same recurrence
+at ~50-60M anchors/s, linear in A (measured round 2).
+
+The backtrack (primary chain = trace from argmax; secondary = best
+anchor-disjoint chain, ≤48 candidate ends examined — align.chain.backtrack
+semantics exactly) runs fused in the same device call:
+
+  * chain traces are while_loops over chain length with [B]-wide per-lane
+    parent gathers and a one-hot OR into the membership mask;
+  * the disjointness test needs "does the root path of end e cross the
+    primary chain" for every e — because parent[a] < a always, one forward
+    pass computes it: reach[a] = on_primary[a] | reach[parent[a]].
+
+Only a [A, B] uint8 membership mask (bit0=primary, bit1=secondary) and the
+two scores return to the host — the device link moves ~50-90 MB/s with
+~10 ms per-transfer overhead, so shipping f/parent (8 bytes/anchor) was the
+round-1 bottleneck.  (uint8, not int8: int8 D2H hits a 7x-slower relay
+serialization path.)
+
 Agreement with the host version is tested in tests/test_chain_jax.py.
 
-External layout (unchanged contract):
+External layout:
   qpos, rpos : int32 [B, A]   anchors sorted by (rpos, qpos) per row
   n_anchor   : int32 [B]      valid count per row (rest is padding)
-
-Returns f [B, A] float32 scores and parent [B, A] int32 (-1 = chain start).
 """
 
 from __future__ import annotations
@@ -28,20 +43,15 @@ import numpy as np
 from ..align.chain import ChainParams
 
 
-@functools.partial(jax.jit, static_argnames=("window", "k"))
-def _chain_scan(qpos, rpos, n_anchor, window: int, k: int,
-                max_qgap, max_intron, gap_open, gap_scale, intron_scale,
-                min_intron_gap):
-    B, A = qpos.shape
-    W = window
+def _scan_core(qp, rp, n_anchor, W: int, k: int, max_qgap, max_intron,
+               gap_open, gap_scale, intron_scale, min_intron_gap):
+    """Transposed chain DP.  qp/rp are [W+A, B] (W dead rows on top).
+    Returns f [A, B] float32, parent [A, B] int32 (-1 = chain start)."""
+    AW, B = qp.shape
+    A = AW - W
     neg = jnp.float32(-1e18)
-    q = qpos.astype(jnp.int32).T                     # [A, B]
-    r = rpos.astype(jnp.int32).T
-    # W dead rows of -inf on top keep the window slice in-bounds
     fpad = jnp.concatenate([jnp.full((W, B), neg),
                             jnp.full((A, B), jnp.float32(k))], 0)
-    qp = jnp.concatenate([jnp.zeros((W, B), jnp.int32), q], 0)
-    rp = jnp.concatenate([jnp.zeros((W, B), jnp.int32), r], 0)
     arange_w = jnp.arange(W, dtype=jnp.int32)[:, None]
 
     def body(i, carry):
@@ -78,120 +88,173 @@ def _chain_scan(qpos, rpos, n_anchor, window: int, k: int,
 
     parents0 = jnp.full((A, B), -1, jnp.int32)
     f, parents = jax.lax.fori_loop(0, A, body, (fpad, parents0))
-    f = f[W:]                                        # [A, B]
-    row = jnp.arange(A)[:, None]
-    pad = row >= n_anchor[None, :]
-    f = jnp.where(pad, neg, f)
-    parents = jnp.where(pad, -1, parents)
-    return f.T, parents.T                            # back to [B, A]
+    return f[W:], parents
 
 
-def _log2ceil(n: int) -> int:
-    l = 0
-    while (1 << l) < n:
-        l += 1
-    return l
+def _pad_top(x, W: int):
+    """Top-pad W zero rows (materialized, so the scan slices contiguously)."""
+    A, B = x.shape
+    return jnp.concatenate([jnp.zeros((W, B), x.dtype), x], 0)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "k"))
-def _chain_backtrack(qpos, rpos, n_anchor, window: int, k: int,
+def _chain_scan_T(qT, rT, n_anchor, window: int, k: int,
+                  max_qgap, max_intron, gap_open, gap_scale, intron_scale,
+                  min_intron_gap):
+    """Transposed contract: qT/rT [A, B] in, f/parent [A, B] out.  The
+    transposes live HOST-side (numpy): a `.T` at the jit boundary lets XLA
+    layout assignment propagate the transposed layout into the scan body,
+    turning the contiguous row slices back into strided ops (20x slower,
+    measured)."""
+    W = window
+    f, parents = _scan_core(_pad_top(qT, W), _pad_top(rT, W), n_anchor,
+                            W, k, max_qgap, max_intron, gap_open, gap_scale,
+                            intron_scale, min_intron_gap)
+    A, B = f.shape
+    neg = jnp.float32(-1e18)
+    row = jnp.arange(A, dtype=jnp.int32)[:, None]
+    pad = row >= n_anchor[None, :]
+    f = jnp.where(pad, neg, f)
+    parents = jnp.where(pad, -1, parents)
+    return f, parents
+
+
+@functools.partial(jax.jit, static_argnames=("window", "k"))
+def _chain_backtrack(buf, window: int, k: int,
                      max_qgap, max_intron, gap_open, gap_scale, intron_scale,
                      min_intron_gap, min_score):
-    """Fused chain DP + backtrack, fully on device.
+    """Fused chain DP + backtrack; see module docstring.  buf is one packed
+    [2A+1, B] int32 H2D array: rows [0,A) = qT, rows [A,2A) = rT, row 2A =
+    n_anchor (transposed host-side, see _chain_scan_T; packed because every
+    separate transfer pays ~10 ms of relay overhead).
 
-    Replicates align.chain.backtrack exactly (primary = argmax trace;
-    secondary = best-scoring end whose chain is anchor-disjoint from the
-    primary, searched over at most 48 candidate ends) but with O(log A)
-    vectorized gathers instead of sequential pointer-chasing: binary-jump
-    ancestor tables give every anchor's k-th ancestor, and an
-    ancestor-closure pass marks ends whose path to root crosses the primary
-    chain.  Only a [B, A] int8 membership mask (1=primary, 2=secondary) and
-    the two scores cross back to the host — 8x fewer bytes than shipping
-    f/parent, which dominated round-1 wall time over the relay.
-    """
-    B, A = qpos.shape
-    f, parent = _chain_scan(qpos, rpos, n_anchor, window, k, max_qgap,
-                            max_intron, gap_open, gap_scale, intron_scale,
-                            min_intron_gap)
-    fT = f.T                                      # [A, B]
-    pT = parent.T
+    Every backtrack pass exploits the window invariant parent[i] ∈ [i-W, i)
+    (both the device scan and the host DP only ever link within the
+    predecessor window), so chain membership and reachability reduce to
+    windowed row-slice loops with the same access pattern as the scan —
+    per-lane gathers along sublanes cost ~0.25 ms each here and are avoided
+    entirely.
+
+    Returns ONE flat uint32 array: [K*B] 2-bit-packed chain membership
+    (bit0=primary, bit1=secondary; anchor a of lane b at word (a//16)*B+b,
+    shift 2*(a%16); K=ceil(A/16)) ++ [B] pscore (f32 bitcast) ++ [B] sscore
+    (f32 bitcast)."""
+    AB1, B = buf.shape
+    A = (AB1 - 1) // 2
+    qT = buf[:A]
+    rT = buf[A:2 * A]
+    n_anchor = buf[2 * A]
+    W = window
+    fT, pT = _scan_core(_pad_top(qT, W), _pad_top(rT, W), n_anchor,
+                        W, k, max_qgap, max_intron, gap_open, gap_scale,
+                        intron_scale, min_intron_gap)
     neg = jnp.float32(-1e18)
-    LOG = _log2ceil(max(A, 2))
     iota_a = jnp.arange(A, dtype=jnp.int32)[:, None]          # [A, 1]
+    arange_w = jnp.arange(W, dtype=jnp.int32)[:, None]        # [W, 1]
 
-    def row_gather(mat, idx):
-        """mat[idx[a,b], b] with idx == -1 passed through as -1/identity."""
-        safe = jnp.clip(idx, 0, A - 1)
-        return jnp.take_along_axis(mat, safe, axis=0)
-
-    # ---- binary-jump ancestor tables + depth
-    anc = [pT]
-    for _ in range(LOG - 1):
-        prev = anc[-1]
-        nxt = jnp.where(prev >= 0, row_gather(prev, prev), -1)
-        anc.append(nxt)
-    depth = jnp.where(pT >= 0, 1, 0).astype(jnp.int32)
-    ptr = pT
-    for _ in range(LOG):
-        depth = depth + jnp.where(ptr >= 0, row_gather(depth, ptr), 0)
-        ptr = jnp.where(ptr >= 0, row_gather(ptr, ptr), -1)
-
-    def chain_mask(end, ok):
-        """[A, B] bool: anchor a is on the chain ending at end[lane].
-
-        a is on chain(end) iff jumping depth[end]-depth[a] parent steps from
-        end lands exactly on a."""
-        d_end = jnp.take_along_axis(depth, end[None, :], axis=0)  # [1, B]
-        kjump = d_end - depth                                     # [A, B]
-        cur = jnp.broadcast_to(end[None, :], (A, B)).astype(jnp.int32)
-        for l in range(LOG):
-            take = ((kjump >> l) & 1) == 1
-            nxt = jnp.where(cur >= 0, row_gather(anc[l], cur), -1)
-            cur = jnp.where(take, nxt, cur)
-        on = (cur == iota_a) & (kjump >= 0)
-        return on & ok[None, :]
-
-    valid = iota_a < n_anchor[None, :]                            # [A, B]
-    f_masked = jnp.where(valid, fT, neg)
-    pe = jnp.argmax(f_masked, axis=0).astype(jnp.int32)           # [B]
-    ps = jnp.max(f_masked, axis=0)
+    valid = iota_a < n_anchor[None, :]                        # [A, B]
+    fm = jnp.where(valid, fT, neg)
+    pe = jnp.argmax(fm, axis=0).astype(jnp.int32)             # [B]
+    ps = jnp.max(fm, axis=0)
     p_ok = ps >= min_score
-    mask1 = chain_mask(pe, p_ok)
 
-    # ---- ends whose root path crosses the primary chain (ancestor closure)
-    reach = mask1
-    ptr = pT
-    for _ in range(LOG):
-        reach = reach | (jnp.where(ptr >= 0, row_gather(reach, ptr), False))
-        ptr = jnp.where(ptr >= 0, row_gather(ptr, ptr), -1)
+    # bottom-pad parents with W dead rows so backward window slices fit
+    pT_pad = jnp.concatenate([pT, jnp.full((W, B), -1, jnp.int32)], 0)
 
-    scorable = valid & (f_masked >= min_score) & p_ok[None, :]
+    def membership(end, ok):
+        """[A, B] bool: anchor a on the chain ending at end[lane].
+
+        Backward windowed pass: a is on the chain iff a == end, or some
+        on-chain anchor in (a, a+W] has parent a."""
+        buf0 = jnp.zeros((A + W, B), jnp.bool_)
+
+        def body(t, buf):
+            i = A - 1 - t
+            win_on = jax.lax.dynamic_slice(buf, (i + 1, 0), (W, B))
+            win_par = jax.lax.dynamic_slice(pT_pad, (i + 1, 0), (W, B))
+            row = (i == end) | jnp.any(win_on & (win_par == i), axis=0)
+            row = row & ok
+            return jax.lax.dynamic_update_slice(buf, row[None, :], (i, 0))
+
+        buf = jax.lax.fori_loop(0, A, body, buf0)
+        return buf[:A]
+
+    mask1 = membership(pe, p_ok)
+
+    # reach[a] = root path of a crosses the primary chain.  Forward windowed
+    # pass: reach[a] = mask1[a] | reach[parent[a]], parent[a] ∈ [a-W, a).
+    def reach_body(i, buf):
+        win = jax.lax.dynamic_slice(buf, (i, 0), (W, B))      # rows i-W..i-1
+        par = jax.lax.dynamic_slice(pT, (i, 0), (1, B))       # [1, B]
+        sel = (arange_w == (par - (i - W))) & (par >= 0)      # [W, B]
+        up = jnp.any(win & sel, axis=0)
+        row = jax.lax.dynamic_slice(mask1, (i, 0), (1, B))[0] | up
+        return jax.lax.dynamic_update_slice(buf, row[None, :], (i + W, 0))
+
+    reach = jax.lax.fori_loop(0, A, reach_body,
+                              jnp.zeros((W + A, B), jnp.bool_))[W:]
+
+    scorable = valid & (fm >= min_score) & p_ok[None, :]
     disj = scorable & ~reach
-    f_disj = jnp.where(disj, f_masked, neg)
+    f_disj = jnp.where(disj, fm, neg)
     se = jnp.argmax(f_disj, axis=0).astype(jnp.int32)
     ss = jnp.max(f_disj, axis=0)
     any_disj = jnp.any(disj, axis=0)
-    # the host examines candidate ends in descending-score order and gives
-    # up after 48 overlapping ones: count overlapping ends ranked ahead
-    fse = jnp.take_along_axis(f_masked, se[None, :], axis=0)      # [1, B]
-    ahead = (f_masked > fse) | ((f_masked == fse) & (iota_a < se[None, :]))
-    n_better = jnp.sum((scorable & reach & ~mask1 & ahead), axis=0)
+    # the host examines candidate ends in descending-score order (ties ->
+    # lower index first) and gives up after 48 overlapping ones; every
+    # overlapping candidate ranked ahead of the best disjoint end would have
+    # been traced first, so replicate the cap by counting them
+    fse = jnp.take_along_axis(fm, se[None, :], axis=0)        # [1, B]
+    ahead = (fm > fse) | ((fm == fse) & (iota_a < se[None, :]))
+    n_better = jnp.sum(scorable & reach & ~mask1 & ahead, axis=0)
     s_ok = any_disj & (n_better < 48)
-    mask2 = chain_mask(se, s_ok)
+    mask2 = membership(se, s_ok)
 
-    mask = (mask1.astype(jnp.int8) + 2 * mask2.astype(jnp.int8)).T  # [B, A]
-    return mask, jnp.where(p_ok, ps, 0.0), jnp.where(s_ok, ss, 0.0)
+    # 2-bit pack, 16 anchors per uint32 word: tiny D2H, and sidesteps the
+    # relay's pathological (u)int8 serialization paths
+    val = mask1.astype(jnp.uint32) + 2 * mask2.astype(jnp.uint32)  # [A, B]
+    K = (A + 15) // 16
+    pad = K * 16 - A
+    if pad:
+        val = jnp.concatenate([val, jnp.zeros((pad, B), jnp.uint32)], 0)
+    val = val.reshape(K, 16, B)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, :, None]
+    packed = jnp.sum(val << shifts, axis=1, dtype=jnp.uint32)      # [K, B]
+    ps_bits = jax.lax.bitcast_convert_type(
+        jnp.where(p_ok, ps, 0.0), jnp.uint32)
+    ss_bits = jax.lax.bitcast_convert_type(
+        jnp.where(s_ok, ss, 0.0), jnp.uint32)
+    # ship ONE flat array (each transfer pays ~10 ms relay overhead, and
+    # device arrays with dim0 < 8 sublanes hit a ~600x slower de-padding
+    # path in the relay's D2H serialization)
+    return jnp.concatenate([packed.reshape(-1), ps_bits, ss_bits])
+
+
+def unpack_chain_result(flat: np.ndarray, A: int, B: int):
+    """Host-side inverse of the kernel's packing: flat [K*B+2B] uint32 ->
+    (mask [B, A] uint8 with bit0=primary / bit1=secondary, ps [B] f32,
+    ss [B] f32)."""
+    K = (A + 15) // 16
+    packed = flat[: K * B].reshape(K, B)
+    ps = flat[K * B: K * B + B].view(np.float32)
+    ss = flat[K * B + B:].view(np.float32)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :, None]
+    bits = ((packed[:, None, :] >> shifts) & 3).astype(np.uint8)
+    return bits.reshape(K * 16, B)[:A].T, ps, ss
 
 
 def chain_backtrack_batch_async(qpos: np.ndarray, rpos: np.ndarray,
                                 n_anchor: np.ndarray, p: ChainParams,
                                 min_score: float):
-    """Dispatch fused chain+backtrack; returns device (mask, ps, ss)."""
-    q = jnp.asarray(qpos, jnp.int32)
-    r = jnp.asarray(rpos, jnp.int32)
-    n = jnp.asarray(n_anchor, jnp.int32)
+    """Dispatch fused chain+backtrack; returns the flat device result
+    (decode with unpack_chain_result after jax.device_get)."""
+    B, A = qpos.shape
+    buf = np.empty((2 * A + 1, B), np.int32)
+    buf[:A] = qpos.T
+    buf[A:2 * A] = rpos.T
+    buf[2 * A] = n_anchor
     return _chain_backtrack(
-        q, r, n, p.window, p.k,
+        jnp.asarray(buf), p.window, p.k,
         jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
         jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
         jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap),
@@ -201,9 +264,10 @@ def chain_backtrack_batch_async(qpos: np.ndarray, rpos: np.ndarray,
 def chain_anchors_batch_async(qpos: np.ndarray, rpos: np.ndarray,
                               n_anchor: np.ndarray, p: ChainParams,
                               shard: bool = True):
-    """Dispatch the chain DP without blocking; returns device arrays."""
-    q = jnp.asarray(qpos, jnp.int32)
-    r = jnp.asarray(rpos, jnp.int32)
+    """Dispatch the chain DP without blocking; returns device arrays
+    (fT, parentT) in the kernel's native [A, B] layout."""
+    q = jnp.asarray(np.ascontiguousarray(qpos.T), jnp.int32)
+    r = jnp.asarray(np.ascontiguousarray(rpos.T), jnp.int32)
     n = jnp.asarray(n_anchor, jnp.int32)
     if shard:
         devs = jax.devices()
@@ -211,12 +275,12 @@ def chain_anchors_batch_async(qpos: np.ndarray, rpos: np.ndarray,
         if len(devs) > 1 and B % len(devs) == 0 and B >= 2 * len(devs):
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
             mesh = Mesh(np.array(devs), ("dp",))
-            s2 = NamedSharding(mesh, P("dp", None))
+            s2 = NamedSharding(mesh, P(None, "dp"))
             s1 = NamedSharding(mesh, P("dp"))
             q = jax.device_put(q, s2)
             r = jax.device_put(r, s2)
             n = jax.device_put(n, s1)
-    return _chain_scan(
+    return _chain_scan_T(
         q, r, n, p.window, p.k,
         jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
         jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
@@ -231,23 +295,6 @@ def chain_anchors_batch(qpos: np.ndarray, rpos: np.ndarray,
     With several local devices and a divisible batch, rows are placed with a
     dp NamedSharding so XLA runs the batch data-parallel across chips.
     """
-    q = jnp.asarray(qpos, jnp.int32)
-    r = jnp.asarray(rpos, jnp.int32)
-    n = jnp.asarray(n_anchor, jnp.int32)
-    if shard:
-        devs = jax.devices()
-        B = qpos.shape[0]
-        if len(devs) > 1 and B % len(devs) == 0 and B >= 2 * len(devs):
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-            mesh = Mesh(np.array(devs), ("dp",))
-            s2 = NamedSharding(mesh, P("dp", None))
-            s1 = NamedSharding(mesh, P("dp"))
-            q = jax.device_put(q, s2)
-            r = jax.device_put(r, s2)
-            n = jax.device_put(n, s1)
-    f, parent = _chain_scan(
-        q, r, n, p.window, p.k,
-        jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
-        jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
-        jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap))
-    return np.asarray(f), np.asarray(parent)
+    fT, parentT = chain_anchors_batch_async(qpos, rpos, n_anchor, p, shard)
+    f, parent = jax.device_get((fT, parentT))
+    return np.ascontiguousarray(f.T), np.ascontiguousarray(parent.T)
