@@ -296,13 +296,17 @@ class BatchAligner:
         return recs
 
     def dispatch_batch(self, names: Sequence[str], reads: List[np.ndarray]):
-        """Phase 1: seeding + async chain dispatch; returns a handle."""
+        """Phase 1: seeding + async chain dispatch; returns a handle.
+
+        NOTE: D2H overlap options are closed off by the relay client: a
+        device_get on a second thread deadlocks it, and copy_to_host_async
+        hangs it.  finish_batch pays the blocking device_get."""
         rows = self._batch_anchors(reads)
         pending = self._chain_rows_async(rows)
         return (names, reads, rows, pending)
 
     def finish_batch(self, handle) -> List[AlnRec]:
-        """Phase 2: materialize chains, backtrack, extend, build records."""
+        """Phase 2: materialize chains, extend, build records."""
         names, reads, rows, pending = handle
         chained = self._materialize_chains(rows, pending)
         return self._build_records(names, reads, rows, chained)
