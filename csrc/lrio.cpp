@@ -15,6 +15,7 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 namespace {
 
@@ -661,6 +662,75 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
     *ed_out = ed;
     *nmatch_out = nmatch;
     *vote_out = vote;
+    return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Batched splice-aware chain extension: one call per aligner batch instead
+// of one ctypes crossing per candidate (~85 us each measured).  Candidates
+// carry ragged anchor lists (a_offs offsets into aq/ag); each candidate's
+// ops go to a fixed-stride slot of ops_out (stride = ops_stride PAIRS).
+// Strand-1 candidates are reverse-complemented here (io/fasta._COMP:
+// A<->T, C<->G, N->N).  Threaded over candidate ranges (the work is
+// read-only on shared inputs and strided on outputs).
+int extend_chain_batch_c(
+    const uint8_t* reads, const int64_t* read_offs,
+    const uint8_t* ref, int64_t ref_len,
+    const int64_t* chrom_offs, int n_chrom,
+    const int32_t* cand_read, const int8_t* cand_strand,
+    const int64_t* aq, const int64_t* ag, const int64_t* a_offs,
+    int k, int min_intron_gap, int min_intron_len, int band_pad,
+    int ext_match, int ext_mismatch, int B_junc,
+    int n_cand, int ops_stride, int n_threads,
+    int64_t* pos_out, int32_t* ops_out, int32_t* n_ops_out,
+    int64_t* ed_out, int64_t* nmatch_out, int32_t* vote_out,
+    int32_t* rc_out) {
+    auto work = [&](int lo, int hi) {
+        std::vector<uint8_t> rcbuf;
+        for (int i = lo; i < hi; ++i) {
+            int ri = cand_read[i];
+            const uint8_t* codes = reads + read_offs[ri];
+            int64_t L = read_offs[ri + 1] - read_offs[ri];
+            if (cand_strand[i]) {
+                rcbuf.resize((size_t)L);
+                for (int64_t t = 0; t < L; ++t) {
+                    uint8_t c = codes[L - 1 - t];
+                    rcbuf[(size_t)t] = c < 4 ? (uint8_t)(3 - c) : c;
+                }
+                codes = rcbuf.data();
+            }
+            const int64_t* cq = aq + a_offs[i];
+            const int64_t* cg = ag + a_offs[i];
+            int na = (int)(a_offs[i + 1] - a_offs[i]);
+            if (na <= 0) { rc_out[i] = -1; n_ops_out[i] = 0; continue; }
+            const int64_t* ub = std::upper_bound(chrom_offs,
+                                                 chrom_offs + n_chrom + 1,
+                                                 cg[0]);
+            int t = (int)(ub - chrom_offs) - 1;
+            int32_t cap = ops_stride;
+            rc_out[i] = extend_chain_c(
+                codes, L, ref, ref_len, chrom_offs[t], chrom_offs[t + 1],
+                cq, cg, na, k, min_intron_gap, min_intron_len, band_pad,
+                ext_match, ext_mismatch, B_junc,
+                pos_out + i, ops_out + (int64_t)i * 2 * ops_stride, &cap,
+                ed_out + i, nmatch_out + i, vote_out + i);
+            n_ops_out[i] = cap;
+        }
+    };
+    if (n_threads <= 1 || n_cand < 2 * n_threads) {
+        work(0, n_cand);
+    } else {
+        std::vector<std::thread> ts;
+        int per = (n_cand + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; ++t) {
+            int lo = t * per, hi = std::min(n_cand, lo + per);
+            if (lo < hi) ts.emplace_back(work, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
     return 0;
 }
 
