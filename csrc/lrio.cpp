@@ -210,6 +210,55 @@ int refine_splice_indel_c(
     return 0;
 }
 
+// Op recovery for a junction cell chosen by the DEVICE splice DP
+// (ops/splice_device.py): recomputes only the two banded flank DPs and
+// tracebacks at the given (j, cl, cr) — skipping the (m+1)*W^2 combine
+// scan, which is the ~85% of refine_splice_indel_c the accelerator owns.
+// Batched over cells; same output convention as refine_splice_indel_c.
+int junction_cell_ops_batch_c(
+    const uint8_t* qs, const int64_t* q_offs,     // ragged gap queries
+    const uint8_t* ref, int64_t ref_len,
+    const int64_t* left_ref, const int64_t* right_ref,
+    const int32_t* cell_j, const int32_t* cell_cl, const int32_t* cell_cr,
+    int B, int n_gap, int ops_stride,
+    int32_t* left_ops, int32_t* left_n,
+    int32_t* right_ops, int32_t* right_n) {
+    const int W = 2 * B + 1;
+    std::vector<double> SL, SR;
+    std::vector<uint8_t> lwin, rwin, qrev;
+    for (int i = 0; i < n_gap; ++i) {
+        int m = (int)(q_offs[i + 1] - q_offs[i]);
+        const uint8_t* q = qs + q_offs[i];
+        int64_t span = right_ref[i] - left_ref[i];
+        int nl = (int)std::min<int64_t>(m + B, span);
+        int nr = nl;
+        lwin.assign(ref + left_ref[i], ref + left_ref[i] + nl);
+        rwin.resize(nr);
+        for (int t = 0; t < nr; ++t) rwin[t] = ref[right_ref[i] - 1 - t];
+        qrev.assign(q, q + m);
+        std::reverse(qrev.begin(), qrev.end());
+        SL.resize((size_t)(m + 1) * W);
+        SR.resize((size_t)(m + 1) * W);
+        shift_dp(q, m, lwin.data(), nl, B, SL.data());
+        shift_dp(qrev.data(), m, rwin.data(), nr, B, SR.data());
+        int bj = cell_j[i], bcl = cell_cl[i], bcr = cell_cr[i];
+        left_n[i] = traceback(q, lwin.data(), SL.data(), m, B, bj, bcl,
+                              left_ops + (int64_t)i * 2 * ops_stride,
+                              ops_stride);
+        int rn = traceback(qrev.data(), rwin.data(), SR.data(), m, B,
+                           m - bj, bcr,
+                           right_ops + (int64_t)i * 2 * ops_stride,
+                           ops_stride);
+        int32_t* ro = right_ops + (int64_t)i * 2 * ops_stride;
+        for (int t = 0; t < rn / 2; ++t) {
+            std::swap(ro[2 * t], ro[2 * (rn - 1 - t)]);
+            std::swap(ro[2 * t + 1], ro[2 * (rn - 1 - t) + 1]);
+        }
+        right_n[i] = rn;
+    }
+    return 0;
+}
+
 // Minimizer extraction (index/minimizer.py::extract_minimizers).
 // codes: uint8 [n_codes]; outputs hash/pos/strand arrays (cap = n_codes).
 // Returns count.

@@ -1,0 +1,398 @@
+"""Splice-aware banded junction DP on the accelerator.
+
+The north-star kernel of the minimap2 `-ax splice` role (reference
+Snakefile:61): for every inter-anchor-block gap that looks like an intron,
+align both query flanks with a banded shift DP (|shift| <= B indels) and
+score every (query split j, left shift cl, right shift cr) joint placement
+with the GT..AG/CT..AC motif bonus — the exact semantics of
+align/splice.py::refine_splice_indel_np / csrc refine_splice_indel_c, whose
+scores are all integers and therefore exact in float32.
+
+Batched over gaps: gaps live on lanes, the DP walks the query axis.  Two
+interchangeable device implementations:
+
+  * `junction_batch_scan`  — lax.scan over query positions, [W, G] state
+    rows (XLA path; fastest here — measured).
+  * `junction_batch_pallas`— the same recurrence as a Pallas TPU kernel,
+    one grid program per 128-gap lane block, DP state in VMEM.
+
+Both return per-gap placements (score, j, cl, cr, vote).  Op recovery for
+the chosen cell (the cheap ~15%) runs on the host via csrc
+junction_cell_ops_batch_c, so the accelerator owns the (m+1)*W*W combine
+scan that dominates refine_splice_indel_c.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MATCH = 1.0
+MISMATCH = -2.0
+GAP = -3.0
+NEG = -1e18
+
+MGAP = 64          # max gap-query length handled on device (host fallback)
+B_DEF = 4
+PAD_CODE = 7       # never equals a real base code 0..3
+
+
+# ---------------------------------------------------------------------------
+# host-side batch preparation
+# ---------------------------------------------------------------------------
+
+def prepare_junction_batch(ref: np.ndarray, gaps: List[Tuple[np.ndarray, int, int]],
+                           B: int = B_DEF):
+    """Pack (q, left_ref, right_ref) gap descriptors into padded arrays.
+
+    Returns dict of arrays with G = len(gaps) lanes, or None when empty.
+    Gaps must satisfy len(q) <= MGAP and right_ref - left_ref >= len(q)+B
+    (callers route larger gaps to the host implementation).
+    """
+    G = len(gaps)
+    if G == 0:
+        return None
+    W = 2 * B + 1
+    n = len(ref)
+    q = np.full((MGAP, G), PAD_CODE, np.int32)
+    qr = np.full((MGAP, G), PAD_CODE, np.int32)
+    lwin = np.full((MGAP + B, G), PAD_CODE, np.int32)
+    rwin = np.full((MGAP + B, G), PAD_CODE, np.int32)
+    m_arr = np.zeros(G, np.int32)
+    span_arr = np.zeros(G, np.int64)
+    # donor/acceptor classes over candidate offsets i in [0, m+2B]
+    # (class 0 = none; -1 = out-of-reference candidate -> masked)
+    dok = np.full((MGAP + 2 * B + 1, G), -1, np.int8)
+    aok = np.full((MGAP + 2 * B + 1, G), -1, np.int8)
+    for g, (qg, lr, rr) in enumerate(gaps):
+        m = len(qg)
+        m_arr[g] = m
+        span_arr[g] = rr - lr
+        q[:m, g] = qg
+        qr[:m, g] = qg[::-1]
+        nl = min(m + B, rr - lr)
+        lwin[:nl, g] = ref[lr: lr + nl]
+        rwin[:nl, g] = ref[rr - nl: rr][::-1]
+        i = np.arange(m + 2 * B + 1)
+        don = lr + i - B
+        dvalid = (don >= 0) & (don + 1 < n)
+        d0 = ref[np.clip(don, 0, n - 1)]
+        d1 = ref[np.clip(don + 1, 0, n - 1)]
+        dc = np.zeros(len(i), np.int8)
+        dc[(d0 == 2) & (d1 == 3)] = 1   # GT
+        dc[(d0 == 1) & (d1 == 3)] = 2   # CT
+        dc[(d0 == 2) & (d1 == 1)] = 3   # GC
+        dc[(d0 == 0) & (d1 == 3)] = 4   # AT
+        dok[:len(i), g] = np.where(dvalid, dc, -1)
+        last = rr - (i - B) - 1
+        avalid = (last - 1 >= 0) & (last < n)
+        a0 = ref[np.clip(last - 1, 0, n - 1)]
+        a1 = ref[np.clip(last, 0, n - 1)]
+        ac = np.zeros(len(i), np.int8)
+        ac[(a0 == 0) & (a1 == 2)] = 1   # AG
+        ac[(a0 == 0) & (a1 == 1)] = 2   # AC
+        ac[(a0 == 2) & (a1 == 1)] = 3   # GC
+        ac[(a0 == 0) & (a1 == 3)] = 4   # AT
+        aok[:len(i), g] = np.where(avalid, ac, -1)
+    return dict(q=q, qr=qr, lwin=lwin, rwin=rwin, m=m_arr, span=span_arr,
+                dok=dok, aok=aok, B=B)
+
+
+# ---------------------------------------------------------------------------
+# shared combine (XLA) — takes SL/SR [M+1, W, G] from either DP backend
+# ---------------------------------------------------------------------------
+
+def _motif_terms(dc, ac):
+    """bonus, vote from donor/acceptor class tensors (elementwise — no
+    table gathers).  Classes: donor 1=GT 2=CT 3=GC 4=AT; acceptor 1=AG
+    2=AC 3=GC 4=AT; -1/0 = none."""
+    canon_p = (dc == 1) & (ac == 1)
+    canon_m = (dc == 2) & (ac == 2)
+    semi_p = ((dc == 3) & (ac == 1)) | ((dc == 4) & (ac == 2))
+    semi_m = ((dc == 2) & (ac == 3)) | ((dc == 1) & (ac == 4))
+    bonus = jnp.where(canon_p | canon_m, 10.0,
+                      jnp.where(semi_p | semi_m, 5.0, 0.0)).astype(jnp.float32)
+    vote = (jnp.where(canon_p | semi_p, 1, 0)
+            + jnp.where(canon_m | semi_m, -1, 0)).astype(jnp.int32)
+    return bonus, vote
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def _combine(SL, SR, m, span, dok, aok, B: int, min_intron):
+    """Best (j, cl, cr) per gap.  SL/SR: [M+1, W, G] f32."""
+    M1, W, G = SL.shape
+    M = M1 - 1
+    jj = jnp.arange(M1, dtype=jnp.int32)
+    # SRr[j] = SR[m - j] (per-lane row reversal)
+    idx = jnp.clip(m[None, :] - jj[:, None], 0, M)          # [M+1, G]
+    SRr = jnp.take_along_axis(SR, idx[:, None, :].repeat(W, 1), axis=0)
+    # donor class at offset j+cl; acceptor at (m-j)+cr
+    doff = jj[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]   # [M+1, W]
+    dc = dok[doff]                                           # [M+1, W, G]
+    aoff = jnp.clip((m[None, :] - jj[:, None])[:, None, :]
+                    + jnp.arange(W, dtype=jnp.int32)[None, :, None],
+                    0, MGAP + 2 * B)                         # [M+1, W, G]
+    ac = jnp.take_along_axis(
+        jnp.broadcast_to(aok[:, None, :], (aok.shape[0], W, G)), aoff, axis=0)
+    bonus, vote = _motif_terms(dc[:, :, None, :], ac[:, None, :, :])
+    # ilen = span - m + 2B - (cl + cr)
+    clcr = (jnp.arange(W, dtype=jnp.int32)[:, None]
+            + jnp.arange(W, dtype=jnp.int32)[None, :])       # [W, W]
+    ilen = (span - m + 2 * B).astype(jnp.int64)[None, None, None, :] \
+        - clcr[None, :, :, None].astype(jnp.int64)
+    total = SL[:, :, None, :] + SRr[:, None, :, :] + bonus
+    ok = ((jj[:, None, None, None] <= m[None, None, None, :])
+          & (dc[:, :, None, :] >= 0) & (ac[:, None, :, :] >= 0)
+          & (ilen >= min_intron))
+    total = jnp.where(ok, total, jnp.float32(NEG))
+    flat = total.reshape(M1 * W * W, G)
+    best = jnp.argmax(flat, axis=0).astype(jnp.int32)        # lexicographic
+    score = jnp.max(flat, axis=0)
+    bj = best // (W * W)
+    bcl = (best // W) % W
+    bcr = best % W
+    bvote = jnp.take_along_axis(
+        vote.reshape(M1 * W * W, G), best[None, :], axis=0)[0]
+    found = score > jnp.float32(NEG / 2)
+    return score, bj, bcl, bcr, bvote, found
+
+
+# ---------------------------------------------------------------------------
+# DP backend 1: lax.scan (XLA)
+# ---------------------------------------------------------------------------
+
+def _shift_dp_scan(q, win, m, B: int):
+    """Banded shift DP over the query axis; returns S [M+1, W, G] f32.
+
+    q:   [M, G]  gap-query codes (PAD_CODE beyond m)
+    win: [M+B, G] reference window codes
+    """
+    M, G = q.shape
+    W = 2 * B + 1
+    neg = jnp.float32(NEG)
+    cc = jnp.arange(W, dtype=jnp.int32)
+    # row 0: S[0, B+s] = GAP*s for s in [0, B] (s <= nr always), NEG below B
+    row0 = jnp.where((cc >= B)[:, None],
+                     jnp.float32(GAP) * (cc - B)[:, None].astype(jnp.float32),
+                     neg)
+    row0 = jnp.broadcast_to(row0, (W, G))
+    # win padded with B+1 leading rows so row j+c-B-1 lives at j-1+c
+    winpad = jnp.concatenate(
+        [jnp.full((B + 1, G), PAD_CODE, win.dtype), win], 0)
+
+    def body(prev, j):
+        # j is 1-based query position
+        qj = jax.lax.dynamic_slice(q, (j - 1, 0), (1, G))    # [1, G]
+        wsl = jax.lax.dynamic_slice(winpad, (j, 0), (W, G))  # rlen-1 rows
+        sub = jnp.where(wsl == qj, jnp.float32(MATCH), jnp.float32(MISMATCH))
+        rlen = (j + cc - B)[:, None]                         # [W, 1]
+        diag = jnp.where(rlen >= 1, prev + sub, neg)
+        ins = jnp.concatenate([prev[1:] + jnp.float32(GAP),
+                               jnp.full((1, G), neg)], 0)
+        v = jnp.maximum(diag, ins)
+        # sequential deletion scan over the W shifts (static unroll)
+        rows = []
+        best = jnp.full((G,), neg)
+        for c in range(W):
+            best = jnp.maximum(best + jnp.float32(GAP), v[c])
+            valid = (j + c - B >= 0) & (j + c - B <= m + B)  # [G]
+            best = jnp.where(valid, best, neg)
+            rows.append(best)
+        row = jnp.stack(rows, 0)                             # [W, G]
+        return row, row
+
+    _, S = jax.lax.scan(body, row0, jnp.arange(1, M + 1, dtype=jnp.int32))
+    return jnp.concatenate([row0[None], S], 0)               # [M+1, W, G]
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def _junction_scan(q, qr, lwin, rwin, m, span, dok, aok, B: int, min_intron):
+    SL = _shift_dp_scan(q, lwin, m, B)
+    SR = _shift_dp_scan(qr, rwin, m, B)
+    return _combine(SL, SR, m, span, dok, aok, B, min_intron)
+
+
+def junction_batch_scan(batch, min_intron: int = 30):
+    """Run the scan-backend junction DP; returns numpy placement arrays
+    (score, j, cl, cr, vote, found)."""
+    B = batch["B"]
+    out = _junction_scan(
+        jnp.asarray(batch["q"]), jnp.asarray(batch["qr"]),
+        jnp.asarray(batch["lwin"]), jnp.asarray(batch["rwin"]),
+        jnp.asarray(batch["m"]), jnp.asarray(batch["span"]),
+        jnp.asarray(batch["dok"]), jnp.asarray(batch["aok"]),
+        B, jnp.int64(min_intron))
+    return tuple(np.asarray(x) for x in jax.device_get(out))
+
+
+# ---------------------------------------------------------------------------
+# DP backend 2: Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+LANES = 128
+
+
+def _dp_kernel(q_ref, win_ref, m_ref, S_ref, *, B: int, M: int):
+    """One flank DP for a 128-gap lane block.  S_ref is [(M+1)*W, LANES]."""
+    W = 2 * B + 1
+    neg = jnp.float32(NEG)
+    m = m_ref[0, :]                                          # [LANES]
+    # row 0
+    for c in range(W):
+        s = c - B
+        S_ref[c, :] = jnp.full((LANES,), GAP * s if s >= 0 else NEG,
+                               jnp.float32)
+
+    def body(j, prev):
+        qj = q_ref[pl.ds(j - 1, 1), :]                       # [1, LANES]
+        wsl = win_ref[pl.ds(j, 1 + 2 * B), :]                # rows j..j+2B
+        sub = jnp.where(wsl == qj, jnp.float32(MATCH),
+                        jnp.float32(MISMATCH))
+        rlen_ok = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 0) \
+            + j - B >= 1
+        diag = jnp.where(rlen_ok, prev + sub, neg)
+        ins = jnp.concatenate([prev[1:] + jnp.float32(GAP),
+                               jnp.full((1, LANES), neg)], 0)
+        v = jnp.maximum(diag, ins)
+        rows = []
+        best = jnp.full((LANES,), neg)
+        for c in range(W):
+            best = jnp.maximum(best + jnp.float32(GAP), v[c])
+            valid = (j + c - B >= 0) & (j + c - B <= m + B)
+            best = jnp.where(valid, best, neg)
+            rows.append(best)
+        row = jnp.stack(rows, 0)
+        S_ref[pl.ds(j * W, W), :] = row
+        return row
+
+    prev0 = S_ref[pl.ds(0, W), :]
+    jax.lax.fori_loop(1, M + 1, body, prev0)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "M", "interpret"))
+def _junction_pallas_dp(q, qr, lwin, rwin, m, B: int, M: int,
+                        interpret: bool = False):
+    """Pallas twin of _shift_dp_scan for both flanks; returns SL, SR
+    [(M+1)*W, G] (reshape to [M+1, W, G] outside)."""
+    Mq, G = q.shape
+    W = 2 * B + 1
+    winpad_l = jnp.concatenate(
+        [jnp.full((B + 1, G), PAD_CODE, jnp.int32), lwin], 0)
+    winpad_r = jnp.concatenate(
+        [jnp.full((B + 1, G), PAD_CODE, jnp.int32), rwin], 0)
+    m2 = m.reshape(1, G)
+    grid = (G // LANES,)
+    kern = functools.partial(_dp_kernel, B=B, M=M)
+
+    def call(qa, wina):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((Mq, LANES), lambda i: (0, i)),
+                pl.BlockSpec((Mq + 2 * B + 1, LANES), lambda i: (0, i)),
+                pl.BlockSpec((1, LANES), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec(((M + 1) * W, LANES), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct(((M + 1) * W, G), jnp.float32),
+            interpret=interpret,
+        )(qa, wina, m2)
+
+    return call(q, winpad_l), call(qr, winpad_r)
+
+
+def junction_batch_pallas(batch, min_intron: int = 30,
+                          interpret: bool = False):
+    """Pallas-backend junction DP (same contract as junction_batch_scan)."""
+    B = batch["B"]
+    G = batch["q"].shape[1]
+    Gp = -(-G // LANES) * LANES
+
+    def pad(a, fill):
+        if a.ndim == 1:
+            return np.concatenate([a, np.full(Gp - G, fill, a.dtype)])
+        return np.concatenate(
+            [a, np.full((a.shape[0], Gp - G), fill, a.dtype)], 1)
+
+    q = pad(batch["q"], PAD_CODE)
+    qr = pad(batch["qr"], PAD_CODE)
+    lwin = pad(batch["lwin"], PAD_CODE)
+    rwin = pad(batch["rwin"], PAD_CODE)
+    m = pad(batch["m"], 0)
+    SLf, SRf = _junction_pallas_dp(
+        jnp.asarray(q), jnp.asarray(qr), jnp.asarray(lwin),
+        jnp.asarray(rwin), jnp.asarray(m), B, MGAP, interpret=interpret)
+    W = 2 * B + 1
+    SL = SLf.reshape(MGAP + 1, W, Gp)
+    SR = SRf.reshape(MGAP + 1, W, Gp)
+    out = _combine(SL, SR, jnp.asarray(m), jnp.asarray(pad(batch["span"], 1)),
+                   jnp.asarray(pad(batch["dok"], -1)),
+                   jnp.asarray(pad(batch["aok"], -1)), B,
+                   jnp.int64(min_intron))
+    return tuple(np.asarray(x)[:G] for x in jax.device_get(out))
+
+
+# ---------------------------------------------------------------------------
+# host op-recovery for device placements
+# ---------------------------------------------------------------------------
+
+def recover_ops(ref: np.ndarray, gaps, placements, B: int = B_DEF):
+    """For each found gap, recover (left_ops, intron_len, right_ops, vote,
+    score) exactly as refine_splice_indel would, using the native cell
+    traceback (csrc junction_cell_ops_batch_c).  Returns list with None for
+    not-found gaps."""
+    from ..native import get_lib
+    score, bj, bcl, bcr, vote, found = placements
+    lib = get_lib()
+    results: List[Optional[tuple]] = [None] * len(gaps)
+    sel = [g for g in range(len(gaps)) if found[g]]
+    if not sel:
+        return results
+    if lib is None:
+        from ..align.splice import refine_splice_indel_np
+        for g in sel:
+            qg, lr, rr = gaps[g]
+            results[g] = refine_splice_indel_np(qg, ref, lr, rr, B)
+        return results
+    n = len(sel)
+    q_offs = np.zeros(n + 1, np.int64)
+    for t, g in enumerate(sel):
+        q_offs[t + 1] = q_offs[t] + len(gaps[g][0])
+    qs = (np.concatenate([np.ascontiguousarray(gaps[g][0], np.uint8)
+                          for g in sel])
+          if q_offs[-1] else np.zeros(0, np.uint8))
+    lr = np.array([gaps[g][1] for g in sel], np.int64)
+    rr = np.array([gaps[g][2] for g in sel], np.int64)
+    stride = MGAP + 2 * B + 4
+    lo = np.zeros(n * 2 * stride, np.int32)
+    ro = np.zeros(n * 2 * stride, np.int32)
+    ln = np.zeros(n, np.int32)
+    rn = np.zeros(n, np.int32)
+    lib.junction_cell_ops_batch_c(
+        qs, q_offs, ref, len(ref), lr, rr,
+        np.ascontiguousarray(bj[sel], np.int32),
+        np.ascontiguousarray(bcl[sel], np.int32),
+        np.ascontiguousarray(bcr[sel], np.int32),
+        B, n, stride, lo, ln, ro, rn)
+    for t, g in enumerate(sel):
+        base = t * 2 * stride
+        lops = [(int(lo[base + 2 * i]), int(lo[base + 2 * i + 1]))
+                for i in range(ln[t])]
+        rops = [(int(ro[base + 2 * i]), int(ro[base + 2 * i + 1]))
+                for i in range(rn[t])]
+        m = len(gaps[g][0])
+        span = gaps[g][2] - gaps[g][1]
+        ilen = int(span - m + 2 * B - (bcl[g] + bcr[g]))
+        results[g] = (lops, ilen, rops, int(vote[g]), float(score[g]))
+    return results
