@@ -716,7 +716,390 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
 
 }  // extern "C"
 
+namespace {
+
+// chain anchors -> colinear blocks with intron-edge pullback
+// (the block phase of extend_chain_c, shared with the device-junction
+// two-pass path).  Returns block count (capped at max_blocks).
+struct Blk64 { int64_t q0, g0, len; };
+
+int build_blocks(const int64_t* cq, const int64_t* cg, int n_anchor, int k,
+                 int min_intron_gap, Blk64* out, int max_blocks) {
+    int nb = 0;
+    int64_t q0 = cq[0], g0 = cg[0];
+    int64_t qe = q0 + k, ge = g0 + k;
+    for (int i = 1; i < n_anchor; ++i) {
+        int64_t qi = cq[i], gi = cg[i];
+        if (qi - q0 == gi - g0) {
+            qe = std::max(qe, qi + k);
+            ge = std::max(ge, gi + k);
+            continue;
+        }
+        int64_t d = std::max(qe - qi, ge - gi);
+        int64_t klen = k;
+        if (d > 0) {
+            if (d >= k) continue;
+            qi += d; gi += d; klen = k - d;
+        }
+        if (nb < max_blocks) out[nb++] = {q0, g0, qe - q0};
+        q0 = qi; g0 = gi; qe = qi + klen; ge = gi + klen;
+    }
+    if (nb < max_blocks) out[nb++] = {q0, g0, qe - q0};
+    const int64_t E = 6;
+    for (int i = 1; i < nb; ++i) {
+        Blk64& pb = out[i - 1];
+        Blk64& bb = out[i];
+        int64_t gq = bb.q0 - (pb.q0 + pb.len);
+        int64_t gg = bb.g0 - (pb.g0 + pb.len);
+        if (gg - gq >= min_intron_gap) {
+            int64_t El = pb.len > 8 ? std::min(E, pb.len - 8) : 0;
+            int64_t Er = bb.len > 8 ? std::min(E, bb.len - 8) : 0;
+            pb.len -= El;
+            bb.q0 += Er; bb.g0 += Er; bb.len -= Er;
+        }
+    }
+    return nb;
+}
+
+}  // namespace
+
 extern "C" {
+
+// ---- Device-junction two-pass extension -----------------------------------
+//
+// Pass 1 (collect): block merge + intron-gap discovery.  Clean gaps (exact
+// split + canonical motif, the refine_splice fast path) are resolved here;
+// the rest are emitted for the DEVICE splice DP (ops/splice_device.py).
+// Pass 2 (assemble) stitches blocks + device placements into CIGARs.
+//
+// Gap records are strided per candidate (GSTRIDE slots); jflag: 0 = device
+// (query in jq, length jqlen), 1 = clean split (jclean_j/jclean_vote),
+// 2 = native refine in assemble (query too long for the device pad).
+int collect_gaps_batch_c(
+    const uint8_t* reads, const int64_t* read_offs,
+    const uint8_t* ref, int64_t ref_len,
+    const int32_t* cand_read, const int8_t* cand_strand,
+    const int64_t* aq, const int64_t* ag, const int64_t* a_offs,
+    int k, int min_intron_gap, int min_intron_len, int mgap_cap,
+    int n_cand, int blk_stride, int gstride,
+    int64_t* blocks_out,     // [n_cand * blk_stride * 3]
+    int32_t* n_blocks_out,   // [n_cand]
+    int8_t* jflag,           // [n_cand * gstride]
+    uint8_t* jq,             // [n_cand * gstride * mgap_cap]
+    int32_t* jqlen,          // [n_cand * gstride]
+    int64_t* jlref, int64_t* jrref,
+    int32_t* jclean_j, int32_t* jclean_vote,
+    int32_t* n_junc_out,     // [n_cand] (-1 = overflow -> caller fallback)
+    int n_threads) {
+    auto work = [&](int lo_c, int hi_c) {
+        std::vector<uint8_t> rcbuf;
+        std::vector<Blk64> blk(blk_stride);
+        for (int i = lo_c; i < hi_c; ++i) {
+            int ri = cand_read[i];
+            const uint8_t* codes = reads + read_offs[ri];
+            int64_t L = read_offs[ri + 1] - read_offs[ri];
+            if (cand_strand[i]) {
+                rcbuf.resize((size_t)L);
+                for (int64_t t = 0; t < L; ++t) {
+                    uint8_t c = codes[L - 1 - t];
+                    rcbuf[(size_t)t] = c < 4 ? (uint8_t)(3 - c) : c;
+                }
+                codes = rcbuf.data();
+            }
+            const int64_t* cq = aq + a_offs[i];
+            const int64_t* cg = ag + a_offs[i];
+            int na = (int)(a_offs[i + 1] - a_offs[i]);
+            if (na <= 0) { n_blocks_out[i] = 0; n_junc_out[i] = 0; continue; }
+            int nb = build_blocks(cq, cg, na, k, min_intron_gap, blk.data(),
+                                  blk_stride);
+            n_blocks_out[i] = nb;
+            for (int b = 0; b < nb; ++b) {
+                blocks_out[((int64_t)i * blk_stride + b) * 3 + 0] = blk[b].q0;
+                blocks_out[((int64_t)i * blk_stride + b) * 3 + 1] = blk[b].g0;
+                blocks_out[((int64_t)i * blk_stride + b) * 3 + 2] = blk[b].len;
+            }
+            int nj = 0;
+            bool overflow = false;
+            for (int b = 1; b < nb && !overflow; ++b) {
+                int64_t pqe = blk[b - 1].q0 + blk[b - 1].len;
+                int64_t pge = blk[b - 1].g0 + blk[b - 1].len;
+                int64_t gq = std::max<int64_t>(blk[b].q0 - pqe, 0);
+                int64_t gg = std::max<int64_t>(blk[b].g0 - pge, 0);
+                if (!(gg - gq >= min_intron_gap && gg - gq >= min_intron_len))
+                    continue;
+                if (nj >= gstride) { overflow = true; break; }
+                int64_t gi = (int64_t)i * gstride + nj;
+                jlref[gi] = pge;
+                jrref[gi] = blk[b].g0;
+                double fsc; int32_t v;
+                int jsplit = refine_splice_c(codes + pqe, (int)gq, ref,
+                                             ref_len, pge, blk[b].g0,
+                                             &fsc, &v);
+                if (fsc >= (double)gq + BONUS_CANON) {
+                    jflag[gi] = 1;
+                    jclean_j[gi] = jsplit;
+                    jclean_vote[gi] = v;
+                    jqlen[gi] = (int32_t)gq;
+                } else if (gq <= mgap_cap) {
+                    jflag[gi] = 0;
+                    jqlen[gi] = (int32_t)gq;
+                    std::memcpy(jq + gi * mgap_cap, codes + pqe, (size_t)gq);
+                } else {
+                    jflag[gi] = 2;
+                    jqlen[gi] = (int32_t)gq;
+                }
+                ++nj;
+            }
+            n_junc_out[i] = overflow ? -1 : nj;
+        }
+    };
+    if (n_threads <= 1 || n_cand < 2 * n_threads) {
+        work(0, n_cand);
+    } else {
+        std::vector<std::thread> ts;
+        int per = (n_cand + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; ++t) {
+            int lo = t * per, hi = std::min(n_cand, lo + per);
+            if (lo < hi) ts.emplace_back(work, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    return 0;
+}
+
+// Pass 2: stitch blocks + junction results into CIGARs (the non-junction
+// parts of extend_chain_c: end extensions, match runs, banded fills,
+// NM/nmatch accounting).  Device gaps consume dev_* arrays in candidate
+// order via dev_offs; found=0 falls back to the banded fill, exactly as a
+// host refine miss would.
+int assemble_ops_batch_c(
+    const uint8_t* reads, const int64_t* read_offs,
+    const uint8_t* ref, int64_t ref_len,
+    const int64_t* chrom_offs, int n_chrom,
+    const int32_t* cand_read, const int8_t* cand_strand,
+    const int64_t* blocks, const int32_t* n_blocks,
+    const int8_t* jflag, const uint8_t* jq, const int32_t* jqlen,
+    const int64_t* jlref, const int64_t* jrref,
+    const int32_t* jclean_j, const int32_t* jclean_vote,
+    const int32_t* n_junc,
+    const int64_t* dev_offs,          // [n_cand+1] device-gap index range
+    const uint8_t* dev_found,         // [n_dev]
+    const int64_t* dev_ilen, const int32_t* dev_vote,
+    const int32_t* dev_lo, const int32_t* dev_ln,
+    const int32_t* dev_ro, const int32_t* dev_rn, int dev_stride,
+    int k, int min_intron_gap, int min_intron_len, int band_pad,
+    int ext_match, int ext_mismatch, int B_junc,
+    int n_cand, int blk_stride, int gstride, int ops_stride, int n_threads,
+    int64_t* pos_out, int32_t* ops_out, int32_t* n_ops_out,
+    int64_t* ed_out, int64_t* nmatch_out, int32_t* vote_out,
+    int32_t* rc_out) {
+    auto work = [&](int lo_c, int hi_c) {
+        std::vector<uint8_t> rcbuf;
+        std::vector<std::pair<int, int>> sub;
+        std::vector<int32_t> lops, rops;
+        for (int i = lo_c; i < hi_c; ++i) {
+            int nb = n_blocks[i];
+            if (nb <= 0 || n_junc[i] < 0) { rc_out[i] = -1; n_ops_out[i] = 0;
+                                            continue; }
+            int ri = cand_read[i];
+            const uint8_t* codes = reads + read_offs[ri];
+            int64_t L = read_offs[ri + 1] - read_offs[ri];
+            if (cand_strand[i]) {
+                rcbuf.resize((size_t)L);
+                for (int64_t t = 0; t < L; ++t) {
+                    uint8_t c = codes[L - 1 - t];
+                    rcbuf[(size_t)t] = c < 4 ? (uint8_t)(3 - c) : c;
+                }
+                codes = rcbuf.data();
+            }
+            const int64_t* blk = blocks + (int64_t)i * blk_stride * 3;
+            auto BQ = [&](int b) { return blk[3 * b]; };
+            auto BG = [&](int b) { return blk[3 * b + 1]; };
+            auto BL = [&](int b) { return blk[3 * b + 2]; };
+            const int64_t* ub = std::upper_bound(chrom_offs,
+                                                 chrom_offs + n_chrom + 1,
+                                                 BG(0));
+            int ci = (int)(ub - chrom_offs) - 1;
+            int64_t chrom_lo = chrom_offs[ci], chrom_hi = chrom_offs[ci + 1];
+
+            OpsBuf ops{ops_out + (int64_t)i * 2 * ops_stride, ops_stride};
+            int64_t ed = 0, nmatch = 0;
+            int32_t vote = 0;
+            auto count_m = [&](int64_t qs, int64_t gs, int64_t l) {
+                int64_t mism = 0;
+                for (int64_t t = 0; t < l; ++t)
+                    mism += (codes[qs + t] != ref[gs + t]);
+                ed += mism;
+                nmatch += l - mism;
+            };
+            auto emit = [&](const std::vector<std::pair<int, int>>& s,
+                            int64_t qi, int64_t gi) -> int64_t {
+                int64_t g_used = 0;
+                for (auto& ol : s) {
+                    ops.push(ol.first, ol.second);
+                    if (ol.first == 0) {
+                        count_m(qi, gi + g_used, ol.second);
+                        qi += ol.second;
+                        g_used += ol.second;
+                    } else if (ol.first == 1) {
+                        qi += ol.second; ed += ol.second;
+                    } else if (ol.first == 2) {
+                        g_used += ol.second; ed += ol.second;
+                    } else if (ol.first == 3) {
+                        g_used += ol.second;
+                    }
+                }
+                return g_used;
+            };
+
+            // left end extension
+            int64_t q0 = BQ(0), g0 = BG(0);
+            int64_t ext = std::min(q0, g0 - chrom_lo);
+            int64_t take = 0;
+            if (ext > 0) {
+                double sc = 0.0, best = 0.0;
+                int64_t arg = -1;
+                for (int64_t t = 0; t < ext; ++t) {
+                    sc += (codes[q0 - 1 - t] == ref[g0 - 1 - t])
+                              ? ext_match : -ext_mismatch;
+                    if (sc > best) { best = sc; arg = t; }
+                }
+                take = (best > 0) ? arg + 1 : 0;
+            }
+            pos_out[i] = g0 - take;
+            ops.push(4, q0 - take);
+            if (take) { ops.push(0, take); count_m(q0 - take, g0 - take, take); }
+
+            int nj_used = 0;
+            int64_t dev_i = dev_offs[i];
+            for (int b = 0; b < nb; ++b) {
+                if (b > 0) {
+                    int64_t pqe = BQ(b - 1) + BL(b - 1);
+                    int64_t pge = BG(b - 1) + BL(b - 1);
+                    int64_t gq = std::max<int64_t>(BQ(b) - pqe, 0);
+                    int64_t gg = std::max<int64_t>(BG(b) - pge, 0);
+                    if (gg - gq >= min_intron_gap && gg - gq >= min_intron_len) {
+                        int64_t gi = (int64_t)i * gstride + nj_used;
+                        int flag = jflag[gi];
+                        ++nj_used;
+                        if (flag == 1) {
+                            // clean split (collect's fast path)
+                            vote += jclean_vote[gi];
+                            int64_t intron = gg - gq;
+                            int jsplit = jclean_j[gi];
+                            if (jsplit) { ops.push(0, jsplit);
+                                          count_m(pqe, pge, jsplit); }
+                            ops.push(3, intron);
+                            int64_t rest = gq - jsplit;
+                            if (rest) { ops.push(0, rest);
+                                        count_m(pqe + jsplit, BG(b) - rest,
+                                                rest); }
+                        } else {
+                            bool done = false;
+                            int32_t ln = 0, rn = 0, v2 = 0;
+                            int64_t ilen = 0;
+                            const int32_t* lptr = nullptr;
+                            const int32_t* rptr = nullptr;
+                            if (flag == 0) {
+                                int64_t d = dev_i++;
+                                if (dev_found[d]) {
+                                    ilen = dev_ilen[d];
+                                    v2 = dev_vote[d];
+                                    ln = dev_ln[d];
+                                    rn = dev_rn[d];
+                                    lptr = dev_lo + d * 2 * dev_stride;
+                                    rptr = dev_ro + d * 2 * dev_stride;
+                                    done = true;
+                                }
+                            } else {  // flag == 2: native full refine
+                                lops.resize(4 * (gq + 16));
+                                rops.resize(4 * (gq + 16));
+                                double sc2 = 0;
+                                if (refine_splice_indel_c(
+                                        codes + pqe, (int)gq, ref, ref_len,
+                                        pge, BG(b), B_junc, min_intron_len,
+                                        lops.data(), &ln, rops.data(), &rn,
+                                        &ilen, &v2, &sc2) == 0) {
+                                    lptr = lops.data();
+                                    rptr = rops.data();
+                                    done = true;
+                                }
+                            }
+                            if (done) {
+                                vote += v2;
+                                sub.clear();
+                                int64_t lq = 0;
+                                for (int t = 0; t < ln; ++t) {
+                                    sub.emplace_back(lptr[2 * t],
+                                                     lptr[2 * t + 1]);
+                                    if (lptr[2 * t] != 2) lq += lptr[2 * t + 1];
+                                }
+                                int64_t g_used = emit(sub, pqe, pge);
+                                ops.push(3, ilen);
+                                sub.clear();
+                                for (int t = 0; t < rn; ++t)
+                                    sub.emplace_back(rptr[2 * t],
+                                                     rptr[2 * t + 1]);
+                                emit(sub, pqe + lq, pge + g_used + ilen);
+                            } else {
+                                banded_edit_path(codes + pqe, (int)gq,
+                                                 ref + pge, (int)gg,
+                                                 band_pad, sub);
+                                emit(sub, pqe, pge);
+                            }
+                        }
+                    } else if (gq == gg) {
+                        ops.push(0, gq);
+                        count_m(pqe, pge, gq);
+                    } else {
+                        banded_edit_path(codes + pqe, (int)gq, ref + pge,
+                                         (int)gg, band_pad, sub);
+                        emit(sub, pqe, pge);
+                    }
+                }
+                ops.push(0, BL(b));
+                count_m(BQ(b), BG(b), BL(b));
+            }
+
+            // right end extension
+            int64_t qend = BQ(nb - 1) + BL(nb - 1);
+            int64_t gend = BG(nb - 1) + BL(nb - 1);
+            int64_t rem = L - qend;
+            ext = std::min(rem, chrom_hi - gend);
+            take = 0;
+            if (ext > 0) {
+                double sc = 0.0, best = 0.0;
+                int64_t arg = -1;
+                for (int64_t t = 0; t < ext; ++t) {
+                    sc += (codes[qend + t] == ref[gend + t])
+                              ? ext_match : -ext_mismatch;
+                    if (sc > best) { best = sc; arg = t; }
+                }
+                take = (best > 0) ? arg + 1 : 0;
+            }
+            if (take) { ops.push(0, take); count_m(qend, gend, take); }
+            ops.push(4, L - qend - take);
+
+            n_ops_out[i] = ops.n;
+            ed_out[i] = ed;
+            nmatch_out[i] = nmatch;
+            vote_out[i] = vote;
+            rc_out[i] = 0;
+        }
+    };
+    if (n_threads <= 1 || n_cand < 2 * n_threads) {
+        work(0, n_cand);
+    } else {
+        std::vector<std::thread> ts;
+        int per = (n_cand + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; ++t) {
+            int lo = t * per, hi = std::min(n_cand, lo + per);
+            if (lo < hi) ts.emplace_back(work, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    return 0;
+}
 
 // Batched splice-aware chain extension: one call per aligner batch instead
 // of one ctypes crossing per candidate (~85 us each measured).  Candidates

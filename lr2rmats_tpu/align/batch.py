@@ -47,13 +47,26 @@ class BatchAligner:
 
     def __init__(self, genome: Genome, params: Optional[AlignParams] = None,
                  index: Optional[MinimizerIndex] = None, backend: str = "jax",
-                 n_threads: Optional[int] = None):
+                 n_threads: Optional[int] = None,
+                 junction_backend: Optional[str] = None):
         import os
         self.inner = SpliceAligner(genome, params, index)
         self.p = self.inner.p
         self.index = self.inner.index
         self.refs = self.inner.refs
         self.backend = backend
+        # junction placement: "host" (inline in the C extension kernel) or
+        # "device" / "device-pallas" (splice DP on the accelerator via
+        # ops/splice_device, C for collect/assemble).  Env override:
+        # LR2RMATS_DEVICE_JUNCTIONS=1|pallas
+        if junction_backend is None:
+            env = os.environ.get("LR2RMATS_DEVICE_JUNCTIONS", "")
+            junction_backend = ({"1": "device", "scan": "device",
+                                 "pallas": "device-pallas"}.get(env, "host"))
+        self.junction_backend_impl = ("pallas" if junction_backend ==
+                                      "device-pallas" else "scan")
+        self.junction_backend = ("device" if junction_backend.startswith(
+            "device") else "host")
         # extension is dominated by GIL-releasing native calls, so a small
         # thread pool pays off
         self.n_threads = n_threads if n_threads is not None else min(4, os.cpu_count() or 1)
@@ -311,26 +324,21 @@ class BatchAligner:
             recs.extend(rr)
         return recs
 
-    def _build_records_native(self, lib, names, reads, per_read, order
-                              ) -> List[AlnRec]:
-        """One native call extends every candidate of the batch (the
-        per-candidate ctypes crossing cost ~85 us; csrc
-        extend_chain_batch_c), then a thin python loop assembles AlnRecs."""
-        from ..io.fasta import decode_seq, revcomp
-        from ..io.sam import FREVERSE, FSECONDARY, OP_N, OP_S
-        p = self.p
+    def _flatten_candidates(self, reads, per_read, order):
+        """Top-2 candidate selection + packed arrays for the native batch
+        kernels.  Returns None when the batch is empty."""
         cands_by_read = {ri: sorted(per_read[ri], key=lambda c: -c[0])[:2]
                          for ri in order}
         flat = [(ri, rank) for ri in order
                 for rank in range(len(cands_by_read[ri]))]
         n_cand = len(flat)
         if not n_cand:
-            return []
-        # concatenated reads + offsets
+            return None
         read_offs = np.zeros(len(reads) + 1, np.int64)
         np.cumsum([len(r) for r in reads], out=read_offs[1:])
-        reads_concat = np.concatenate(reads) if reads else \
-            np.zeros(0, np.uint8)
+        reads_concat = np.ascontiguousarray(
+            np.concatenate(reads) if reads else np.zeros(0, np.uint8),
+            np.uint8)
         cand_read = np.empty(n_cand, np.int32)
         cand_strand = np.empty(n_cand, np.int8)
         a_offs = np.zeros(n_cand + 1, np.int64)
@@ -346,7 +354,143 @@ class BatchAligner:
             max_len = max(max_len, len(reads[ri]))
         aq = np.ascontiguousarray(np.concatenate(aqs), np.int64)
         ag = np.ascontiguousarray(np.concatenate(ags), np.int64)
-        stride = max_len + 80                      # ops pairs per candidate
+        return (cands_by_read, flat, reads_concat, read_offs, cand_read,
+                cand_strand, aq, ag, a_offs, max_len)
+
+    def _build_records_native(self, lib, names, reads, per_read, order
+                              ) -> List[AlnRec]:
+        """One native call extends every candidate of the batch (the
+        per-candidate ctypes crossing cost ~85 us; csrc
+        extend_chain_batch_c), then a thin python loop assembles AlnRecs."""
+        p = self.p
+        packed = self._flatten_candidates(reads, per_read, order)
+        if packed is None:
+            return []
+        (cands_by_read, flat, reads_concat, read_offs, cand_read,
+         cand_strand, aq, ag, a_offs, max_len) = packed
+        n_cand = len(flat)
+        if self.junction_backend == "device":
+            ext = self._extend_device_junctions(
+                lib, packed, n_cand, max_len)
+        else:
+            stride = max_len + 80                  # ops pairs per candidate
+            pos_out = np.empty(n_cand, np.int64)
+            ops_out = np.empty(n_cand * 2 * stride, np.int32)
+            n_ops = np.empty(n_cand, np.int32)
+            ed_out = np.empty(n_cand, np.int64)
+            nm_out = np.empty(n_cand, np.int64)
+            vote_out = np.empty(n_cand, np.int32)
+            rc_out = np.empty(n_cand, np.int32)
+            lib.extend_chain_batch_c(
+                reads_concat, read_offs,
+                self.inner.genome.codes, len(self.inner.genome.codes),
+                self.index.chrom_offsets,
+                len(self.index.chrom_offsets) - 1,
+                cand_read, cand_strand, aq, ag, a_offs,
+                p.k, p.min_intron_gap, p.min_intron_len, p.band_pad,
+                p.ext_match, p.ext_mismatch, 4,
+                n_cand, stride, self.n_threads,
+                pos_out, ops_out, n_ops, ed_out, nm_out, vote_out, rc_out)
+            ext = (stride, pos_out, ops_out, n_ops, ed_out, nm_out,
+                   vote_out, rc_out)
+        return self._records_from_extension(names, reads, flat,
+                                            cands_by_read, ext)
+
+    def _extend_device_junctions(self, lib, packed, n_cand, max_len):
+        """Two-pass extension with the splice junction DP on the DEVICE:
+        collect (C) -> junction placements (ops/splice_device) -> cell op
+        recovery (C) -> assemble (C)."""
+        from ..ops.splice_device import (MGAP, junction_batch_pallas,
+                                         junction_batch_scan,
+                                         prepare_junction_batch)
+        p = self.p
+        (cands_by_read, flat, reads_concat, read_offs, cand_read,
+         cand_strand, aq, ag, a_offs, _) = packed
+        ref = self.inner.genome.codes
+        BLK = A_BUCKETS[-1]
+        GSTRIDE = 64
+        blocks = np.zeros(n_cand * BLK * 3, np.int64)
+        n_blocks = np.zeros(n_cand, np.int32)
+        jflag = np.zeros(n_cand * GSTRIDE, np.int8)
+        jq = np.zeros(n_cand * GSTRIDE * MGAP, np.uint8)
+        jqlen = np.zeros(n_cand * GSTRIDE, np.int32)
+        jlref = np.zeros(n_cand * GSTRIDE, np.int64)
+        jrref = np.zeros(n_cand * GSTRIDE, np.int64)
+        jclean_j = np.zeros(n_cand * GSTRIDE, np.int32)
+        jclean_vote = np.zeros(n_cand * GSTRIDE, np.int32)
+        n_junc = np.zeros(n_cand, np.int32)
+        lib.collect_gaps_batch_c(
+            reads_concat, read_offs, ref, len(ref),
+            cand_read, cand_strand, aq, ag, a_offs,
+            p.k, p.min_intron_gap, p.min_intron_len, MGAP,
+            n_cand, BLK, GSTRIDE,
+            blocks, n_blocks, jflag, jq, jqlen, jlref, jrref,
+            jclean_j, jclean_vote, n_junc, self.n_threads)
+        # device gaps in candidate order
+        dev_offs = np.zeros(n_cand + 1, np.int64)
+        gaps = []
+        for i in range(n_cand):
+            nj = max(int(n_junc[i]), 0)
+            base = i * GSTRIDE
+            for s in range(nj):
+                if jflag[base + s] == 0:
+                    m = int(jqlen[base + s])
+                    gaps.append((jq[(base + s) * MGAP:
+                                    (base + s) * MGAP + m],
+                                 int(jlref[base + s]),
+                                 int(jrref[base + s])))
+            dev_offs[i + 1] = len(gaps)
+        n_dev = len(gaps)
+        B = 4
+        dev_stride = MGAP + 2 * B + 4
+        dev_found = np.zeros(max(n_dev, 1), np.uint8)
+        dev_ilen = np.zeros(max(n_dev, 1), np.int64)
+        dev_vote = np.zeros(max(n_dev, 1), np.int32)
+        dev_lo = np.zeros(max(n_dev, 1) * 2 * dev_stride, np.int32)
+        dev_ro = np.zeros(max(n_dev, 1) * 2 * dev_stride, np.int32)
+        dev_ln = np.zeros(max(n_dev, 1), np.int32)
+        dev_rn = np.zeros(max(n_dev, 1), np.int32)
+        if n_dev:
+            batch = prepare_junction_batch(ref, gaps, B)
+            run = (junction_batch_pallas
+                   if self.junction_backend_impl == "pallas"
+                   else junction_batch_scan)
+            score, bj, bcl, bcr, vote, found = run(batch,
+                                                   p.min_intron_len)
+            dev_found[:n_dev] = found
+            dev_vote[:n_dev] = vote
+            m_arr = np.array([len(g[0]) for g in gaps], np.int64)
+            span = np.array([g[2] - g[1] for g in gaps], np.int64)
+            dev_ilen[:n_dev] = span - m_arr + 2 * B - (bcl + bcr)
+            sel = np.nonzero(found)[0]
+            if len(sel):
+                q_offs = np.zeros(len(sel) + 1, np.int64)
+                for t, g in enumerate(sel):
+                    q_offs[t + 1] = q_offs[t] + len(gaps[g][0])
+                qs = (np.concatenate([np.ascontiguousarray(gaps[g][0])
+                                      for g in sel]) if q_offs[-1]
+                      else np.zeros(0, np.uint8))
+                lo = np.zeros(len(sel) * 2 * dev_stride, np.int32)
+                ro = np.zeros(len(sel) * 2 * dev_stride, np.int32)
+                ln = np.zeros(len(sel), np.int32)
+                rn = np.zeros(len(sel), np.int32)
+                lib.junction_cell_ops_batch_c(
+                    np.ascontiguousarray(qs, np.uint8), q_offs, ref,
+                    len(ref),
+                    np.array([gaps[g][1] for g in sel], np.int64),
+                    np.array([gaps[g][2] for g in sel], np.int64),
+                    np.ascontiguousarray(bj[sel], np.int32),
+                    np.ascontiguousarray(bcl[sel], np.int32),
+                    np.ascontiguousarray(bcr[sel], np.int32),
+                    B, len(sel), dev_stride, lo, ln, ro, rn)
+                for t, g in enumerate(sel):
+                    dev_lo[g * 2 * dev_stride: (g + 1) * 2 * dev_stride] = \
+                        lo[t * 2 * dev_stride: (t + 1) * 2 * dev_stride]
+                    dev_ro[g * 2 * dev_stride: (g + 1) * 2 * dev_stride] = \
+                        ro[t * 2 * dev_stride: (t + 1) * 2 * dev_stride]
+                dev_ln[sel] = ln
+                dev_rn[sel] = rn
+        stride = max_len + 80
         pos_out = np.empty(n_cand, np.int64)
         ops_out = np.empty(n_cand * 2 * stride, np.int32)
         n_ops = np.empty(n_cand, np.int32)
@@ -354,16 +498,27 @@ class BatchAligner:
         nm_out = np.empty(n_cand, np.int64)
         vote_out = np.empty(n_cand, np.int32)
         rc_out = np.empty(n_cand, np.int32)
-        lib.extend_chain_batch_c(
-            np.ascontiguousarray(reads_concat, np.uint8), read_offs,
-            self.inner.genome.codes, len(self.inner.genome.codes),
+        lib.assemble_ops_batch_c(
+            reads_concat, read_offs, ref, len(ref),
             self.index.chrom_offsets, len(self.index.chrom_offsets) - 1,
-            cand_read, cand_strand, aq, ag, a_offs,
+            cand_read, cand_strand, blocks, n_blocks,
+            jflag, jq, jqlen, jlref, jrref, jclean_j, jclean_vote, n_junc,
+            dev_offs, dev_found, dev_ilen, dev_vote,
+            dev_lo, dev_ln, dev_ro, dev_rn, dev_stride,
             p.k, p.min_intron_gap, p.min_intron_len, p.band_pad,
             p.ext_match, p.ext_mismatch, 4,
-            n_cand, stride, self.n_threads,
+            n_cand, BLK, GSTRIDE, stride, self.n_threads,
             pos_out, ops_out, n_ops, ed_out, nm_out, vote_out, rc_out)
+        return (stride, pos_out, ops_out, n_ops, ed_out, nm_out, vote_out,
+                rc_out)
 
+    def _records_from_extension(self, names, reads, flat, cands_by_read,
+                                ext) -> List[AlnRec]:
+        from ..io.fasta import decode_seq, revcomp
+        from ..io.sam import FREVERSE, FSECONDARY, OP_N, OP_S
+        p = self.p
+        (stride, pos_out, ops_out, n_ops, ed_out, nm_out, vote_out,
+         rc_out) = ext
         recs: List[AlnRec] = []
         MIN_RESCUE = p.k + p.w + 4
         for i, (ri, rank) in enumerate(flat):

@@ -101,6 +101,29 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32)]
 
+        lib.collect_gaps_batch_c.restype = ctypes.c_int
+        lib.collect_gaps_batch_c.argtypes = [
+            c_u8p, c_i64p, c_u8p, ctypes.c_int64,
+            c_i32p, c_i8p, c_i64p, c_i64p, c_i64p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            c_i64p, c_i32p, c_i8p, c_u8p, c_i32p, c_i64p, c_i64p,
+            c_i32p, c_i32p, c_i32p, ctypes.c_int]
+
+        lib.assemble_ops_batch_c.restype = ctypes.c_int
+        lib.assemble_ops_batch_c.argtypes = [
+            c_u8p, c_i64p, c_u8p, ctypes.c_int64, c_i64p, ctypes.c_int,
+            c_i32p, c_i8p,
+            c_i64p, c_i32p,
+            c_i8p, c_u8p, c_i32p, c_i64p, c_i64p, c_i32p, c_i32p, c_i32p,
+            c_i64p, c_u8p, c_i64p, c_i32p,
+            c_i32p, c_i32p, c_i32p, c_i32p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            c_i64p, c_i32p, c_i32p, c_i64p, c_i64p, c_i32p, c_i32p]
+
         lib.junction_cell_ops_batch_c.restype = ctypes.c_int
         lib.junction_cell_ops_batch_c.argtypes = [
             c_u8p, c_i64p, c_u8p, ctypes.c_int64, c_i64p, c_i64p,

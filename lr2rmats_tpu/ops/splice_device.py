@@ -20,6 +20,20 @@ Both return per-gap placements (score, j, cl, cr, vote).  Op recovery for
 the chosen cell (the cheap ~15%) runs on the host via csrc
 junction_cell_ops_batch_c, so the accelerator owns the (m+1)*W*W combine
 scan that dominates refine_splice_indel_c.
+
+Production wiring: BatchAligner(junction_backend="device"|"device-pallas")
+or LR2RMATS_DEVICE_JUNCTIONS=1|pallas routes the aligner's junction gaps
+through this module (collect/assemble passes in csrc), producing records
+BIT-IDENTICAL to the host-junction path (tests/test_splice_device.py).
+
+Measured reality on this rig (round 2): standalone, 2048 gaps place in
+~110 ms on either backend — equal to host C++ — but the device time is
+almost entirely relay TRANSFER cost (~10 ms/transfer, ~50-90 MB/s), not
+compute; end-to-end the extra per-batch roundtrips drop the bench to
+~160 reads/s vs ~1950 with host junctions.  The host path therefore stays
+the default HERE; on hardware where the accelerator is not behind a
+serialized relay link the device path is the one that scales (the DP+
+combine FLOPs are ~50x the transfer bytes).
 """
 
 from __future__ import annotations
@@ -45,9 +59,33 @@ PAD_CODE = 7       # never equals a real base code 0..3
 # host-side batch preparation
 # ---------------------------------------------------------------------------
 
+def _dinuc_classes(ref, pos, table):
+    """Vectorized dinucleotide classification at pos (start of the pair).
+    table maps (b0, b1) -> class.  Out-of-range -> -1."""
+    n = len(ref)
+    valid = (pos >= 0) & (pos + 1 < n)
+    b0 = ref[np.clip(pos, 0, n - 1)].astype(np.int64)
+    b1 = ref[np.clip(pos + 1, 0, n - 1)].astype(np.int64)
+    cls = table[np.clip(b0, 0, 4) * 5 + np.clip(b1, 0, 4)]
+    return np.where(valid, cls, -1).astype(np.int8)
+
+
+_DTAB = np.zeros(25, np.int8)
+_DTAB[2 * 5 + 3] = 1   # GT
+_DTAB[1 * 5 + 3] = 2   # CT
+_DTAB[2 * 5 + 1] = 3   # GC
+_DTAB[0 * 5 + 3] = 4   # AT
+_ATAB = np.zeros(25, np.int8)
+_ATAB[0 * 5 + 2] = 1   # AG
+_ATAB[0 * 5 + 1] = 2   # AC
+_ATAB[2 * 5 + 1] = 3   # GC
+_ATAB[0 * 5 + 3] = 4   # AT
+
+
 def prepare_junction_batch(ref: np.ndarray, gaps: List[Tuple[np.ndarray, int, int]],
                            B: int = B_DEF):
-    """Pack (q, left_ref, right_ref) gap descriptors into padded arrays.
+    """Pack (q, left_ref, right_ref) gap descriptors into padded arrays
+    (fully vectorized window/class gathers).
 
     Returns dict of arrays with G = len(gaps) lanes, or None when empty.
     Gaps must satisfy len(q) <= MGAP and right_ref - left_ref >= len(q)+B
@@ -56,48 +94,32 @@ def prepare_junction_batch(ref: np.ndarray, gaps: List[Tuple[np.ndarray, int, in
     G = len(gaps)
     if G == 0:
         return None
-    W = 2 * B + 1
     n = len(ref)
+    m_arr = np.array([len(g[0]) for g in gaps], np.int32)
+    lr_arr = np.array([g[1] for g in gaps], np.int64)
+    rr_arr = np.array([g[2] for g in gaps], np.int64)
+    span_arr = rr_arr - lr_arr
     q = np.full((MGAP, G), PAD_CODE, np.int32)
     qr = np.full((MGAP, G), PAD_CODE, np.int32)
-    lwin = np.full((MGAP + B, G), PAD_CODE, np.int32)
-    rwin = np.full((MGAP + B, G), PAD_CODE, np.int32)
-    m_arr = np.zeros(G, np.int32)
-    span_arr = np.zeros(G, np.int64)
-    # donor/acceptor classes over candidate offsets i in [0, m+2B]
-    # (class 0 = none; -1 = out-of-reference candidate -> masked)
-    dok = np.full((MGAP + 2 * B + 1, G), -1, np.int8)
-    aok = np.full((MGAP + 2 * B + 1, G), -1, np.int8)
-    for g, (qg, lr, rr) in enumerate(gaps):
+    for g, (qg, _, _) in enumerate(gaps):     # ragged copies stay a loop
         m = len(qg)
-        m_arr[g] = m
-        span_arr[g] = rr - lr
         q[:m, g] = qg
         qr[:m, g] = qg[::-1]
-        nl = min(m + B, rr - lr)
-        lwin[:nl, g] = ref[lr: lr + nl]
-        rwin[:nl, g] = ref[rr - nl: rr][::-1]
-        i = np.arange(m + 2 * B + 1)
-        don = lr + i - B
-        dvalid = (don >= 0) & (don + 1 < n)
-        d0 = ref[np.clip(don, 0, n - 1)]
-        d1 = ref[np.clip(don + 1, 0, n - 1)]
-        dc = np.zeros(len(i), np.int8)
-        dc[(d0 == 2) & (d1 == 3)] = 1   # GT
-        dc[(d0 == 1) & (d1 == 3)] = 2   # CT
-        dc[(d0 == 2) & (d1 == 1)] = 3   # GC
-        dc[(d0 == 0) & (d1 == 3)] = 4   # AT
-        dok[:len(i), g] = np.where(dvalid, dc, -1)
-        last = rr - (i - B) - 1
-        avalid = (last - 1 >= 0) & (last < n)
-        a0 = ref[np.clip(last - 1, 0, n - 1)]
-        a1 = ref[np.clip(last, 0, n - 1)]
-        ac = np.zeros(len(i), np.int8)
-        ac[(a0 == 0) & (a1 == 2)] = 1   # AG
-        ac[(a0 == 0) & (a1 == 1)] = 2   # AC
-        ac[(a0 == 2) & (a1 == 1)] = 3   # GC
-        ac[(a0 == 0) & (a1 == 3)] = 4   # AT
-        aok[:len(i), g] = np.where(avalid, ac, -1)
+    rows = np.arange(MGAP + B, dtype=np.int64)[:, None]       # [MGAP+B, 1]
+    mask_l = rows < np.minimum(m_arr + B, span_arr)[None, :]
+    lidx = np.clip(lr_arr[None, :] + rows, 0, n - 1)
+    lwin = np.where(mask_l, ref[lidx], PAD_CODE).astype(np.int32)
+    ridx = np.clip(rr_arr[None, :] - 1 - rows, 0, n - 1)
+    rwin = np.where(mask_l, ref[ridx], PAD_CODE).astype(np.int32)
+    # donor/acceptor classes over candidate offsets i in [0, m+2B]
+    # (class 0 = none; -1 = out-of-reference or beyond-m candidate)
+    crows = np.arange(MGAP + 2 * B + 1, dtype=np.int64)[:, None]
+    cmask = crows <= (m_arr + 2 * B)[None, :]
+    dok = _dinuc_classes(ref, lr_arr[None, :] + crows - B, _DTAB)
+    dok = np.where(cmask, dok, -1).astype(np.int8)
+    apos = rr_arr[None, :] - (crows - B) - 2     # last-1 = start of the pair
+    aok = _dinuc_classes(ref, apos, _ATAB)
+    aok = np.where(cmask, aok, -1).astype(np.int8)
     return dict(q=q, qr=qr, lwin=lwin, rwin=rwin, m=m_arr, span=span_arr,
                 dok=dok, aok=aok, B=B)
 

@@ -92,3 +92,44 @@ def test_empty_gap_query():
     assert found[0] and res is not None
     assert abs(res[4] - score[0]) < 1e-6
     assert vote[0] == res[3] == 1
+
+
+def test_device_junction_path_matches_host_records():
+    """The full aligner with junction_backend='device' must produce records
+    identical to the host-junction path (same CIGARs, tags, positions)."""
+    from lr2rmats_tpu.io.fasta import Genome, revcomp
+    from lr2rmats_tpu.align.batch import BatchAligner
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, 400_000).astype(np.uint8)
+    genome = Genome(["c"], codes, np.array([0, 400_000], np.int64))
+    reads, names = [], []
+    for i in range(40):
+        pos = int(rng.integers(1000, 300_000))
+        parts = []
+        for e in range(3):
+            elen = int(rng.integers(150, 400))
+            parts.append((pos, pos + elen))
+            pos += elen
+            if e < 2:
+                genome.codes[pos], genome.codes[pos + 1] = 2, 3
+                pos += int(rng.integers(100, 3000))
+                genome.codes[pos - 2], genome.codes[pos - 1] = 0, 2
+        read = np.concatenate([genome.codes[a:b] for a, b in parts]).copy()
+        mut = rng.random(len(read)) < 0.04
+        read[mut] = (read[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        if i % 2:
+            read = revcomp(read)
+        reads.append(read)
+        names.append(f"r{i}")
+    ah = BatchAligner(genome, backend="host", junction_backend="host")
+    ad = BatchAligner(genome, backend="host", junction_backend="device",
+                      index=ah.index)
+    r1 = ah.align_batch(names, reads)
+    r2 = ad.align_batch(names, reads)
+    assert len(r1) == len(r2) > 0
+    h = {(r.qname, r.flag): r for r in r1}
+    for r in r2:
+        o = h[(r.qname, r.flag)]
+        assert o.pos == r.pos
+        assert np.array_equal(o.cigar, r.cigar)
+        assert o.tags == r.tags
