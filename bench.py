@@ -78,6 +78,7 @@ def main():
 
     # warmup: one small batch (compiles the chain kernel buckets)
     aligner.align_batch(names[:64], reads[:64])
+    aligner.stats = {"device_wall_s": 0.0, "anchors": 0, "device_calls": 0}
 
     from lr2rmats_tpu.io.fasta import SeqSet
     offs = np.zeros(len(reads) + 1, np.int64)
@@ -129,20 +130,41 @@ def main():
             baseline = json.load(f).get("value")
     vs = (rps / baseline) if baseline else 1.0
 
+    # device-side accounting (VERDICT r1 #2): wall blocked on the device
+    # link (transfers + compute; the relay serializes them), plus a rough
+    # roofline for the fused chain+backtrack kernel: the scan and its three
+    # windowed backtrack passes each do ~12 VPU ops per (anchor, window
+    # slot), so flops ~= anchors * W * 4 * 12.  Utilization is quoted
+    # against a nominal 4 TFLOP/s f32 VPU (v5e; the kernel has no matmuls,
+    # so the MXU peak is not the relevant roof) and is expectedly low: a
+    # windowed DP is sequential-latency/transfer-bound, not FLOP-bound.
+    st = aligner.stats
+    dev_s = st["device_wall_s"]
+    W = aligner.p.chain.window
+    est_flops = st["anchors"] * W * 4 * 12
+    detail = {
+        "n_reads": len(reads),
+        "aligned_frac": round(n_aligned / len(reads), 4),
+        "genome_mb": GENOME_MB,
+        "align_wall_s": round(dt, 2),
+        "setup_wall_s": round(setup_s, 2),
+        "exact_exon_chain_frac": round(exact / len(reads), 4),
+        "splice_site_recall": round(site_tp / max(site_n, 1), 4),
+        "device_wall_s": round(dev_s, 3),
+        "device_fraction": round(dev_s / dt, 3) if dt else 0.0,
+        "device_calls": st["device_calls"],
+        "anchors_chained": st["anchors"],
+        "est_device_gflops": round(est_flops / max(dev_s, 1e-9) / 1e9, 1),
+        "vpu_util_est": round(est_flops / max(dev_s, 1e-9) / 4e12, 4),
+    }
+    if os.environ.get("BENCH_NOTE"):
+        detail["note"] = os.environ["BENCH_NOTE"]
     print(json.dumps({
         "metric": "long_reads_aligned_per_sec_per_chip",
         "value": round(rps, 2),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3),
-        "detail": {
-            "n_reads": len(reads),
-            "aligned_frac": round(n_aligned / len(reads), 4),
-            "genome_mb": GENOME_MB,
-            "align_wall_s": round(dt, 2),
-            "setup_wall_s": round(setup_s, 2),
-            "exact_exon_chain_frac": round(exact / len(reads), 4),
-            "splice_site_recall": round(site_tp / max(site_n, 1), 4),
-        },
+        "detail": detail,
     }))
 
 

@@ -67,6 +67,9 @@ class BatchAligner:
                                       "device-pallas" else "scan")
         self.junction_backend = ("device" if junction_backend.startswith(
             "device") else "host")
+        # perf accounting for bench: wall spent blocked on the device link,
+        # anchors dispatched, device calls made
+        self.stats = {"device_wall_s": 0.0, "anchors": 0, "device_calls": 0}
         # extension is dominated by GIL-releasing native calls, so a small
         # thread pool pays off
         self.n_threads = n_threads if n_threads is not None else min(4, os.cpu_count() or 1)
@@ -237,12 +240,17 @@ class BatchAligner:
                         f[bi, :n].astype(np.float64),
                         parent[bi, :n].astype(np.int64), self.p.min_score)
             return out
+        import time as _time
         import jax
         from ..ops.chain_jax import unpack_chain_result
         for part, nn, (A, dev) in pending:
             # device_get, NOT np.asarray: some shape/dtype combos hit a
             # pathologically slow per-array serialization path in the relay
+            t0 = _time.perf_counter()
             flat = jax.device_get(dev)
+            self.stats["device_wall_s"] += _time.perf_counter() - t0
+            self.stats["device_calls"] += 1
+            self.stats["anchors"] += int(np.sum(nn))
             mask, ps, ss = unpack_chain_result(flat, A, len(nn))
             for bi, i in enumerate(part):
                 n = int(nn[bi])
