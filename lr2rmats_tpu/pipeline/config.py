@@ -39,6 +39,9 @@ class PipelineConfig:
     # engine knobs
     index_cache: Optional[str] = None     # minimap_idx_file role
     batch_reads: int = 64
+    jobs: Optional[int] = None            # per-sample host-stage parallelism
+                                          # (Snakemake --jobs role); None =
+                                          # min(4, n_samples), 1 = serial
 
     @classmethod
     def from_yaml(cls, path: str) -> "PipelineConfig":

@@ -33,12 +33,44 @@ from .commands import cmd_filter, cmd_unique_gtf, cmd_update_gtf
 from .config import PipelineConfig
 
 
+def _sig(path: str):
+    st = os.stat(path)
+    return [st.st_size, st.st_mtime_ns]
+
+
 def _fresh(out: str, *inputs: str) -> bool:
-    """Artifact checkpoint: output exists and is newer than every input."""
+    """Artifact checkpoint: output exists and its recorded input signatures
+    (size + ns mtime, kept in a `<out>.inputs.json` sidecar written by
+    _done) still match.  Snakemake-style semantics without the
+    second-granularity mtime race of the round-1 `<=` comparison: an input
+    rewritten in the same second as the output no longer silently skips the
+    stage.  Sidecar-less outputs (pre-existing runs) fall back to the mtime
+    comparison."""
     if not os.path.exists(out):
         return False
+    side = out + ".inputs.json"
+    if os.path.exists(side):
+        import json
+        try:
+            with open(side) as f:
+                rec = json.load(f)
+        except Exception:
+            return False
+        for i in inputs:
+            if not os.path.exists(i):
+                continue
+            if rec.get(i) != _sig(i):
+                return False
+        return True
     ot = os.path.getmtime(out)
     return all(os.path.getmtime(i) <= ot for i in inputs if os.path.exists(i))
+
+
+def _done(out: str, *inputs: str) -> None:
+    """Record input signatures for _fresh."""
+    import json
+    with open(out + ".inputs.json", "w") as f:
+        json.dump({i: _sig(i) for i in inputs if os.path.exists(i)}, f)
 
 
 def _ensure_dirs(out_dir: str) -> None:
@@ -132,8 +164,10 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
     gtf_novel_paths: List[str] = []
     first_sam: Optional[str] = None
 
+    # ---- phase 1: alignment per sample (minimap_map, Snakefile:42-63).
+    # Sequential: the accelerator is a single exclusive device; host-side
+    # per-sample stages parallelize in phase 2.
     for sample, reads in cfg.samples.items():
-        # ---- stage: minimap_map (Snakefile:42-63)
         sam_path = A("alignment", f"{sample}.minimap.sam")
         bed_path = A("alignment", f"{sample}.minimap.bed")
         if first_sam is None:
@@ -155,9 +189,15 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                         w.write(rec)
                         n += 1
                 os.replace(sam_path + ".tmp", sam_path)
+                _done(sam_path, cfg.genome_fasta, reads.long_read)
                 log("align", "%s: %d alignment records", sample, n)
             write_bed12(sam_path, bed_path)
 
+    # ---- phase 2: per-sample host stages, parallel over samples (the
+    # Snakemake job-parallelism role, reference Snakefile wildcards +
+    # --jobs; the hot loops are native and release the GIL)
+    def _sample_stages(sample: str, reads) -> str:
+        sam_path = A("alignment", f"{sample}.minimap.sam")
         # ---- stage: sam_novel_gtf (filter + pass-1 update-gtf, Snakefile:67-93)
         # SAM artifact (raw-span fast path); BAM remains available
         # via the `filter` CLI for interop
@@ -169,10 +209,12 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                            FilterParams(cfg.aln_cov, cfg.iden_frac,
                                         cfg.sec_rat),
                            rm_gtf=cfg.rm_gtf or None, out_format="sam")
+                _done(filtered_bam, sam_path)
         if not _fresh(sam_novel, filtered_bam, cfg.gtf):
             with Timer(f"stage/update_gtf_pass1[{sample}]", benchmark_file=A("benchmark", f"{sample}_new_gtf.benchmark.txt")):
                 ugp = UpdateGtfParams(full_level=cfg.full_level)
                 cmd_update_gtf(filtered_bam, cfg.gtf, ugp, out_path=sam_novel)
+                _done(sam_novel, filtered_bam, cfg.gtf)
 
         # ---- stage: new_gtf (merge + sort, Snakefile:96-112)
         new_gtf = A("gtf", f"{sample}_new.gtf")
@@ -184,6 +226,7 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                         out.write(src.read())
             sort_gtf_file(tmp, new_gtf)
             os.remove(tmp)
+            _done(new_gtf, cfg.gtf, sam_novel)
 
         # ---- stage: sj_count (star_map role, Snakefile:116-140)
         sj_tab = A("alignment", f"{sample}.STARSJ.out.tab")
@@ -196,6 +239,7 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                 sj = count_junction_support(genome, [merged], read_sets)
                 with open(sj_tab, "w") as f:
                     write_sj_star(sj, cname, f)
+                _done(sj_tab, new_gtf, *short_inputs)
 
         # ---- stage: gtf_novel_gtf (pass-2 update-gtf, Snakefile:142-170)
         gtf_novel = A("gtf", f"{sample}_gtf_novel.gtf")
@@ -216,7 +260,19 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                     novel_gtf=A("output", f"{sample}.novel.gtf"),
                     unrecog_gtf=A("output", f"{sample}.unrecog.gtf"),
                     exon_bed=A("output", f"{sample}.novel_exon.bed"))
-        gtf_novel_paths.append(gtf_novel)
+                _done(gtf_novel, filtered_bam, cfg.gtf,
+                      *([sj_tab] if short_inputs else []))
+        return gtf_novel
+
+    items = list(cfg.samples.items())
+    if len(items) > 1 and (cfg.jobs or 0) != 1:
+        from concurrent.futures import ThreadPoolExecutor
+        n_jobs = cfg.jobs or min(4, len(items))
+        with ThreadPoolExecutor(n_jobs) as pool:
+            gtf_novel_paths = list(pool.map(
+                lambda sr: _sample_stages(sr[0], sr[1]), items))
+    else:
+        gtf_novel_paths = [_sample_stages(s, r) for s, r in items]
 
     # ---- stage: update_gtf (cross-sample merge, Snakefile:172-192)
     with Timer("stage/final_merge", benchmark_file=A("benchmark", "update_gtf.benchmark.txt")):
