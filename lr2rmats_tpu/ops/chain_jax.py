@@ -247,14 +247,25 @@ def chain_backtrack_batch_async(qpos: np.ndarray, rpos: np.ndarray,
                                 n_anchor: np.ndarray, p: ChainParams,
                                 min_score: float):
     """Dispatch fused chain+backtrack; returns the flat device result
-    (decode with unpack_chain_result after jax.device_get)."""
+    (decode with unpack_chain_result after jax.device_get).
+
+    With several local devices and a divisible batch, the buffer is placed
+    lane-sharded over a dp mesh — every op in the kernel is lane-parallel,
+    so XLA runs the chunk data-parallel across chips with no collectives
+    until the packed output gathers."""
     B, A = qpos.shape
     buf = np.empty((2 * A + 1, B), np.int32)
     buf[:A] = qpos.T
     buf[A:2 * A] = rpos.T
     buf[2 * A] = n_anchor
+    arg = jnp.asarray(buf)
+    devs = jax.devices()
+    if len(devs) > 1 and B % len(devs) == 0 and B >= 8 * len(devs):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(devs), ("dp",))
+        arg = jax.device_put(arg, NamedSharding(mesh, P(None, "dp")))
     return _chain_backtrack(
-        jnp.asarray(buf), p.window, p.k,
+        arg, p.window, p.k,
         jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
         jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
         jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap),

@@ -148,6 +148,52 @@ def sharded_align_step(mesh: Mesh, chain_params: Optional[ChainParams] = None,
     return jax.jit(fn)
 
 
+def mesh_exchange_candidates(T, mesh: Optional[Mesh] = None):
+    """Run a candidate-transcript set through the dp all-gather collective
+    (the `cat *.gtf | unique-gtf` gather, reference Snakefile:189-192),
+    in-place.
+
+    Rows are padded to the dp size, placed dp-sharded, all-gathered over
+    ICI, and written back in (shard, ordinal) order — byte-identical to the
+    host concatenation, which the mesh pipeline test asserts.  On one
+    device this is a no-op.  In a multi-host deployment each host holds its
+    own shard of candidates and this collective is the merge's data plane;
+    string attributes (gene/transcript names) ride the host side keyed by
+    the same (shard, ordinal) order.
+    """
+    devs = jax.devices()
+    if len(devs) < 2 or T.n == 0:
+        return T
+    mesh = mesh or Mesh(np.array(devs), ("dp",))
+    n_dp = mesh.devices.size
+    n = T.n
+    pad = (-n) % n_dp
+    E = T.exon_start.shape[1]
+
+    def padded(a, width=None):
+        a = a[:n]
+        if pad:
+            shape = (pad,) + a.shape[1:]
+            a = np.concatenate([a, np.zeros(shape, a.dtype)], 0)
+        return np.ascontiguousarray(a)
+
+    es = padded(T.exon_start)
+    ee = padded(T.exon_end)
+    en = padded(T.exon_n)
+    tid = padded(T.tid)
+    s2 = NamedSharding(mesh, P("dp", None))
+    s1 = NamedSharding(mesh, P("dp"))
+    gather = allgather_candidates(mesh)
+    out = gather(jax.device_put(es, s2), jax.device_put(ee, s2),
+                 jax.device_put(en, s1), jax.device_put(tid, s1))
+    ges, gee, gen, gtid = (np.asarray(x) for x in out)
+    T.exon_start[:n] = ges[:n]
+    T.exon_end[:n] = gee[:n]
+    T.exon_n[:n] = gen[:n]
+    T.tid[:n] = gtid[:n]
+    return T
+
+
 def allgather_candidates(mesh: Mesh):
     """All-gather per-shard candidate transcript tensors over dp — the
     collective replacing the `cat *.gtf | unique-gtf` gather

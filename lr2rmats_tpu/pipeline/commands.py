@@ -208,11 +208,20 @@ def cmd_update_gtf(in_path: str, anno_path: str, ugp: UpdateGtfParams,
 def cmd_unique_gtf(in_path: str, ugp: UpdateGtfParams,
                    hdr_bam: Optional[str] = None,
                    out_path: Optional[str] = None,
-                   output_intersect: bool = False) -> int:
-    """`unique-gtf` (reference unique_gtf.c:86-158)."""
+                   output_intersect: bool = False,
+                   device_gather: bool = False) -> int:
+    """`unique-gtf` (reference unique_gtf.c:86-158).
+
+    With device_gather, the candidate exon tensors are routed through the
+    dp all-gather collective before the merge (the multi-chip data plane of
+    the cross-sample gather; parallel.mesh.mesh_exchange_candidates) —
+    output is byte-identical to the host concatenation."""
     cname, bam_T = _load_input_trans(
         in_path, ugp.input_mode, hdr_bam, ugp.min_exon, ugp.min_intron,
         ugp.max_delet)
+    if device_gather:
+        from ..parallel.mesh import mesh_exchange_candidates
+        mesh_exchange_candidates(bam_T)
     uniq_T, shared_T = Transcripts(), Transcripts()
     uniq_trans(bam_T, uniq_T, shared_T, ugp.force_strand, ugp.ss_dis,
                ugp.end_dis, ugp.single_exon_ovlp_frac)

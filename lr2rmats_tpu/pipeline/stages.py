@@ -283,7 +283,15 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                     out.write(src.read())
         uniq_gtf = A("gtf", "uniq.gtf")
         ugp = UpdateGtfParams(input_mode="gtf")
-        cmd_unique_gtf(tmp, ugp, hdr_bam=first_sam, out_path=uniq_gtf)
+        # multi-device: route candidate tensors through the dp all-gather
+        # collective (the Snakefile:189-192 cross-sample gather, on ICI)
+        try:
+            import jax
+            device_gather = use_tpu is not False and len(jax.devices()) > 1
+        except Exception:
+            device_gather = False
+        cmd_unique_gtf(tmp, ugp, hdr_bam=first_sam, out_path=uniq_gtf,
+                       device_gather=device_gather)
         with open(tmp, "w") as out:
             for p in (cfg.gtf, uniq_gtf):
                 with open(p) as src:
