@@ -129,7 +129,7 @@ class BatchAligner:
                           (strand[1:] != strand[:-1]) |
                           (gp[1:] - gp[:-1] > p.chain.max_intron) |
                           (atid[1:] != atid[:-1]))
-        gids = np.cumsum(newgrp) - 1
+        gids = np.cumsum(newgrp, dtype=np.int64) - 1
         n_g = int(gids[-1]) + 1 if len(gids) else 0
         counts = np.bincount(gids, minlength=n_g).astype(np.int64)
         gstart = np.zeros(n_g + 1, np.int64)
@@ -143,7 +143,7 @@ class BatchAligner:
         if n_g > 1:
             newkey[1:] = (gr[1:] != gr[:-1]) | (gs2[1:] != gs2[:-1])
         kstart = np.nonzero(newkey)[0]
-        kid = np.cumsum(newkey) - 1
+        kid = np.cumsum(newkey, dtype=np.int64) - 1
         rank = np.arange(n_g) - kstart[kid]
         keep = (rank < MAX_CLUSTERS_PER_STRAND) & (gc >= 2)
         sel = og[keep]                               # kept group ids

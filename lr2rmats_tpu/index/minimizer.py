@@ -71,7 +71,7 @@ def valid_kmer(codes: np.ndarray, k: int) -> np.ndarray:
     if n <= 0:
         return np.zeros(0, bool)
     bad = (codes >= 4).astype(np.int32)
-    cs = np.concatenate([[0], np.cumsum(bad)])
+    cs = np.concatenate([[0], np.cumsum(bad, dtype=np.int64)])
     return (cs[k:] - cs[:-k]) == 0
 
 

@@ -43,6 +43,8 @@ class SJCountParams:
     seed_k: int = 20
     max_mm_frac: float = 0.06    # per-read mismatch budget
     seeds_per_read: int = 3
+    max_mates_gap: int = 300_000  # paired-end concordance window (STAR's
+                                  # winBinNbits-derived mates gap is ~262k)
 
 
 def gather_junctions(transcripts: List[Transcripts], min_intron: int = 20
@@ -108,19 +110,82 @@ class JunctionCounter:
 
     # ----------------------------------------------------------- seed index
     def _kmers(self, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """k-mers at every position (table building); native one-pass scan
+        when available — the numpy rolling construction is ~2k full-array
+        passes and this image's numpy is bandwidth-fragile."""
         k = self.p.seed_k
         n = len(codes) - k + 1
         if n <= 0:
             return np.zeros(0, np.uint64), np.zeros(0, bool)
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            km = np.empty(n, np.uint64)
+            ok = np.empty(n, np.int8)
+            lib.kmer_scan_c(np.ascontiguousarray(codes, np.uint8),
+                            len(codes), k, km, ok)
+            return km, ok.astype(bool)
         c = np.bitwise_and(codes, 3).astype(np.uint64)
         km = np.zeros(n, np.uint64)
         for j in range(k):
             np.left_shift(km, np.uint64(2), out=km)
             np.bitwise_or(km, c[j: j + n], out=km)
-        bad = (codes >= 4).astype(np.int32)
+        bad = (codes >= 4).astype(np.int64)
         cs = np.concatenate([[0], np.cumsum(bad)])
         ok = (cs[k:] - cs[:-k]) == 0
         return km, ok
+
+    def _kmers_at(self, codes: np.ndarray, pos: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """k-mers at the given positions only (seed extraction: only
+        seeds_per_read positions per read are used — scanning the whole
+        read buffer wasted ~90% of the round-1 counting wall)."""
+        k = self.p.seed_k
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            km = np.empty(len(pos), np.uint64)
+            ok = np.empty(len(pos), np.int8)
+            lib.kmers_at_c(np.ascontiguousarray(codes, np.uint8), len(codes),
+                           k, np.ascontiguousarray(pos, np.int64), len(pos),
+                           km, ok)
+            return km, ok.astype(bool)
+        n = len(codes)
+        inb = (pos >= 0) & (pos + k <= n)
+        safe = np.clip(pos, 0, max(n - k, 0))
+        win = codes[safe[:, None] + np.arange(k)]
+        ok = inb & (win < 4).all(axis=1)
+        km = np.zeros(len(pos), np.uint64)
+        for j in range(k):
+            km = (km << np.uint64(2)) | (win[:, j].astype(np.uint64) &
+                                         np.uint64(3))
+        return km, ok
+
+    def _genome_table(self):
+        """Sorted genome seed table; native scan+compact+radix build when
+        available (the numpy argsort + permutation path cost ~33 s at chr21
+        scale and does not reach GRCh38)."""
+        from ..native import get_lib
+        lib = get_lib()
+        codes = self.genome.codes
+        k = self.p.seed_k
+        m = max(len(codes) - k + 1, 0)
+        if lib is None or m == 0:
+            km, ok = self._kmers(codes)
+            return self._sorted_table(km, ok, 0)
+        h = np.empty(m, np.uint64)
+        pos = np.empty(m, np.int64)
+        cnt = int(lib.build_kmer_table_c(
+            np.ascontiguousarray(codes, np.uint8), len(codes), k, 0, h, pos))
+        h = h[:cnt].copy()
+        pos = pos[:cnt].copy()
+        nbits = 18
+        shift = max(0, 2 * k - nbits)
+        nb = 1 << min(nbits, 2 * k)
+        edges = (np.arange(nb, dtype=np.uint64) << np.uint64(shift))
+        starts = np.searchsorted(h, edges, side="left")
+        bstart = np.concatenate([starts, [len(h)]]).astype(np.int64)
+        return (h, pos, bstart, nb, shift)
 
     def _sorted_table(self, km, ok, pos_offset):
         valid = np.nonzero(ok)[0]
@@ -143,13 +208,11 @@ class JunctionCounter:
         self.gn = len(self.genome.codes)
         self.buf = (np.concatenate([self.genome.codes, self.ctx])
                     if len(self.ctx) else self.genome.codes)
-        cache_key = ("_sjk_cache", self.p.seed_k)
         cached = getattr(self.genome, "_sjk_cache", None)
         if cached is not None and cached[0] == self.p.seed_k:
             self._gtab = cached[1]
         else:
-            km, ok = self._kmers(self.genome.codes)
-            self._gtab = self._sorted_table(km, ok, 0)
+            self._gtab = self._genome_table()
             try:
                 self.genome._sjk_cache = (self.p.seed_k, self._gtab)
             except AttributeError:
@@ -317,30 +380,133 @@ class JunctionCounter:
             self.add_read(reads.get(i))
 
     # --------------------------------------------------- batched counting
-    def _seed_kmers_concat(self, codes: np.ndarray, offsets: np.ndarray):
-        """k-mers of a concatenated read buffer at every position."""
-        k = self.p.seed_k
-        n = len(codes) - k + 1
-        c = np.bitwise_and(codes, 3).astype(np.uint64)
-        km = np.zeros(max(n, 0), np.uint64)
-        for j in range(k):
-            np.left_shift(km, np.uint64(2), out=km)
-            np.bitwise_or(km, c[j: j + n], out=km)
-        bad = (codes >= 4).astype(np.int32)
-        cs = np.concatenate([[0], np.cumsum(bad)])
-        ok = (cs[k:] - cs[:-k]) == 0
-        return km, ok
-
     def count_seqset_batched(self, reads: SeqSet) -> None:
         """Vectorized equivalent of per-read add_read (agreement tested in
         tests/test_sjcount.py::test_batched_matches_per_read)."""
+        placed = self._place_batched(reads)
+        if placed is None:
+            return
+        (ri, cp, ori, L, c0, in_genome, mm, grp_start, is_best,
+         lpart, rpart) = placed
+        p = self.p
+        crossing = (~in_genome) & (lpart >= p.min_overhang) & \
+            (rpart >= p.min_overhang) & is_best
+        genomic_tie = in_genome & is_best
+        grp_sizes = np.diff(np.concatenate([grp_start, [len(ri)]]))
+        cross_cnt = np.add.reduceat(crossing.astype(np.int64), grp_start)
+        tie_cnt = np.add.reduceat(genomic_tie.astype(np.int64), grp_start)
+        count_grp = (cross_cnt > 0) & (tie_cnt == 0)
+        uniq_grp = count_grp & (cross_cnt == 1)
+        count_per_cand = np.repeat(count_grp, grp_sizes)
+        uniq_per_cand = np.repeat(uniq_grp, grp_sizes)
+        sel = crossing & count_per_cand
+        cc = c0[sel]
+        over = np.minimum(lpart[sel], rpart[sel]).astype(np.int32)
+        u = uniq_per_cand[sel]
+        np.add.at(self.uniq_c, cc[u], 1)
+        np.add.at(self.multi_c, cc[~u], 1)
+        np.maximum.at(self.max_over, cc, over)
+
+    def count_pairs_batched(self, reads1: SeqSet, reads2: SeqSet) -> None:
+        """Paired-end counting with mate-consistency gating (the STAR
+        proper-pair analog, reference parse_bam.c:909-914 consumes
+        FPROPER_PAIR alignments): a junction crossing counts only when its
+        placement participates in a concordant pair — mates on opposite
+        strands of the same chromosome within max_mates_gap.  Discordant
+        pairs contribute nothing (tests/test_sjcount.py)."""
+        assert reads1.n == reads2.n, "mate files differ in read count"
+        p = self.p
+        R = reads1.n
+        if R == 0:
+            return
+        placed = [self._place_batched(rs) for rs in (reads1, reads2)]
+        if placed[0] is None or placed[1] is None:
+            return
+        goffs = self.genome.offsets
+        jglobal = goffs[self.jtid] + self.jdon     # junction anchor, global
+
+        def best_arrays(P):
+            (ri, cp, ori, L, c0, in_genome, mm, grp_start, is_best,
+             lpart, rpart) = P
+            sel = is_best
+            ri, cp, ori, c0, in_genome, lp, rp = (
+                ri[sel], cp[sel], ori[sel], c0[sel], in_genome[sel],
+                lpart[sel], rpart[sel])
+            # global genomic anchor + chromosome for concordance checks
+            tid = np.where(
+                in_genome,
+                np.clip(np.searchsorted(goffs, cp, side="right") - 1, 0,
+                        len(goffs) - 2),
+                self.jtid[np.clip(c0, 0, max(len(self.jtid) - 1, 0))])
+            anchor = np.where(in_genome, cp,
+                              jglobal[np.clip(c0, 0,
+                                              max(len(self.jtid) - 1, 0))])
+            crossing = (~in_genome) & (lp >= p.min_overhang) & \
+                (rp >= p.min_overhang)
+            over = np.minimum(lp, rp).astype(np.int32)
+            # per-read offsets over 0..R-1
+            counts = np.bincount(ri, minlength=R)
+            offs = np.zeros(R + 1, np.int64)
+            np.cumsum(counts, out=offs[1:])
+            order = np.argsort(ri, kind="stable")
+            return (ri[order], ori[order], tid[order], anchor[order],
+                    crossing[order], c0[order], over[order],
+                    in_genome[order], offs)
+
+        r1 = best_arrays(placed[0])
+        r2 = best_arrays(placed[1])
+        offs1, offs2 = r1[8], r2[8]
+        n1 = np.diff(offs1)
+        n2 = np.diff(offs2)
+        ncomb = n1 * n2
+        tot = int(ncomb.sum())
+        if tot == 0:
+            return
+        pair_of = np.repeat(np.arange(R), ncomb)
+        cstart = np.zeros(R + 1, np.int64)
+        np.cumsum(ncomb, out=cstart[1:])
+        within = np.arange(tot) - cstart[pair_of]
+        i1 = offs1[pair_of] + within // np.maximum(n2[pair_of], 1)
+        i2 = offs2[pair_of] + within % np.maximum(n2[pair_of], 1)
+        concord = ((r1[1][i1] != r2[1][i2]) &
+                   (r1[2][i1] == r2[2][i2]) &
+                   (np.abs(r1[3][i1] - r2[3][i2]) <= p.max_mates_gap))
+        # reduceat needs in-bounds indices; empty pair groups (ncomb == 0)
+        # are clipped then zeroed
+        n_concord = np.add.reduceat(
+            concord.astype(np.int64), np.minimum(cstart[:-1], tot - 1))
+        n_concord[ncomb == 0] = 0
+        # placements participating in >= 1 concordant combo
+        part1 = np.zeros(len(r1[0]), bool)
+        part2 = np.zeros(len(r2[0]), bool)
+        np.logical_or.at(part1, i1, concord)
+        np.logical_or.at(part2, i2, concord)
+        uniq_pair = n_concord == 1
+        ok_pair = n_concord >= 1
+        for (ri_m, ori_m, tid_m, anc_m, cross_m, c0_m, over_m, ing_m,
+             offs_m), part in ((r1, part1), (r2, part2)):
+            # per-mate genomic tie: a participating contiguous placement
+            # beats the junction interpretation (single-end tie analog)
+            tie = np.zeros(R, bool)
+            np.logical_or.at(tie, ri_m[part & ing_m], True)
+            sel = part & cross_m & ok_pair[ri_m] & ~tie[ri_m]
+            cc = c0_m[sel]
+            u = uniq_pair[ri_m[sel]]
+            np.add.at(self.uniq_c, cc[u], 1)
+            np.add.at(self.multi_c, cc[~u], 1)
+            np.maximum.at(self.max_over, cc, over_m[sel])
+
+    def _place_batched(self, reads: SeqSet):
+        """Shared batched placement pass: seeds, hits, verification, best
+        marking.  Returns per-candidate arrays sorted/grouped by read, or
+        None when nothing placed."""
         from ..native import get_lib
         lib = get_lib()
         p = self.p
         k = p.seed_k
         R = reads.n
         if R == 0:
-            return
+            return None
         # forward + reverse-complement concatenated read buffers
         fwd = reads.codes
         offs = reads.offsets
@@ -350,30 +516,33 @@ class JunctionCounter:
         # rc read i lives at [total - offs[i+1], total - offs[i])
         lens = (offs[1:] - offs[:-1]).astype(np.int64)
 
-        # seeds: 3 positions per read per orientation
+        # seeds: seeds_per_read positions per read per orientation, k-mers
+        # computed only AT those positions (kmers_at_c)
         seed_frac = np.linspace(0, 1, p.seeds_per_read)
+        nf = len(seed_frac)
         cand_read = []
         cand_pos = []
+        rid_tile = np.tile(np.arange(R, dtype=np.int64), nf)
+        len_ok_tile = np.tile(lens >= k, nf)
         for codes_all, is_rc in ((fwd, False), (rc_all, True)):
-            km, ok = self._seed_kmers_concat(codes_all, np.zeros(0))
             base = (total - offs[1:]) if is_rc else offs[:-1]
-            for frac in seed_frac:
-                sp = (base + np.maximum(
-                    (frac * (lens - k)).astype(np.int64), 0))
-                good = (lens >= k) & ok[np.clip(sp, 0, max(len(ok) - 1, 0))]
-                ridx = np.nonzero(good)[0]
-                if not len(ridx):
-                    continue
-                spos = sp[ridx]
-                rep, tpos = self._hits(km[spos])
-                if not len(rep):
-                    continue
-                seed_in_read = (spos - base[ridx])[rep]
-                diag = tpos - seed_in_read
-                rr = ridx[rep]
-                # encode orientation in read id: rc reads get id + R
-                cand_read.append(rr + (R if is_rc else 0))
-                cand_pos.append(diag)
+            sp = np.concatenate(
+                [base + np.maximum((frac * (lens - k)).astype(np.int64), 0)
+                 for frac in seed_frac])
+            km, okm = self._kmers_at(codes_all, sp)
+            good = okm & len_ok_tile
+            idx = np.nonzero(good)[0]
+            if not len(idx):
+                continue
+            rep, tpos = self._hits(km[idx])
+            if not len(rep):
+                continue
+            seed_in_read = (sp[idx] - base[rid_tile[idx]])[rep]
+            diag = tpos - seed_in_read
+            rr = rid_tile[idx][rep]
+            # encode orientation in read id: rc reads get id + R
+            cand_read.append(rr + (R if is_rc else 0))
+            cand_pos.append(diag)
         if not cand_read:
             return
         if len(self.jtid) == 0:
@@ -440,7 +609,7 @@ class JunctionCounter:
             cr[okmm], cp[okmm], ori[okmm], ri[okmm], L[okmm], c0[okmm],
             in_genome[okmm], mm[okmm])
         if not len(cr):
-            return
+            return None
         # group by read (both orientations together)
         order = np.lexsort((cp, ori, ri))
         cr, cp, ori, ri, L, c0, in_genome, mm = (
@@ -451,29 +620,12 @@ class JunctionCounter:
         best_per_cand = np.repeat(best_mm,
                                   np.diff(np.concatenate([grp_start, [len(ri)]])))
         is_best = mm == best_per_cand
-        # crossing classification for best placements
         off_in_ctx = cp - self.gn - self.ctx_offs[c0]
         left = self.ctx_left_len[c0].astype(np.int64)
         lpart = left - off_in_ctx
         rpart = off_in_ctx + L - left
-        crossing = (~in_genome) & (lpart >= p.min_overhang) & \
-            (rpart >= p.min_overhang) & is_best
-        genomic_tie = in_genome & is_best
-        n_grp = len(grp_start)
-        grp_sizes = np.diff(np.concatenate([grp_start, [len(ri)]]))
-        cross_cnt = np.add.reduceat(crossing.astype(np.int64), grp_start)
-        tie_cnt = np.add.reduceat(genomic_tie.astype(np.int64), grp_start)
-        count_grp = (cross_cnt > 0) & (tie_cnt == 0)
-        uniq_grp = count_grp & (cross_cnt == 1)
-        count_per_cand = np.repeat(count_grp, grp_sizes)
-        uniq_per_cand = np.repeat(uniq_grp, grp_sizes)
-        sel = crossing & count_per_cand
-        cc = c0[sel]
-        over = np.minimum(lpart[sel], rpart[sel]).astype(np.int32)
-        u = uniq_per_cand[sel]
-        np.add.at(self.uniq_c, cc[u], 1)
-        np.add.at(self.multi_c, cc[~u], 1)
-        np.maximum.at(self.max_over, cc, over)
+        return (ri, cp, ori, L, c0, in_genome, mm, grp_start, is_best,
+                lpart, rpart)
 
     def result(self) -> SJTable:
         n = len(self.jtid)
@@ -493,14 +645,21 @@ class JunctionCounter:
 
 
 def count_junction_support(genome: Genome, gtf_sets: List[Transcripts],
-                           read_sets: List[SeqSet],
+                           read_sets,
                            params: Optional[SJCountParams] = None) -> SJTable:
-    """One-call junction support counting (STAR star_map role)."""
+    """One-call junction support counting (STAR star_map role).
+
+    read_sets: list whose items are either a SeqSet (single-end,
+    README.md:169-175) or a (SeqSet, SeqSet) mate pair — pairs are counted
+    with proper-pair gating (count_pairs_batched)."""
     log("sjcount", "building junction contexts ...")
     tid, don, acc, anno = gather_junctions(gtf_sets)
     jc = JunctionCounter(genome, tid, don, acc, anno, params)
     log("sjcount", "placing %d read sets ...", len(read_sets))
     for rs in read_sets:
-        jc.count_seqset_batched(rs)
+        if isinstance(rs, tuple):
+            jc.count_pairs_batched(rs[0], rs[1])
+        else:
+            jc.count_seqset_batched(rs)
     log("sjcount", "junction support counting done.")
     return jc.result()

@@ -141,6 +141,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             c_i64p, c_i32p, c_i32p, c_i64p, c_i64p, c_i32p, c_i32p]
 
+        lib.build_kmer_table_c.restype = ctypes.c_int64
+        lib.build_kmer_table_c.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            c_u64p, c_i64p]
+
+        lib.kmer_scan_c.restype = None
+        lib.kmer_scan_c.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int, c_u64p, c_i8p]
+
+        lib.kmers_at_c.restype = None
+        lib.kmers_at_c.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int, c_i64p, ctypes.c_int64,
+            c_u64p, c_i8p]
+
         lib.lookup_range_c.restype = None
         lib.lookup_range_c.argtypes = [
             c_u64p, ctypes.c_int64, c_i64p, ctypes.c_int64, ctypes.c_int,

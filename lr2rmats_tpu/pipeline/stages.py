@@ -235,7 +235,13 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
             with Timer(f"stage/sj_count[{sample}]", benchmark_file=A("benchmark", f"{sample}.star.benchmark.txt")):
                 cname = ChrNames(genome.names)
                 merged = read_anno_trans(new_gtf, cname)
-                read_sets = [read_fasta(p) for p in short_inputs]
+                # paired-end mates count with proper-pair gating (STAR
+                # analog); single-end counts independently
+                if reads.short_first and reads.short_second:
+                    read_sets = [(read_fasta(reads.short_first),
+                                  read_fasta(reads.short_second))]
+                else:
+                    read_sets = [read_fasta(p) for p in short_inputs]
                 sj = count_junction_support(genome, [merged], read_sets)
                 with open(sj_tab, "w") as f:
                     write_sj_star(sj, cname, f)

@@ -161,3 +161,48 @@ def test_batched_synthetic_matches():
     np.testing.assert_array_equal(ra.multi_c, rb.multi_c)
     np.testing.assert_array_equal(ra.max_over, rb.max_over)
     assert ra.uniq_c.sum() + ra.multi_c.sum() > 50
+
+
+def _mk_seqset(reads):
+    import numpy as np
+    from lr2rmats_tpu.io.fasta import SeqSet
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    return SeqSet([f"p{i}" for i in range(len(reads))],
+                  np.concatenate(reads) if reads else np.zeros(0, np.uint8),
+                  offs)
+
+
+def test_paired_mate_consistency_gating():
+    """A junction-crossing mate counts when its mate lands concordantly
+    nearby on the opposite strand, and is REJECTED when the mate is
+    discordant (other chromosome) — the STAR proper-pair analog."""
+    import numpy as np
+    from lr2rmats_tpu.io.fasta import Genome, revcomp
+    from lr2rmats_tpu.junctions.sjcount import JunctionCounter, SJCountParams
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 4, 40_000).astype(np.uint8)
+    two = np.concatenate([codes, rng.integers(0, 4, 40_000).astype(np.uint8)])
+    genome = Genome(["c1", "c2"], two.copy(),
+                    np.array([0, 40_000, 80_000], np.int64))
+    # one junction on c1: exon [1000,1200], intron, exon [2000,2200] (0-based)
+    don, acc = 1200, 1999          # first/last intron base, 0-based
+    genome.codes[1200:1202] = (2, 3)
+    genome.codes[1998:2000] = (0, 2)
+    jc = JunctionCounter(genome, np.array([0], np.int32),
+                         np.array([don + 1], np.int32),   # 1-based
+                         np.array([acc + 1], np.int32),
+                         np.array([0], np.int32), SJCountParams())
+    # crossing read: 40bp ending at donor + 40bp from acceptor side
+    crossing = np.concatenate([genome.codes[1160:1200],
+                               genome.codes[2000:2040]]).copy()
+    mate_near = revcomp(genome.codes[2100:2180].copy())   # concordant mate
+    mate_far = revcomp(genome.codes[50_000:50_080].copy())  # other chrom
+    jc.count_pairs_batched(_mk_seqset([crossing]), _mk_seqset([mate_near]))
+    assert jc.uniq_c[0] == 1
+    jc2 = JunctionCounter(genome, np.array([0], np.int32),
+                          np.array([don + 1], np.int32),
+                          np.array([acc + 1], np.int32),
+                          np.array([0], np.int32), SJCountParams())
+    jc2.count_pairs_batched(_mk_seqset([crossing]), _mk_seqset([mate_far]))
+    assert jc2.uniq_c[0] == 0 and jc2.multi_c[0] == 0
