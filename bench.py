@@ -33,31 +33,85 @@ def build_genome(n_bases: int, rng):
     return Genome(["chrB"], codes, np.array([0, n_bases], np.int64))
 
 
-def simulate_reads(genome, n_reads: int, rng, err=0.03):
-    """ONT-like cDNA reads: 2-6 exons of 150-600 bp, introns 200-20k."""
+def simulate_reads(genome, n_reads: int, rng, err=0.03, profile=None):
+    """Simulated cDNA reads: 2-6 exons of 150-600 bp, introns 200-20k.
+
+    Two-pass: gene structures are planted first in NON-overlapping genome
+    slots (the round-1 one-pass version let later genes overwrite earlier
+    genes' splice motifs, so ~0.5% of 'aligner errors' were corrupted
+    truth), then reads are generated.
+
+    profile=None  : uniform substitutions at rate `err`, all introns
+                    canonical GT..AG (round-1 workload, clean truth)
+    profile="ont" : ONT-like 2.5% sub + 1.5% del + 1% ins, 96% GT..AG /
+                    2% GC..AG / 2% AT..AC motifs (minor spliceosome
+                    classes), plus 200 copies of 1-4 kb segments pasted
+                    elsewhere (repeat content)
+    """
+    minor_frac = 0.04 if profile == "ont" else 0.0
     from lr2rmats_tpu.io.fasta import revcomp
     L = len(genome.codes)
-    reads = []
-    truths = []  # per-read exon structures (0-based half-open) for accuracy
-    for _ in range(n_reads):
+    if profile == "ont":
+        # paste repeats BEFORE planting genes so motifs survive
+        for _ in range(200):
+            sl = int(rng.integers(1000, 4000))
+            src = int(rng.integers(0, L - sl))
+            dst = int(rng.integers(0, L - sl))
+            genome.codes[dst: dst + sl] = genome.codes[src: src + sl]
+    # pass A: plant gene structures serially (strictly non-overlapping)
+    genes = []
+    pos = 1000
+    while len(genes) < n_reads:
+        pos += int(rng.integers(200, 2000))
         n_exons = int(rng.integers(2, 7))
-        pos = int(rng.integers(1000, L - 200_000))
         parts = []
+        okg = True
         for e in range(n_exons):
             elen = int(rng.integers(150, 600))
-            # plant canonical motifs at the intron edges
+            if pos + elen + 20_100 > L:
+                okg = False
+                break
             parts.append((pos, pos + elen))
             pos += elen
             if e < n_exons - 1:
-                genome.codes[pos] = 2      # G
-                genome.codes[pos + 1] = 3  # T
+                r = rng.random()
+                if r >= minor_frac:
+                    genome.codes[pos], genome.codes[pos + 1] = 2, 3   # GT
+                    endm = (0, 2)                                      # AG
+                elif r < minor_frac / 2:
+                    genome.codes[pos], genome.codes[pos + 1] = 2, 1   # GC
+                    endm = (0, 2)                                      # AG
+                else:                                                  # AT..AC
+                    genome.codes[pos], genome.codes[pos + 1] = 0, 3
+                    endm = (0, 1)
                 ilen = int(rng.integers(200, 20_000))
                 pos += ilen
-                genome.codes[pos - 2] = 0  # A
-                genome.codes[pos - 1] = 2  # G
+                genome.codes[pos - 2], genome.codes[pos - 1] = endm
+        if not okg:
+            break
+        if len(parts) >= 2:
+            genes.append(parts)
+    # pass B: n_reads reads over the genes (several per gene when the
+    # genome is too small for n_reads non-overlapping genes)
+    reads = []
+    truths = []
+    for i in range(n_reads):
+        parts = genes[i % len(genes)]
         read = np.concatenate([genome.codes[a:b] for a, b in parts]).copy()
-        mask = rng.random(len(read)) < err
-        read[mask] = (read[mask] + rng.integers(1, 4, int(mask.sum()))) % 4
+        if profile == "ont":
+            # substitutions
+            mask = rng.random(len(read)) < 0.025
+            read[mask] = (read[mask] + rng.integers(1, 4, int(mask.sum()))) % 4
+            # indels (deletion-biased, like ONT homopolymer errors)
+            keep = rng.random(len(read)) >= 0.015
+            read = read[keep]
+            ins = np.nonzero(rng.random(len(read)) < 0.01)[0]
+            if len(ins):
+                read = np.insert(read, ins,
+                                 rng.integers(0, 4, len(ins)).astype(np.uint8))
+        else:
+            mask = rng.random(len(read)) < err
+            read[mask] = (read[mask] + rng.integers(1, 4, int(mask.sum()))) % 4
         if rng.random() < 0.5:
             read = revcomp(read)
         reads.append(read)
@@ -67,9 +121,10 @@ def simulate_reads(genome, n_reads: int, rng, err=0.03):
 
 def main():
     rng = np.random.default_rng(SEED)
+    profile = os.environ.get("BENCH_ERR_PROFILE") or None
     t0 = time.perf_counter()
     genome = build_genome(int(GENOME_MB * 1e6), rng)
-    reads, truths = simulate_reads(genome, N_READS, rng)
+    reads, truths = simulate_reads(genome, N_READS, rng, profile=profile)
     names = [f"read{i}" for i in range(len(reads))]
 
     from lr2rmats_tpu.align.batch import BatchAligner
@@ -157,6 +212,8 @@ def main():
         "est_device_gflops": round(est_flops / max(dev_s, 1e-9) / 1e9, 1),
         "vpu_util_est": round(est_flops / max(dev_s, 1e-9) / 4e12, 4),
     }
+    if profile:
+        detail["err_profile"] = profile
     if os.environ.get("BENCH_NOTE"):
         detail["note"] = os.environ["BENCH_NOTE"]
     print(json.dumps({

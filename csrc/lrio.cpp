@@ -336,7 +336,7 @@ int refine_splice_c(const uint8_t* q, int m, const uint8_t* ref,
     for (int t = m - 1; t >= 0; --t)
         rsuf[t] = rsuf[t + 1] +
                   (q[t] == ref[right_ref - m + t] ? 1.0 : 0.0);
-    double best = -1.0;
+    double best = NEG;
     int bj = 0, bvote = 0;
     for (int j = 0; j <= m; ++j) {
         int64_t don = left_ref + j;

@@ -27,6 +27,7 @@ BONUS_CANON = 10.0   # GT..AG / CT..AC
 BONUS_SEMI = 5.0     # GC..AG / AT..AC and complements
 
 
+
 def _dinuc_eq(arr: np.ndarray, pos: np.ndarray, pair: Tuple[int, int]) -> np.ndarray:
     """arr[pos]==pair[0] and arr[pos+1]==pair[1] with bounds safety."""
     n = len(arr)
