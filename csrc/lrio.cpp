@@ -1739,3 +1739,139 @@ int check_iden_c(const int32_t* s1, const int32_t* e1, int n1,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Batched annotation sweep (transcript/classify.py::check_with_anno_trans
+// for every bam transcript; reference update_gtf.c:792-835 + 629-696).
+// Both transcript sets must be coordinate-sorted.  Runs the merge-join
+// cursor, check_full accumulation, single-exon overlap test and the
+// splice-site classification (check_splice_site_c) per overlap pair, and
+// finalizes the full bit (set_full).  Flags are uint8 views of the python
+// bool columns, novel-flag rows are strided 2D views.  ref_anno[bi] gets
+// the adopted annotation index or -1 (gene id/name adoption — strings —
+// stays host-side).
+int classify_batch_c(
+    const int32_t* b_es, const int32_t* b_ee, int64_t b_w,
+    const int32_t* b_en, const int32_t* b_tid,
+    const int32_t* b_start, const int32_t* b_end, int64_t bn_total,
+    uint8_t* f_known, uint8_t* f_has_known, uint8_t* f_full,
+    uint8_t* f_lfull, uint8_t* f_rfull, uint8_t* f_lnoth, uint8_t* f_rnoth,
+    uint8_t* nsf, int64_t nsf_w, uint8_t* nef, int64_t nef_w,
+    uint8_t* njf, int64_t njf_w,
+    const int32_t* a_es, const int32_t* a_ee, int64_t a_w,
+    const int32_t* a_en, const int32_t* a_tid,
+    const int32_t* a_start, const int32_t* a_end, int64_t an_total,
+    int full_level, int ss_dis, double se_ovlp_frac,
+    int64_t* ref_anno) {
+    auto exon_overlap = [](int64_t s1, int64_t e1, int64_t s2, int64_t e2) {
+        return !(s1 > e2 || s2 > e1);
+    };
+    int64_t last_anno_i = 0;
+    for (int64_t bi = 0; bi < bn_total; ++bi) {
+        const int32_t* bs = b_es + bi * b_w;
+        const int32_t* be = b_ee + bi * b_w;
+        int bcnt = b_en[bi];
+        bool single = bcnt == 1;
+        int64_t refa = -1;
+        for (int64_t ai = last_anno_i; ai < an_total; ++ai) {
+            // comp_trans (update_gtf.c:786-790)
+            int cmp;
+            if (b_tid[bi] < a_tid[ai] ||
+                (b_tid[bi] == a_tid[ai] && b_end[bi] <= a_start[ai]))
+                cmp = -1;
+            else if (a_tid[ai] < b_tid[bi] ||
+                     (a_tid[ai] == b_tid[bi] && a_end[ai] <= b_start[bi]))
+                cmp = 1;
+            else
+                cmp = 0;
+            if (cmp < 0) break;
+            if (cmp > 0) {
+                if (last_anno_i == ai) ++last_anno_i;
+                continue;
+            }
+            const int32_t* as_ = a_es + ai * a_w;
+            const int32_t* ae = a_ee + ai * a_w;
+            int acnt = a_en[ai];
+            // check_full (update_gtf.c:629-681)
+            if (!(f_lfull[bi] && f_rfull[bi])) {
+                int i = bcnt - 1, j = acnt - 1;
+                if (full_level == 1) {
+                    if (!f_lfull[bi] && be[0] == ae[0]) f_lfull[bi] = 1;
+                    if (!f_rfull[bi] && bs[i] == as_[j]) f_rfull[bi] = 1;
+                } else if (full_level == 2) {
+                    if (!f_lfull[bi] &&
+                        exon_overlap(bs[0], be[0], as_[0], ae[0]))
+                        f_lfull[bi] = 1;
+                    if (!f_rfull[bi] &&
+                        exon_overlap(bs[i], be[i], as_[j], ae[j]))
+                        f_rfull[bi] = 1;
+                } else if (full_level == 3 || full_level == 4) {
+                    if (!f_lfull[bi]) {
+                        if (exon_overlap(bs[0], be[0], as_[0], ae[0]))
+                            f_lfull[bi] = 1;
+                        else {
+                            for (int t = 0; t < acnt; ++t)
+                                if (bs[0] <= ae[t] && as_[t] <= be[0]) {
+                                    f_lnoth[bi] = 0;
+                                    break;
+                                }
+                        }
+                    }
+                    if (full_level == 3 && !f_rfull[bi]) {
+                        if (exon_overlap(bs[i], be[i], as_[j], ae[j]))
+                            f_rfull[bi] = 1;
+                        else {
+                            for (int t = 0; t < acnt; ++t)
+                                if (bs[i] <= ae[t] && as_[t] <= be[i]) {
+                                    f_rnoth[bi] = 0;
+                                    break;
+                                }
+                        }
+                    }
+                }
+            }
+            if (single && acnt == 1) {
+                // exon_overlap_frac (update_gtf.c:80-89)
+                double frac = 0.0;
+                if (!(bs[0] > ae[0] || as_[0] > be[0])) {
+                    int64_t ov = std::min<int64_t>(be[0], ae[0]) -
+                                 std::max<int64_t>(bs[0], as_[0]) + 1;
+                    int64_t ml = std::min<int64_t>(be[0] - bs[0] + 1,
+                                                   ae[0] - as_[0] + 1);
+                    frac = (double)ov / (double)ml;
+                }
+                if (frac >= se_ovlp_frac) {
+                    refa = ai;
+                    f_known[bi] = 1;
+                    break;
+                }
+            } else if (!single && acnt > 1) {
+                int ret = check_splice_site_c(
+                    bs, be, bcnt, as_, ae, acnt,
+                    b_start[bi], b_end[bi], a_start[ai], a_end[ai], ss_dis,
+                    nsf + bi * nsf_w, nef + bi * nef_w, njf + bi * njf_w);
+                if (ret == 1) {
+                    f_known[bi] = 1;
+                    refa = ai;
+                    break;
+                }
+                if (ret == 2) {
+                    f_has_known[bi] = 1;
+                    refa = ai;
+                }
+            }
+        }
+        ref_anno[bi] = refa;
+        // set_full (update_gtf.c:683-696)
+        if (full_level == 5) f_full[bi] = 1;
+        else if (full_level == 4) f_full[bi] = f_lfull[bi] || f_lnoth[bi];
+        else if (full_level == 3)
+            f_full[bi] = (f_lfull[bi] || f_lnoth[bi]) &&
+                         (f_rfull[bi] || f_rnoth[bi]);
+        else f_full[bi] = f_lfull[bi] && f_rfull[bi];
+    }
+    return 0;
+}
+
+}  // extern "C"

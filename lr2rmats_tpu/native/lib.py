@@ -176,6 +176,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
 
+        # RAW POINTER binding (full-array sweep; arrays passed by .ctypes.data)
+        lib.classify_batch_c.restype = ctypes.c_int
+        lib.classify_batch_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_void_p]
+
         lib.filter_sam_c.restype = ctypes.c_int64
         lib.filter_sam_c.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,

@@ -271,6 +271,46 @@ class Transcripts:
         self.trans_name.extend(names)
         self.n += n
 
+    def append_many(self, other: "Transcripts", idx: np.ndarray) -> None:
+        """Bulk append_from for an index array (vectorized slice copies;
+        the per-row path cost ~13 us/row at 500k-transcript scale)."""
+        n = len(idx)
+        if n == 0:
+            return
+        if self.n + n > self._cap:
+            self._grow_rows(self.n + n)
+        E = int(other.exon_n[idx].max())
+        if E > self._ecap:
+            self._grow_exons(E)
+        sl = slice(self.n, self.n + n)
+        w = min(self._ecap, other.exon_start.shape[1])
+        self.exon_start[sl, :w] = other.exon_start[idx, :w]
+        self.exon_end[sl, :w] = other.exon_end[idx, :w]
+        self.exon_n[sl] = other.exon_n[idx]
+        self.tid[sl] = other.tid[idx]
+        self.is_rev[sl] = other.is_rev[idx]
+        self.start[sl] = other.start[idx]
+        self.end[sl] = other.end[idx]
+        self.cov[sl] = other.cov[idx]
+        for k in FLAG_NAMES:
+            self.flags[k][sl] = other.flags[k][idx]
+        self.novel_exon_flag[sl, :w] = other.novel_exon_flag[idx, :w]
+        w2 = min(self.novel_site_flag.shape[1],
+                 other.novel_site_flag.shape[1])
+        self.novel_site_flag[sl, :w2] = other.novel_site_flag[idx, :w2]
+        wj = min(self.novel_junction_flag.shape[1],
+                 other.novel_junction_flag.shape[1])
+        self.novel_junction_flag[sl, :wj] = \
+            other.novel_junction_flag[idx, :wj]
+        self.unreliable_junction_flag[sl, :wj] = \
+            other.unreliable_junction_flag[idx, :wj]
+        for j in idx:
+            self.gene_id.append(other.gene_id[j])
+            self.gene_name.append(other.gene_name[j])
+            self.trans_id.append(other.trans_id[j])
+            self.trans_name.append(other.trans_name[j])
+        self.n += n
+
     def append_from(self, other: "Transcripts", j: int) -> int:
         """Copy transcript j of `other` into self (reference add_read_trans,
         gtf.c:142-164).  Direct array-to-array fast path."""
