@@ -1411,14 +1411,24 @@ int64_t filter_sam_c(const char* buf, int64_t n,
         pos = eol + 1;
     }
 
+    // per-tid running max-end over the (tid, start)-sorted rm intervals:
+    // O(log rm) binary-searched overlap test instead of the reference's
+    // per-record linear scan (bam_filter.c:49-59)
+    std::vector<int64_t> rm_key(rm_n), rm_maxend(rm_n);
+    for (int64_t i = 0; i < rm_n; ++i) {
+        rm_key[i] = (rm_tid[i] << 32) | (rm_start[i] & 0xFFFFFFFFLL);
+        rm_maxend[i] = rm_end[i];
+        if (i > 0 && rm_tid[i] == rm_tid[i - 1])
+            rm_maxend[i] = std::max(rm_maxend[i], rm_maxend[i - 1]);
+    }
     auto rm_overlap = [&](int64_t tid, int64_t p0, int64_t rlen) -> bool {
-        for (int64_t i = 0; i < rm_n; ++i) {
-            if (tid == rm_tid[i] &&
-                !(p0 > rm_end[i] || rm_start[i] > p0 + rlen - 1))
-                return true;
-            if (tid < rm_tid[i]) return false;
-        }
-        return false;
+        if (rm_n == 0) return false;
+        int64_t p1 = p0 + rlen - 1;
+        int64_t want = (tid << 32) | ((p1 + 1) & 0xFFFFFFFFLL);
+        int64_t j = std::upper_bound(rm_key.begin(), rm_key.end(), want - 1)
+                    - rm_key.begin();
+        if (j == 0 || rm_tid[j - 1] != tid) return false;
+        return rm_maxend[j - 1] >= p0;
     };
 
     int64_t kept = 0;

@@ -32,22 +32,51 @@ class FilterParams:
     min_intron_n: int = MIN_INTRON_NUM  # -i
 
 
-def remove_overlap(rec: AlnRec, rm: Transcripts) -> bool:
-    """Does the alignment overlap any rm_gtf transcript?
-    (reference remove_overlap, bam_filter.c:49-59; linear scan with the same
-    early-exit on tid order)."""
-    pos = rec.pos
-    rlen = rec.ref_len()
-    for i in range(rm.n):
-        if (rec.tid == rm.tid[i] and
-                not (pos > rm.end[i] or rm.start[i] > pos + rlen - 1)):
-            return True
-        if rec.tid < rm.tid[i]:
+class RmIndex:
+    """Sorted interval index over the rm_gtf transcripts.
+
+    Replaces the reference's per-record linear scan (bam_filter.c:49-59;
+    O(records x rm) for a large rm_gtf) with a binary search over
+    (tid, start)-sorted intervals plus a per-tid running max-end — O(log rm)
+    per record with identical results for tid-sorted input (the only case
+    the reference's early-exit scan handles deterministically anyway)."""
+
+    def __init__(self, rm: Transcripts):
+        n = rm.n
+        tid = rm.tid[:n].astype(np.int64)
+        start = rm.start[:n].astype(np.int64)
+        end = rm.end[:n].astype(np.int64)
+        order = np.lexsort((start, tid))
+        tid, start, end = tid[order], start[order], end[order]
+        self.n = n
+        self.tid = tid
+        self.key = (tid << np.int64(32)) | start
+        maxend = end.copy()
+        for i in range(1, n):            # per-tid running max (rm is small;
+            if tid[i] == tid[i - 1]:     # this runs once per filter call)
+                maxend[i] = max(maxend[i], maxend[i - 1])
+        self.maxend = maxend
+
+    def overlaps(self, tid: int, p0: int, p1: int) -> bool:
+        """Any rm interval on `tid` intersecting [p0, p1]?"""
+        if self.n == 0:
             return False
-    return False
+        j = int(np.searchsorted(self.key, (tid << 32) | (p1 + 1), "left"))
+        if j == 0 or self.tid[j - 1] != tid:
+            return False
+        return bool(self.maxend[j - 1] >= p0)
 
 
-def gtf_filter(rec: AlnRec, params: FilterParams, rm: Transcripts):
+def remove_overlap(rec: AlnRec, rm) -> bool:
+    """Does the alignment overlap any rm_gtf transcript?
+    (reference remove_overlap, bam_filter.c:49-59)."""
+    if isinstance(rm, Transcripts):
+        rm = RmIndex(rm)
+    pos = rec.pos
+    return rm.overlaps(int(rec.tid), pos, pos + rec.ref_len() - 1)
+
+
+def gtf_filter(rec: AlnRec, params: FilterParams, rm):
     """Returns (keep: bool, score: int, intron_n: int)
     (reference gtf_filter, bam_filter.c:61-86)."""
     if rec.is_unmapped:
@@ -86,6 +115,8 @@ def filter_alignments(records: Iterable[AlnRec], params: FilterParams,
     if rm is None:
         rm = Transcripts(cap=1)
         rm.n = 0
+    if isinstance(rm, Transcripts):
+        rm = RmIndex(rm)
     lqname = None
     best: Optional[AlnRec] = None
     b_score = s_score = 0
