@@ -1265,6 +1265,107 @@ int64_t build_kmer_table_c(const uint8_t* codes, int64_t n, int k,
     return cnt;
 }
 
+// Sort a minimizer table (hash + pos + strand payloads) by hash with a
+// threaded LSD radix (4x16-bit passes), then histogram run lengths (counts
+// capped into the last bucket) so the caller can derive the occurrence-cap
+// quantile without a second giant sort.  numpy argsort + unique cannot
+// reach the ~1G-entry GRCh38 table on this host.
+int sort_minimizer_table_c(uint64_t* h, int64_t* pos, int8_t* strand,
+                           int64_t n, int n_threads,
+                           int64_t* hist_out /* [1025] */) {
+    if (n <= 0) { for (int i = 0; i <= 1024; ++i) hist_out[i] = 0; return 0; }
+    std::vector<uint64_t> hb(n);
+    std::vector<int64_t> pb(n);
+    std::vector<int8_t> sb(n);
+    uint64_t* hs = h;  int64_t* ps = pos;  int8_t* ss = strand;
+    uint64_t* hd = hb.data(); int64_t* pd = pb.data(); int8_t* sd = sb.data();
+    int nt = std::max(1, std::min(n_threads, 8));
+    std::vector<std::vector<int64_t>> hist(nt,
+                                           std::vector<int64_t>(65536, 0));
+    for (int pass = 0; pass < 4; ++pass) {
+        int shift = 16 * pass;
+        int64_t per = (n + nt - 1) / nt;
+        {
+            std::vector<std::thread> ts;
+            for (int t = 0; t < nt; ++t) {
+                int64_t lo = t * per, hi = std::min(n, lo + per);
+                std::fill(hist[t].begin(), hist[t].end(), 0);
+                if (lo < hi)
+                    ts.emplace_back([&, t, lo, hi, shift]() {
+                        auto& hh = hist[t];
+                        for (int64_t i = lo; i < hi; ++i)
+                            ++hh[(hs[i] >> shift) & 0xFFFF];
+                    });
+            }
+            for (auto& th : ts) th.join();
+        }
+        // exclusive prefix over (bucket, thread)
+        int64_t sum = 0;
+        for (int b = 0; b < 65536; ++b)
+            for (int t = 0; t < nt; ++t) {
+                int64_t c = hist[t][b];
+                hist[t][b] = sum;
+                sum += c;
+            }
+        {
+            std::vector<std::thread> ts;
+            for (int t = 0; t < nt; ++t) {
+                int64_t lo = t * per, hi = std::min(n, lo + per);
+                if (lo < hi)
+                    ts.emplace_back([&, t, lo, hi, shift]() {
+                        auto& hh = hist[t];
+                        for (int64_t i = lo; i < hi; ++i) {
+                            int64_t d = hh[(hs[i] >> shift) & 0xFFFF]++;
+                            hd[d] = hs[i];
+                            pd[d] = ps[i];
+                            sd[d] = ss[i];
+                        }
+                    });
+            }
+            for (auto& th : ts) th.join();
+        }
+        std::swap(hs, hd);
+        std::swap(ps, pd);
+        std::swap(ss, sd);
+    }
+    // 4 passes = even count, data is back in the caller's buffers
+    // run-length histogram
+    for (int i = 0; i <= 1024; ++i) hist_out[i] = 0;
+    int64_t run = 1;
+    for (int64_t i = 1; i <= n; ++i) {
+        if (i == n || h[i] != h[i - 1]) {
+            ++hist_out[std::min<int64_t>(run, 1024)];
+            run = 1;
+        } else {
+            ++run;
+        }
+    }
+    return 0;
+}
+
+// Drop minimizers whose hash occurs more than max_occ times (the minimap2
+// -f high-frequency filter); in-place compaction over the sorted table.
+// Returns the new count.
+int64_t cap_occurrences_c(uint64_t* h, int64_t* pos, int8_t* strand,
+                          int64_t n, int64_t max_occ) {
+    int64_t out = 0;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t j = i;
+        while (j < n && h[j] == h[i]) ++j;
+        if (j - i <= max_occ) {
+            if (out != i) {
+                std::memmove(h + out, h + i, (size_t)(j - i) * 8);
+                std::memmove(pos + out, pos + i, (size_t)(j - i) * 8);
+                std::memmove(strand + out, strand + i, (size_t)(j - i));
+            }
+            out += j - i;
+        }
+        i = j;
+    }
+    return out;
+}
+
 // Bucketed sorted-hash range lookup (index/minimizer.py::MinimizerIndex.lookup).
 // bucket_start has n_buckets+1 entries over hash >> shift.
 void lookup_range_c(const uint64_t* hashes, int64_t M,

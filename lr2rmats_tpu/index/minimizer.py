@@ -157,12 +157,33 @@ class MinimizerIndex:
         h = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
         p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
         s = np.concatenate(ss) if ss else np.zeros(0, np.int8)
-        order = np.argsort(h, kind="stable")
-        h, p, s = h[order], p[order], s[order]
         # occurrence cap: drop minimizers appearing more often than the
         # max_occ_frac quantile (minimap2 -f equivalent)
         max_occ = 0
-        if len(h):
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and len(h):
+            # threaded native radix sort + run-length histogram (numpy
+            # argsort/unique cannot reach the ~1G-entry GRCh38 table)
+            import os
+            h = np.ascontiguousarray(h)
+            p = np.ascontiguousarray(p)
+            s = np.ascontiguousarray(s)
+            hist = np.zeros(1025, np.int64)
+            lib.sort_minimizer_table_c(h, p, s, len(h),
+                                       min(8, os.cpu_count() or 1), hist)
+            # quantile of per-hash occurrence counts from the histogram
+            # (counts >= 1024 pooled in the last bucket)
+            total = int(hist.sum())
+            want = (1.0 - max_occ_frac) * total
+            cum = np.cumsum(hist)
+            max_occ = max(int(np.searchsorted(cum, want)), min_max_occ)
+            if hist[min(max_occ + 1, 1024):].sum() > 0 or max_occ >= 1024:
+                n2 = int(lib.cap_occurrences_c(h, p, s, len(h), max_occ))
+                h, p, s = h[:n2].copy(), p[:n2].copy(), s[:n2].copy()
+        elif len(h):
+            order = np.argsort(h, kind="stable")
+            h, p, s = h[order], p[order], s[order]
             uh, counts = np.unique(h, return_counts=True)
             if len(uh):
                 max_occ = max(int(np.quantile(counts, 1.0 - max_occ_frac)),

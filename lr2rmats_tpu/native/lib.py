@@ -146,6 +146,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
             c_u64p, c_i64p]
 
+        lib.sort_minimizer_table_c.restype = ctypes.c_int
+        lib.sort_minimizer_table_c.argtypes = [
+            c_u64p, c_i64p, c_i8p, ctypes.c_int64, ctypes.c_int, c_i64p]
+
+        lib.cap_occurrences_c.restype = ctypes.c_int64
+        lib.cap_occurrences_c.argtypes = [
+            c_u64p, c_i64p, c_i8p, ctypes.c_int64, ctypes.c_int64]
+
         lib.kmer_scan_c.restype = None
         lib.kmer_scan_c.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int, c_u64p, c_i8p]
