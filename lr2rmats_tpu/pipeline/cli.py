@@ -135,6 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--split-trans", action="store_true", default=True)
     sp.add_argument("--full-level", type=int, default=3)
     sp.add_argument("--out-dir", default=".")
+    sp.add_argument("--jobs", type=int, default=None,
+                    help="per-sample host-stage parallelism (Snakemake "
+                         "--jobs role; default min(4, n_samples), 1=serial)")
+    sp.add_argument("--cpu", action="store_true",
+                    help="force the CPU host path (no accelerator)")
 
     sp = sub.add_parser("version", help="print version")
     return ap
@@ -240,7 +245,8 @@ def _main(argv=None) -> int:
         cfg.split_trans = args.split_trans
         cfg.full_level = args.full_level
         cfg.out_dir = args.out_dir
-        run_pipeline(cfg)
+        cfg.jobs = args.jobs
+        run_pipeline(cfg, use_tpu=False if args.cpu else None)
         return 0
     return 1
 
