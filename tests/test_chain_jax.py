@@ -54,3 +54,47 @@ def test_batch_backtrack_consistency():
         pri_h, ps_h, _, _ = backtrack(fh, ph, 0.0)
         assert ps_b == pytest.approx(ps_h, rel=1e-5)
         np.testing.assert_array_equal(pri_b, pri_h)
+
+
+def test_fused_backtrack_matches_host():
+    """chain_backtrack_batch_async (the production fused kernel) must
+    reproduce align.chain.backtrack's primary/secondary selection exactly,
+    including the 48-candidate disjointness cap semantics."""
+    import jax
+    from lr2rmats_tpu.align.chain import backtrack, chain_anchors
+    from lr2rmats_tpu.ops.chain_jax import (chain_backtrack_batch_async,
+                                            unpack_chain_result)
+    p = ChainParams()
+    rng = np.random.default_rng(19)
+    bad = 0
+    tot = 0
+    for (B, A) in [(48, 64), (24, 256)]:
+        q = np.zeros((B, A), np.int32)
+        g = np.zeros((B, A), np.int32)
+        n = np.zeros(B, np.int32)
+        for b in range(B):
+            na = int(rng.integers(4, A + 1))
+            n[b] = na
+            qq = np.sort(rng.integers(0, 2000, na))
+            diag = rng.integers(0, 50000) + np.where(
+                rng.random(na) < 0.3, rng.integers(0, 30000, na), 0)
+            q[b, :na] = qq
+            g[b, :na] = np.sort(qq + diag)
+        flat = jax.device_get(chain_backtrack_batch_async(q, g, n, p, 20.0))
+        mask, ps, ss = unpack_chain_result(flat, A, B)
+        for b in range(B):
+            na = n[b]
+            tot += 1
+            f, parent = chain_anchors(q[b, :na].astype(np.int64),
+                                      g[b, :na].astype(np.int64), p)
+            pri, hps, sec, hss = backtrack(f, parent, 20.0)
+            dpri = np.nonzero(mask[b, :na] & 1)[0]
+            dsec = np.nonzero(mask[b, :na] & 2)[0]
+            ok = (np.array_equal(pri, dpri) and np.array_equal(sec, dsec)
+                  and abs(hps - ps[b]) < 1e-3 and abs(hss - ss[b]) < 1e-3)
+            if not ok:
+                # f32-vs-f64 tie flips are legitimate; require score parity
+                assert abs(hps - ps[b]) < 1e-3
+                bad += 1
+    # at most a couple of tie-level divergences over the whole set
+    assert bad <= tot // 20
