@@ -246,7 +246,12 @@ def _main(argv=None) -> int:
         cfg.full_level = args.full_level
         cfg.out_dir = args.out_dir
         cfg.jobs = args.jobs
-        run_pipeline(cfg, use_tpu=False if args.cpu else None)
+        if args.cpu:
+            # keep the accelerated (XLA) chain kernels but on the CPU
+            # backend — the pure-python "host" fallback is for tests only
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        run_pipeline(cfg)
         return 0
     return 1
 
