@@ -1170,6 +1170,54 @@ int extend_chain_batch_c(
 
 extern "C" {
 
+// One-pass FASTA parse: byte buffer -> packed codes + record offsets +
+// header-name spans.  numpy's elementwise ops run at ~70-150 MB/s on this
+// host (erratic), so the vectorized parse lost to a C scan by ~10x.
+// Caller sizes rec arrays by count('>').  Returns the record count.
+int64_t fasta_parse_c(const uint8_t* buf, int64_t n,
+                      uint8_t* codes_out, int64_t* rec_off,
+                      int64_t* name_off, int32_t* name_len,
+                      int64_t* total_codes_out) {
+    static uint8_t tab[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; ++i) tab[i] = 4;
+        tab['A'] = tab['a'] = 0;
+        tab['C'] = tab['c'] = 1;
+        tab['G'] = tab['g'] = 2;
+        tab['T'] = tab['t'] = 3;
+        init = true;
+    }
+    int64_t nr = 0, nc = 0, i = 0;
+    while (i < n) {
+        if (buf[i] == '>') {
+            // close previous record, open new
+            rec_off[nr] = nc;
+            ++i;
+            int64_t ns = i;
+            while (i < n && buf[i] != '\n' && buf[i] != ' ' &&
+                   buf[i] != '\t' && buf[i] != '\r')
+                ++i;
+            name_off[nr] = ns;
+            name_len[nr] = (int32_t)(i - ns);
+            ++nr;
+            while (i < n && buf[i] != '\n') ++i;  // rest of header
+            ++i;
+        } else {
+            // sequence line
+            while (i < n && buf[i] != '\n') {
+                uint8_t c = buf[i];
+                if (c != '\r') codes_out[nc++] = tab[c];
+                ++i;
+            }
+            ++i;
+        }
+    }
+    rec_off[nr] = nc;
+    *total_codes_out = nc;
+    return nr;
+}
+
 // Rolling k-mer scan: km_out[i] = 2-bit packed codes[i..i+k), ok_out[i] = 1
 // when the window has no ambiguous base (junctions/sjcount.py::_kmers).
 // One pass; the numpy rolling construction moves ~2*k full-array copies.

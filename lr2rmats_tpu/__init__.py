@@ -18,4 +18,31 @@ A from-scratch reimplementation of the capabilities of Xinglab/lr2rmats
 
 __version__ = "0.1.0"
 
+
+def _tune_allocator() -> None:
+    """Keep freed large buffers in the process heap.
+
+    This environment materializes VM memory lazily at ~120-180 MB/s on
+    first touch (measured: 800 MB of fresh pages fault in over 5-17 s while
+    already-touched memory streams at 10 GB/s).  glibc's default
+    M_MMAP_THRESHOLD sends every large numpy/bytes allocation through
+    mmap/munmap, so each batch re-pays the fault cost.  Raising the mmap
+    and trim thresholds serves big allocations from the retained heap:
+    the same 800 MB allocate+touch drops from ~5 s to ~0 s after warmup.
+    Opt out with LR2RMATS_NO_MALLOPT=1.
+    """
+    import os
+    if os.environ.get("LR2RMATS_NO_MALLOPT"):
+        return
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_allocator()
+
 PROG = "lr2rmats_tpu"

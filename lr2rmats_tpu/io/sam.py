@@ -220,8 +220,8 @@ def bgzf_compress(data: bytes, level: int = 2) -> bytes:
 
 def bgzf_decompress(path: str) -> bytes:
     """Inflate an entire BGZF (or plain gzip) file."""
-    with open(path, "rb") as f:
-        raw = f.read()
+    from ..utils.fileio import read_bytes
+    raw = read_bytes(path)
     out = bytearray()
     off = 0
     n = len(raw)

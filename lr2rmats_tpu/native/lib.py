@@ -146,6 +146,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
             c_u64p, c_i64p]
 
+        lib.fasta_parse_c.restype = ctypes.c_int64
+        lib.fasta_parse_c.argtypes = [
+            c_u8p, ctypes.c_int64, c_u8p, c_i64p, c_i64p, c_i32p,
+            ctypes.POINTER(ctypes.c_int64)]
+
         lib.sort_minimizer_table_c.restype = ctypes.c_int
         lib.sort_minimizer_table_c.argtypes = [
             c_u64p, c_i64p, c_i8p, ctypes.c_int64, ctypes.c_int, c_i64p]
@@ -203,14 +208,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
         lib.filter_sam_c.restype = ctypes.c_int64
         lib.filter_sam_c.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
+            c_u8p, ctypes.c_int64,
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
             c_i64p, c_i64p, c_i64p, ctypes.c_int64,
             c_i64p, c_i64p, ctypes.c_int64]
 
         lib.sam_to_exons_c.restype = ctypes.c_int64
         lib.sam_to_exons_c.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
+            c_u8p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int64, ctypes.c_int64,
             c_i32p, np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),

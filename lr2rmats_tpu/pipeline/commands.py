@@ -49,15 +49,28 @@ def _filter_sam_native(in_path: str, params: FilterParams,
     lib = get_lib()
     if lib is None:
         return None
-    with open(in_path, "rb") as f:
-        head = f.read(2)
-        if head == b"\x1f\x8b":  # BAM
-            return None
-        buf = head + f.read()
+    from ..utils.fileio import read_into_array
+    buf = read_into_array(in_path)          # uint8 array (decode/copy of
+    if buf[:2].tobytes() == b"\x1f\x8b":    # the whole file pays ~150 MB/s
+        return None                          # first-touch cost again)
     import ctypes
     from ..io.sam import SamReader
     import io as _io
-    rd = SamReader(_io.StringIO(buf.decode()))
+    # decode only the @-header prefix for refs/header parsing
+    pref_n = 1 << 20
+    while True:
+        pref = buf[: pref_n].tobytes()
+        hdr_end = 0
+        while hdr_end < len(pref) and pref[hdr_end: hdr_end + 1] == b"@":
+            nl = pref.find(b"\n", hdr_end)
+            if nl < 0:
+                hdr_end = len(pref)
+                break
+            hdr_end = nl + 1
+        if hdr_end < len(pref) or pref_n >= len(buf):
+            break
+        pref_n *= 2
+    rd = SamReader(_io.StringIO(pref[:hdr_end].decode()))
     refs, header = rd.refs, rd.header_lines
     if rm_gtf:
         cname = ChrNames([n for n, _ in refs])
@@ -67,7 +80,7 @@ def _filter_sam_native(in_path: str, params: FilterParams,
         rm_end = rm.end[: rm.n].astype(np.int64)
     else:
         rm_tid = rm_start = rm_end = np.zeros(0, np.int64)
-    cap = buf.count(b"\n") + 1
+    cap = int(np.count_nonzero(buf == 10)) + 1
     keep_off = np.zeros(cap, np.int64)
     keep_len = np.zeros(cap, np.int64)
     kept_n = lib.filter_sam_c(
@@ -95,7 +108,7 @@ def cmd_filter(in_path: str, out_path: Optional[str], params: FilterParams,
             # fields only, then copy the kept lines verbatim
             def _key(sp):
                 off, ln = sp
-                f = buf[off: off + min(ln, 256)].split(b"\t", 4)
+                f = buf[off: off + min(ln, 256)].tobytes().split(b"\t", 4)
                 return (rd._tid.get(f[2].decode(), -1), int(f[3]))
             if sort_output:
                 spans.sort(key=_key)
@@ -106,7 +119,8 @@ def cmd_filter(in_path: str, out_path: Optional[str], params: FilterParams,
                     f.write(buf[off: off + ln])
                     f.write(b"\n")
             return len(spans)
-        kept = [rd._parse(buf[off: off + ln].decode()) for off, ln in spans]
+        kept = [rd._parse(buf[off: off + ln].tobytes().decode())
+                for off, ln in spans]
     else:
         refs, header, records = open_alignments(in_path)
         rm = None

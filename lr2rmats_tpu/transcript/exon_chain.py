@@ -61,13 +61,12 @@ def read_sam_trans_native(path: str, min_exon: int, min_intron: int,
     lib = get_lib()
     if lib is None:
         return None
-    with open(path, "rb") as f:
-        head = f.read(2)
-        if head == b"\x1f\x8b":
-            return None
-        buf = head + f.read()
+    from ..utils.fileio import read_into_array
+    buf = read_into_array(path)
+    if buf[:2].tobytes() == b"\x1f\x8b":
+        return None
     import ctypes
-    cap_rec = buf.count(b"\n") + 1
+    cap_rec = int(np.count_nonzero(buf == 10)) + 1
     cap_exon = 4 * cap_rec + len(buf) // 64 + 16
     rec_tid = np.zeros(cap_rec, np.int32)
     rec_rev = np.zeros(cap_rec, np.uint8)
@@ -84,7 +83,7 @@ def read_sam_trans_native(path: str, min_exon: int, min_intron: int,
         return None
     T = Transcripts(cap=max(int(nr), 1))
     exon_off = np.concatenate([rec_eoff[:nr], [int(etot.value)]]).astype(np.int64)
-    names = [buf[rec_qoff[i]: rec_qoff[i] + rec_qlen[i]].decode()
+    names = [buf[rec_qoff[i]: rec_qoff[i] + rec_qlen[i]].tobytes().decode()
              for i in range(nr)]
     T.append_batch(rec_tid[:nr], rec_rev[:nr], es[: int(etot.value)],
                    ee[: int(etot.value)], exon_off, names)

@@ -1,0 +1,49 @@
+"""Fast whole-file reading.
+
+A single giant read() syscall runs at ~80 MB/s through this environment's
+syscall interception layer while 64 MB-chunked os.read reaches ~1 GB/s
+(measured: 889 MB SAM in 0.87 s vs 10-19 s for BufferedReader.read(),
+np.fromfile, mmap, and unbuffered read alike).  Every whole-file ingest of
+a potentially large artifact goes through read_bytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+_CHUNK = 1 << 26
+
+
+def read_into_array(path: str):
+    """Whole file into a numpy uint8 array via chunked readinto — no
+    intermediate chunk list, no join copy (each fresh copy of an N-byte
+    buffer pays the ~150 MB/s first-touch cost again)."""
+    import numpy as np
+    size = os.path.getsize(path)
+    arr = np.empty(size, np.uint8)
+    mv = memoryview(arr)
+    with open(path, "rb", buffering=0) as f:
+        off = 0
+        while off < size:
+            got = f.readinto(mv[off: off + _CHUNK])
+            if not got:
+                break
+            off += got
+    return arr[:off] if off != size else arr
+
+
+def read_bytes(path: str) -> bytes:
+    """Whole file as bytes via chunked os.read."""
+    chunks = []
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        while True:
+            c = os.read(fd, _CHUNK)
+            if not c:
+                break
+            chunks.append(c)
+    finally:
+        os.close(fd)
+    if len(chunks) == 1:
+        return chunks[0]
+    return b"".join(chunks)
