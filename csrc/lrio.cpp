@@ -1901,6 +1901,179 @@ int check_iden_c(const int32_t* s1, const int32_t* e1, int n1,
 
 extern "C" {
 
+// GTF text formatting (io/gtf.py::write_read_trans, byte-identical to
+// reference print_read_trans gtf.c:607-632): emits transcript + exon lines
+// (exons reversed for '-' strand) into one output buffer.  Attribute
+// strings are prebuilt host-side (they carry python string data); numbers
+// format here — the python f-string path ran ~4 us/line over millions of
+// lines.  Returns bytes written, or -1 if out_cap is too small.
+int64_t format_gtf_c(
+    const uint8_t* chrom_buf, const int64_t* chrom_off,
+    const uint8_t* src, int64_t src_len,
+    const int32_t* tid, const uint8_t* is_rev,
+    const int32_t* start, const int32_t* end, const int32_t* cov,
+    const int32_t* es, const int32_t* ee, int64_t ew, const int32_t* en,
+    const uint8_t* attr_buf, const int64_t* attr_off,
+    int64_t n, uint8_t* out, int64_t out_cap) {
+    int64_t o = 0;
+    auto put = [&](const uint8_t* p, int64_t l) {
+        std::memcpy(out + o, p, (size_t)l);
+        o += l;
+    };
+    auto put_int = [&](int64_t v) {
+        char tmp[24];
+        int l = 0;
+        if (v == 0) tmp[l++] = '0';
+        bool neg = v < 0;
+        if (neg) v = -v;
+        while (v) { tmp[l++] = (char)('0' + v % 10); v /= 10; }
+        if (neg) tmp[l++] = '-';
+        for (int i = l - 1; i >= 0; --i) out[o++] = tmp[i];
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* chrom = chrom_buf + chrom_off[tid[i]];
+        int64_t chrom_len = chrom_off[tid[i] + 1] - chrom_off[tid[i]];
+        const uint8_t* attr = attr_buf + attr_off[i];
+        int64_t attr_len = attr_off[i + 1] - attr_off[i];
+        char strand = is_rev[i] ? '-' : '+';
+        int nexon = en[i];
+        // worst-case bytes for this transcript's lines
+        int64_t need = (int64_t)(nexon + 1) *
+                       (chrom_len + src_len + attr_len + 96);
+        if (o + need > out_cap) return -1;
+        // transcript line
+        put(chrom, chrom_len);
+        out[o++] = '\t';
+        put(src, src_len);
+        const char* t1 = "\ttranscript\t";
+        put((const uint8_t*)t1, 12);
+        put_int(start[i]);
+        out[o++] = '\t';
+        put_int(end[i]);
+        const char* mid = "\t.\t";
+        put((const uint8_t*)mid, 3);
+        out[o++] = (uint8_t)strand;
+        put((const uint8_t*)mid, 3);
+        put(attr, attr_len);
+        const char* covs = " transcript_cov \"";
+        put((const uint8_t*)covs, 17);
+        put_int(cov[i]);
+        out[o++] = '"';
+        out[o++] = ';';
+        out[o++] = '\n';
+        for (int t = 0; t < nexon; ++t) {
+            int j = is_rev[i] ? nexon - 1 - t : t;
+            put(chrom, chrom_len);
+            out[o++] = '\t';
+            put(src, src_len);
+            const char* t2 = "\texon\t";
+            put((const uint8_t*)t2, 6);
+            put_int(es[i * ew + j]);
+            out[o++] = '\t';
+            put_int(ee[i * ew + j]);
+            put((const uint8_t*)mid, 3);
+            out[o++] = (uint8_t)strand;
+            put((const uint8_t*)mid, 3);
+            put(attr, attr_len);
+            out[o++] = '\n';
+        }
+    }
+    return o;
+}
+
+// Batched order-dependent merge (transcript/merge.py::merge_trans applied
+// to a candidate sequence; reference update_gtf.c:98-163): for each
+// candidate, backward-scan the kept set T; identical multi-exon chains
+// absorb (cov++, terminal-exon extension), contained chains absorb,
+// single-exon pairs merge on overlap fraction; misses append into T's
+// preallocated arrays (string columns are backfilled host-side in the
+// same order).  Returns the new T_n; merged_out[i]=1 when candidate i
+// was absorbed.  The python loop paid ~20 us per check_iden crossing
+// (826k crossings at 500k-read scale).
+int64_t merge_into_batch_c(
+    const int32_t* c_es, const int32_t* c_ee, int64_t c_w,
+    const int32_t* c_en, const int32_t* c_tid, const uint8_t* c_isrev,
+    const int32_t* c_start, const int32_t* c_end, const int32_t* c_cov,
+    const int64_t* cand_idx, int64_t n_cand,
+    int32_t* T_es, int32_t* T_ee, int64_t T_w,
+    int32_t* T_en, int32_t* T_tid, uint8_t* T_isrev,
+    int32_t* T_start, int32_t* T_end, int32_t* T_cov,
+    int64_t T_n, int64_t T_cap,
+    int force_strand, int ss_dis, int end_dis, double se_frac,
+    uint8_t* merged_out) {
+    for (int64_t t = 0; t < n_cand; ++t) {
+        int64_t ci = cand_idx[t];
+        const int32_t* es = c_es + ci * c_w;
+        const int32_t* ee = c_ee + ci * c_w;
+        int en = c_en[ci];
+        bool merged = false;
+        for (int64_t i = T_n - 1; i >= 0; --i) {
+            if (c_tid[ci] > T_tid[i] || c_start[ci] > T_end[i]) break;
+            if (force_strand && c_isrev[ci] != T_isrev[i]) continue;
+            int Tn_e = T_en[i];
+            int32_t* Ts = T_es + i * T_w;
+            int32_t* Te = T_ee + i * T_w;
+            if (en == 1 && Tn_e == 1) {
+                // merge_trans2 (update_gtf.c:122-140)
+                int64_t ts = es[0], te = ee[0];
+                int64_t Us = Ts[0], Ue = Te[0];
+                if (std::abs(ts - Us) > end_dis ||
+                    std::abs(te - Ue) > end_dis)
+                    continue;
+                double frac = 0.0;
+                if (!(ts > Ue || Us > te)) {
+                    int64_t ov = std::min(te, Ue) - std::max(ts, Us) + 1;
+                    int64_t ml = std::min(te - ts + 1, Ue - Us + 1);
+                    frac = (double)ov / (double)ml;
+                }
+                if (frac >= se_frac) {
+                    ++T_cov[i];
+                    if (ts < Us) { Ts[0] = (int32_t)ts;
+                                   T_start[i] = (int32_t)ts; }
+                    if (te > Ue) { Te[0] = (int32_t)te;
+                                   T_end[i] = (int32_t)te; }
+                    merged = true;
+                    break;
+                }
+            } else if (en > 1 && Tn_e > 1) {
+                // merge_trans1 (update_gtf.c:98-119)
+                int ret = check_iden_c(es, ee, en, Ts, Te, Tn_e,
+                                       ss_dis, end_dis);
+                if (ret == 0) {
+                    ++T_cov[i];
+                    if (es[0] < Ts[0]) { Ts[0] = es[0];
+                                         T_start[i] = es[0]; }
+                    if (ee[en - 1] > Te[Tn_e - 1]) {
+                        Te[Tn_e - 1] = ee[en - 1];
+                        T_end[i] = ee[en - 1];
+                    }
+                    merged = true;
+                    break;
+                }
+                if (ret == 2) { merged = true; break; }
+            }
+        }
+        merged_out[t] = merged ? 1 : 0;
+        if (!merged) {
+            if (T_n >= T_cap) return -1;   // caller must pre-grow
+            std::memcpy(T_es + T_n * T_w, es, sizeof(int32_t) * en);
+            std::memcpy(T_ee + T_n * T_w, ee, sizeof(int32_t) * en);
+            for (int64_t z = en; z < T_w; ++z) {
+                T_es[T_n * T_w + z] = 0;
+                T_ee[T_n * T_w + z] = 0;
+            }
+            T_en[T_n] = en;
+            T_tid[T_n] = c_tid[ci];
+            T_isrev[T_n] = c_isrev[ci];
+            T_start[T_n] = c_start[ci];
+            T_end[T_n] = c_end[ci];
+            T_cov[T_n] = c_cov[ci];
+            ++T_n;
+        }
+    }
+    return T_n;
+}
+
 // Batched annotation sweep (transcript/classify.py::check_with_anno_trans
 // for every bam transcript; reference update_gtf.c:792-835 + 629-696).
 // Both transcript sets must be coordinate-sorted.  Runs the merge-join

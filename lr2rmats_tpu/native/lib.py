@@ -189,6 +189,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
 
+        lib.format_gtf_c.restype = ctypes.c_int64
+        lib.format_gtf_c.argtypes = [
+            c_u8p, c_i64p, c_u8p, ctypes.c_int64,
+            c_i32p, c_u8p, c_i32p, c_i32p, c_i32p,
+            c_i32p, c_i32p, ctypes.c_int64, c_i32p,
+            c_u8p, c_i64p, ctypes.c_int64, c_u8p, ctypes.c_int64]
+
+        # RAW POINTER binding (arrays passed by .ctypes.data)
+        lib.merge_into_batch_c.restype = ctypes.c_int64
+        lib.merge_into_batch_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_void_p]
+
         # RAW POINTER binding (full-array sweep; arrays passed by .ctypes.data)
         lib.classify_batch_c.restype = ctypes.c_int
         lib.classify_batch_c.argtypes = [

@@ -24,7 +24,20 @@ def write_bam_detail(bam_T: Transcripts, cname: ChrNames, fp: IO[str]) -> None:
         "NovelJunctionCount\tNovelJunctionIndex\tUnreliableJunctionCount\t"
         "UnreliableJunctionIndex\n")
     na = "NA"
-    for i in range(bam_T.n):
+    n = bam_T.n
+    # vectorized pre-pass: flag counts per row (the per-row nonzero calls
+    # cost ~4 x n python/numpy crossings; most rows have zero set flags)
+    col_e = np.arange(bam_T.novel_exon_flag.shape[1])[None, :]
+    col_s = np.arange(bam_T.novel_site_flag.shape[1])[None, :]
+    col_j = np.arange(bam_T.novel_junction_flag.shape[1])[None, :]
+    en_all = bam_T.exon_n[:n, None]
+    ne_cnt = (bam_T.novel_exon_flag[:n] * (col_e < en_all)).sum(1)
+    ns_cnt = (bam_T.novel_site_flag[:n] * (col_s < 2 * (en_all - 1))).sum(1)
+    nj_cnt = (bam_T.novel_junction_flag[:n] * (col_j < en_all - 1)).sum(1)
+    uj_cnt = (bam_T.unreliable_junction_flag[:n] *
+              (col_j < en_all - 1)).sum(1)
+    parts = []
+    for i in range(n):
         en = int(bam_T.exon_n[i])
         if bam_T.flags["known"][i]:
             novel = 0
@@ -41,16 +54,25 @@ def write_bam_detail(bam_T: Transcripts, cname: ChrNames, fp: IO[str]) -> None:
             ",".join(str(int(x)) for x in ee),
         ]
 
-        def _flag_cols(flags: np.ndarray) -> Tuple[str, str]:
+        def _flag_cols(cnt: int, flags: np.ndarray) -> Tuple[str, str]:
+            if cnt == 0:
+                return "0", na
             idx = np.nonzero(flags)[0]
-            cnt = len(idx)
-            return str(cnt), (na if cnt == 0 else ",".join(str(int(j)) for j in idx))
+            return str(cnt), ",".join(str(int(j)) for j in idx)
 
-        cols += _flag_cols(bam_T.novel_exon_flag[i, :en])
-        cols += _flag_cols(bam_T.novel_site_flag[i, : (en - 1) * 2])
-        cols += _flag_cols(bam_T.novel_junction_flag[i, : en - 1])
-        cols += _flag_cols(bam_T.unreliable_junction_flag[i, : en - 1])
-        fp.write("\t".join(cols) + "\n")
+        cols += _flag_cols(int(ne_cnt[i]), bam_T.novel_exon_flag[i, :en])
+        cols += _flag_cols(int(ns_cnt[i]),
+                           bam_T.novel_site_flag[i, : (en - 1) * 2])
+        cols += _flag_cols(int(nj_cnt[i]),
+                           bam_T.novel_junction_flag[i, : en - 1])
+        cols += _flag_cols(int(uj_cnt[i]),
+                           bam_T.unreliable_junction_flag[i, : en - 1])
+        parts.append("\t".join(cols))
+        if len(parts) >= 8192:
+            fp.write("\n".join(parts) + "\n")
+            parts.clear()
+    if parts:
+        fp.write("\n".join(parts) + "\n")
 
 
 class _SimpGenes:
@@ -197,38 +219,35 @@ def write_trans_summary(
     uniq_reliable = Transcripts()
     uniq_unreliable = Transcripts()
     uniq_unrecog = Transcripts()
-    known_n = reliable_n = unreliable_n = unrecog_n = 0
     # The reference reuses the G array storage but passes a fresh count
     # (&known_gene_n starting at 0, update_gtf.c:496,506), so the known-gene
     # dedup is independent of the updated-gene entries.
     known_genes = _SimpGenes()
-    for i in range(bam_T.n):
-        if bam_T.flags["known"][i]:
-            known_n += 1
-            known_genes.add(int(bam_T.tid[i]), bam_T.gene_id[i])
-            if not merge_trans(bam_T, i, uniq_known, ugp.force_strand,
-                               ugp.ss_dis, ugp.end_dis,
-                               ugp.single_exon_ovlp_frac):
-                uniq_known.append_from(bam_T, i)
-        elif bam_T.flags["has_known_site"][i]:
-            if bam_T.flags["has_unreliable_junction"][i]:
-                unreliable_n += 1
-                if not merge_trans(bam_T, i, uniq_unreliable, ugp.force_strand,
+    n = bam_T.n
+    f_known = bam_T.flags["known"][:n]
+    f_site = bam_T.flags["has_known_site"][:n] & ~f_known
+    f_unrel = f_site & bam_T.flags["has_unreliable_junction"][:n]
+    cls_known = np.nonzero(f_known)[0]
+    cls_unrel = np.nonzero(f_unrel)[0]
+    cls_rel = np.nonzero(f_site & ~f_unrel)[0]
+    cls_unrec = np.nonzero(~f_known & ~f_site)[0]
+    known_n = len(cls_known)
+    unreliable_n = len(cls_unrel)
+    reliable_n = len(cls_rel)
+    unrecog_n = len(cls_unrec)
+    for i in cls_known.tolist():
+        known_genes.add(int(bam_T.tid[i]), bam_T.gene_id[i])
+    from ..transcript.merge import merge_candidates_batch
+    for idx, uT in ((cls_known, uniq_known), (cls_unrel, uniq_unreliable),
+                    (cls_rel, uniq_reliable), (cls_unrec, uniq_unrecog)):
+        if merge_candidates_batch(bam_T, idx, uT, ugp.force_strand,
+                                  ugp.ss_dis, ugp.end_dis,
+                                  ugp.single_exon_ovlp_frac) is None:
+            for i in idx.tolist():
+                if not merge_trans(bam_T, i, uT, ugp.force_strand,
                                    ugp.ss_dis, ugp.end_dis,
                                    ugp.single_exon_ovlp_frac):
-                    uniq_unreliable.append_from(bam_T, i)
-            else:
-                reliable_n += 1
-                if not merge_trans(bam_T, i, uniq_reliable, ugp.force_strand,
-                                   ugp.ss_dis, ugp.end_dis,
-                                   ugp.single_exon_ovlp_frac):
-                    uniq_reliable.append_from(bam_T, i)
-        else:
-            unrecog_n += 1
-            if not merge_trans(bam_T, i, uniq_unrecog, ugp.force_strand,
-                               ugp.ss_dis, ugp.end_dis,
-                               ugp.single_exon_ovlp_frac):
-                uniq_unrecog.append_from(bam_T, i)
+                    uT.append_from(bam_T, i)
     known_gene_n = known_genes.n
 
     stats = {

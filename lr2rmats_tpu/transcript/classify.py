@@ -517,7 +517,30 @@ def check_trans(bam_T: Transcripts, anno_T: Transcripts, sj: SJTable,
         unrec = full & ~fl["known"][:n] & ~fl["has_known_site"][:n]
         known_T.append_many(bam_T, np.nonzero(known)[0])
         unrecog_T.append_many(bam_T, np.nonzero(unrec)[0])
+        # novel path: SJ-validate per read, then merge candidates into
+        # updated_T through the batched native scan, grouped into
+        # contiguous same-source runs so ordering semantics are untouched
+        from .merge import merge_candidates_batch
         last_sj_i = 0
+        run_idx: list = []
+
+        def _flush(src):
+            if not run_idx:
+                return
+            idxa = np.asarray(run_idx, np.int64)
+            run_idx.clear()
+            novel_T.append_many(src, idxa)
+            m = merge_candidates_batch(src, idxa, updated_T,
+                                       ugp.force_strand, ugp.ss_dis,
+                                       ugp.end_dis,
+                                       ugp.single_exon_ovlp_frac)
+            if m is None:
+                for i in idxa.tolist():
+                    if not merge_trans(src, i, updated_T, ugp.force_strand,
+                                       ugp.ss_dis, ugp.end_dis,
+                                       ugp.single_exon_ovlp_frac):
+                        updated_T.append_from(src, i)
+
         for bi in np.nonzero(has_site)[0].tolist():
             if sj.n == 0:
                 supported = True
@@ -525,20 +548,14 @@ def check_trans(bam_T: Transcripts, anno_T: Transcripts, sj: SJTable,
                 supported, last_sj_i = check_with_short_sj(
                     bam_T, bi, sj, last_sj_i, ugp)
             if supported:
-                novel_T.append_from(bam_T, bi)
-                if not merge_trans(bam_T, bi, updated_T, ugp.force_strand,
-                                   ugp.ss_dis, ugp.end_dis,
-                                   ugp.single_exon_ovlp_frac):
-                    updated_T.append_from(bam_T, bi)
+                run_idx.append(bi)
             elif ugp.split_trans:
+                _flush(bam_T)
                 split_T = split_trans(bam_T, bi)
-                for j in range(split_T.n):
-                    novel_T.append_from(split_T, j)
-                    if not merge_trans(split_T, j, updated_T,
-                                       ugp.force_strand, ugp.ss_dis,
-                                       ugp.end_dis,
-                                       ugp.single_exon_ovlp_frac):
-                        updated_T.append_from(split_T, j)
+                if split_T.n:
+                    run_idx.extend(range(split_T.n))
+                    _flush(split_T)
+        _flush(bam_T)
         return
     last_anno_i = 0
     last_sj_i = 0
