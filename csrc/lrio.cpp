@@ -1536,7 +1536,8 @@ int64_t filter_sam_c(const char* buf, int64_t n,
                      // reference's read order); -1 tid entries are ignored
                      const int64_t* rm_tid, const int64_t* rm_start,
                      const int64_t* rm_end, int64_t rm_n,
-                     int64_t* keep_off, int64_t* keep_len, int64_t cap) {
+                     int64_t* keep_off, int64_t* keep_len,
+                     int64_t* keep_tid, int64_t* keep_pos, int64_t cap) {
     // pass 1: header @SQ order -> tid map
     std::unordered_map<std::string, int64_t> tid_of;
     int64_t pos = 0;
@@ -1583,6 +1584,7 @@ int64_t filter_sam_c(const char* buf, int64_t n,
     int64_t kept = 0;
     std::string lqname;
     int64_t best_off = -1, best_len = 0;
+    int64_t best_tid = -1, best_pos = 0;
     int64_t b_score = 0, s_score = 0;
     int b_intron = 0;
 
@@ -1591,6 +1593,8 @@ int64_t filter_sam_c(const char* buf, int64_t n,
             b_intron >= min_intron_n && best_off >= 0 && kept < cap) {
             keep_off[kept] = best_off;
             keep_len[kept] = best_len;
+            keep_tid[kept] = best_tid;
+            keep_pos[kept] = best_pos;
             ++kept;
         }
     };
@@ -1698,6 +1702,7 @@ int64_t filter_sam_c(const char* buf, int64_t n,
             if (qname == lqname) {
                 if (score > b_score) {
                     best_off = pos; best_len = llen;
+                    best_tid = tid; best_pos = p0;
                     s_score = b_score; b_score = score; b_intron = intron_n;
                 } else if (score > s_score) {
                     s_score = score;
@@ -1705,6 +1710,7 @@ int64_t filter_sam_c(const char* buf, int64_t n,
             } else {
                 flush();
                 best_off = pos; best_len = llen;
+                best_tid = tid; best_pos = p0;
                 b_score = score; s_score = 0; b_intron = intron_n;
                 lqname = qname;
             }

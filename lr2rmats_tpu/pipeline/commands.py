@@ -83,13 +83,16 @@ def _filter_sam_native(in_path: str, params: FilterParams,
     cap = int(np.count_nonzero(buf == 10)) + 1
     keep_off = np.zeros(cap, np.int64)
     keep_len = np.zeros(cap, np.int64)
+    keep_tid = np.zeros(cap, np.int64)
+    keep_pos = np.zeros(cap, np.int64)
     kept_n = lib.filter_sam_c(
         buf, len(buf), params.cov_rate, params.map_qual, params.sec_rat,
         params.min_intron_n,
         np.ascontiguousarray(rm_tid), np.ascontiguousarray(rm_start),
         np.ascontiguousarray(rm_end), len(rm_tid),
-        keep_off, keep_len, cap)
-    spans = [(int(keep_off[i]), int(keep_len[i])) for i in range(kept_n)]
+        keep_off, keep_len, keep_tid, keep_pos, cap)
+    spans = (keep_off[:kept_n], keep_len[:kept_n], keep_tid[:kept_n],
+             keep_pos[:kept_n])
     return refs, header, buf, spans, rd
 
 
@@ -102,25 +105,35 @@ def cmd_filter(in_path: str, out_path: Optional[str], params: FilterParams,
     if native is not None:
         refs, header, buf, spans, rd = native
         from ..utils import log
-        log("bam_filter", "Filtered alignments: %d", len(spans))
+        log("bam_filter", "Filtered alignments: %d", len(spans[0]))
+        keep_off, keep_len, keep_tid, keep_pos = spans
         if out_format == "sam":
-            # raw-span fast path: sort by (tid, pos) parsed from the first
-            # fields only, then copy the kept lines verbatim
-            def _key(sp):
-                off, ln = sp
-                f = buf[off: off + min(ln, 256)].tobytes().split(b"\t", 4)
-                return (rd._tid.get(f[2].decode(), -1), int(f[3]))
+            # raw-span fast path: (tid, pos) came out of the native scan,
+            # so ordering is one lexsort; lines batch into ~16 MB writes
+            # (1M per-span write() calls cost ~14 s at 500k records)
             if sort_output:
-                spans.sort(key=_key)
+                order = np.lexsort((keep_pos, keep_tid))
+                keep_off = keep_off[order]
+                keep_len = keep_len[order]
+            nl = np.frombuffer(b"\n", np.uint8)
             with open(out_path or "out.sam", "wb") as f:
                 f.write(("\n".join(header) + "\n").encode()
                         if header else b"")
-                for off, ln in spans:
-                    f.write(buf[off: off + ln])
-                    f.write(b"\n")
-            return len(spans)
+                batch = []
+                bsz = 0
+                for off, ln in zip(keep_off.tolist(), keep_len.tolist()):
+                    batch.append(buf[off: off + ln])
+                    batch.append(nl)
+                    bsz += ln + 1
+                    if bsz >= (1 << 24):
+                        f.write(b"".join([m.tobytes() for m in batch]))
+                        batch.clear()
+                        bsz = 0
+                if batch:
+                    f.write(b"".join([m.tobytes() for m in batch]))
+            return len(keep_off)
         kept = [rd._parse(buf[off: off + ln].tobytes().decode())
-                for off, ln in spans]
+                for off, ln in zip(keep_off.tolist(), keep_len.tolist())]
     else:
         refs, header, records = open_alignments(in_path)
         rm = None

@@ -292,7 +292,8 @@ def test_filter_sam_native_matches(tmp_path):
         native = _filter_sam_native(str(sam), params, rmp)
         assert native is not None
         _, _, buf, spans, rd = native
-        kept_n = [rd._parse(buf[o: o + l].tobytes().decode()) for o, l in spans]
+        kept_n = [rd._parse(buf[o: o + l].tobytes().decode())
+                  for o, l in zip(spans[0].tolist(), spans[1].tolist())]
         with open(sam) as f:
             rd = SamReader(f)
             rmT = None
