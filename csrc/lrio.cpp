@@ -25,6 +25,13 @@ constexpr double GAP = -3.0;
 constexpr double NEG = -1e18;
 constexpr double BONUS_CANON = 10.0;
 constexpr double BONUS_SEMI = 5.0;
+// anchor-position prior weight (align/splice.py W_POS; dyadic so the f32
+// device kernel agrees bit-for-bit).  The penalty is a one-sided hinge:
+// anchors are exact matches, so the junction can never sit INSIDE the
+// anchored flank (donor offset < El or acceptor offset < Er) — such
+// under-slides pay W_POS per base, while placements beyond the anchors
+// (error slack before the junction) stay free.
+constexpr double W_POS = 0.375;
 
 // banded prefix DP (align/splice.py::_shift_dp)
 // S has (m+1) x W doubles, W = 2B+1
@@ -137,6 +144,7 @@ extern "C" {
 int refine_splice_indel_c(
     const uint8_t* q, int m, const uint8_t* ref, int64_t ref_len,
     int64_t left_ref, int64_t right_ref, int B, int min_intron,
+    int el_exp, int er_exp,
     int32_t* left_ops, int32_t* left_n,
     int32_t* right_ops, int32_t* right_n,
     int64_t* intron_len, int32_t* vote_out, double* score_out) {
@@ -172,6 +180,7 @@ int refine_splice_indel_c(
             int64_t don = left_ref + (j + cl - B);
             if (don < 0 || don + 1 >= ref_len) continue;
             int dc = dcls[j + cl];
+            double pen_l = W_POS * std::max(el_exp - (j + cl - B), 0);
             for (int cr = 0; cr < W; ++cr) {
                 if (sr[cr] <= NEG / 2) continue;
                 int64_t last = right_ref - ((m - j) + cr - B) - 1;
@@ -180,8 +189,15 @@ int refine_splice_indel_c(
                 if (ilen < min_intron) continue;
                 double bonus; int vote;
                 motif_bonus(dc, acls[(m - j) + cr], &bonus, &vote);
-                double sc = sl[cl] + sr[cr] + bonus;
-                if (sc > best) {
+                double pen = pen_l +
+                    W_POS * std::max(er_exp - ((m - j) + cr - B), 0);
+                // >=: ties resolve to the LARGEST (j, cl, cr).  Wobble tie
+                // intervals overwhelmingly carry the true junction at their
+                // large end (the small end reuses pulled-back anchored
+                // matches; the large end is reached through error slack),
+                // so prefer the largest placement.
+                double sc = sl[cl] + sr[cr] + bonus - pen;
+                if (sc >= best) {
                     best = sc; bj = j; bcl = cl; bcr = cr; bvote = vote;
                 }
             }
@@ -328,6 +344,7 @@ int64_t extract_minimizers_c(const uint8_t* codes, int64_t n_codes,
 // Returns j; writes score and strand vote.
 int refine_splice_c(const uint8_t* q, int m, const uint8_t* ref,
                     int64_t ref_len, int64_t left_ref, int64_t right_ref,
+                    int el_exp, int er_exp,
                     double* score_out, int32_t* vote_out) {
     // prefix/suffix match cumsums
     std::vector<double> lpre(m + 1, 0.0), rsuf(m + 1, 0.0);
@@ -355,8 +372,14 @@ int refine_splice_c(const uint8_t* q, int m, const uint8_t* ref,
             else if ((CT && GC_a) || (GT && AT_a)) bm = BONUS_SEMI;
         }
         double bonus = std::max(bp, bm);
-        double sc = lpre[j] + rsuf[j] + bonus;
-        if (sc > best) {
+        // anchor-position prior: the junction cannot sit inside the anchored
+        // flank (the edge pullback el/er_exp the extender applied); slides
+        // into it pay per-base distance (one-sided hinge, see W_POS)
+        double pen = W_POS * (std::max(el_exp - j, 0) +
+                              std::max(er_exp - (m - j), 0));
+        // >=: tie to the largest j (see refine_splice_indel_c)
+        double sc = lpre[j] + rsuf[j] + bonus - pen;
+        if (sc >= best) {
             best = sc; bj = j;
             bvote = (bp > bm) ? 1 : (bm > bp ? -1 : 0);
         }
@@ -558,8 +581,12 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
         }
         blocks.push_back({q0, g0, qe - q0});
     }
-    // ---- pull anchor-block edges back into intron gaps (E = 6)
+    // ---- pull anchor-block edges back into intron gaps (E = 6).
+    // The per-gap pullback (El, Er) is remembered: it is exactly how far
+    // into the gap query the anchor-implied donor/acceptor sit, i.e. the
+    // center of the junction prior's flat region (align/splice.py W_POS).
     const int64_t E = 6;
+    std::vector<int32_t> eler(2 * blocks.size(), 0);
     for (size_t i = 1; i < blocks.size(); ++i) {
         Blk& pb = blocks[i - 1];
         Blk& bb = blocks[i];
@@ -570,6 +597,8 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
             int64_t Er = bb.len > 8 ? std::min(E, bb.len - 8) : 0;
             pb.len -= El;
             bb.q0 += Er; bb.g0 += Er; bb.len -= Er;
+            eler[2 * i] = (int32_t)El;
+            eler[2 * i + 1] = (int32_t)Er;
         }
     }
 
@@ -633,11 +662,15 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
             int64_t gg = std::max<int64_t>(bb.g0 - (pb.g0 + pb.len), 0);
             int64_t pqe = pb.q0 + pb.len, pge = pb.g0 + pb.len;
             if (gg - gq >= min_intron_gap && gg - gq >= min_intron_len) {
-                // fast path: clean split + canonical motif
+                int el = eler[2 * bi], er = eler[2 * bi + 1];
+                // fast path: clean split + canonical motif; the threshold
+                // discounts the minimum achievable prior penalty so a
+                // perfect split inside the flat region still qualifies
                 double fsc; int32_t v;
                 int j = refine_splice_c(codes + pqe, (int)gq, ref, ref_len,
-                                        pge, bb.g0, &fsc, &v);
-                if (fsc >= (double)gq + BONUS_CANON) {
+                                        pge, bb.g0, el, er, &fsc, &v);
+                if (fsc >= (double)gq + BONUS_CANON -
+                        W_POS * (double)std::max<int64_t>(el + er - gq, 0)) {
                     vote += v;
                     int64_t intron = gg - gq;
                     if (j) { ops.push(0, j); count_m(pqe, pge, j); }
@@ -653,7 +686,7 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
                     double sc2 = 0;
                     int rc = refine_splice_indel_c(
                         codes + pqe, (int)gq, ref, ref_len, pge, bb.g0,
-                        B_junc, min_intron_len, lops.data(), &ln,
+                        B_junc, min_intron_len, el, er, lops.data(), &ln,
                         rops.data(), &rn, &ilen, &v2, &sc2);
                     if (rc == 0) {
                         vote += v2;
@@ -723,8 +756,11 @@ namespace {
 // two-pass path).  Returns block count (capped at max_blocks).
 struct Blk64 { int64_t q0, g0, len; };
 
+// eler_out (2*max_blocks, may be null): per-gap pullback (El, Er) stored at
+// the RIGHT block's index — the junction prior center (see extend_chain_c).
 int build_blocks(const int64_t* cq, const int64_t* cg, int n_anchor, int k,
-                 int min_intron_gap, Blk64* out, int max_blocks) {
+                 int min_intron_gap, Blk64* out, int max_blocks,
+                 int32_t* eler_out = nullptr) {
     int nb = 0;
     int64_t q0 = cq[0], g0 = cg[0];
     int64_t qe = q0 + k, ge = g0 + k;
@@ -746,6 +782,7 @@ int build_blocks(const int64_t* cq, const int64_t* cg, int n_anchor, int k,
     }
     if (nb < max_blocks) out[nb++] = {q0, g0, qe - q0};
     const int64_t E = 6;
+    if (eler_out) std::fill(eler_out, eler_out + 2 * nb, 0);
     for (int i = 1; i < nb; ++i) {
         Blk64& pb = out[i - 1];
         Blk64& bb = out[i];
@@ -756,6 +793,10 @@ int build_blocks(const int64_t* cq, const int64_t* cg, int n_anchor, int k,
             int64_t Er = bb.len > 8 ? std::min(E, bb.len - 8) : 0;
             pb.len -= El;
             bb.q0 += Er; bb.g0 += Er; bb.len -= Er;
+            if (eler_out) {
+                eler_out[2 * i] = (int32_t)El;
+                eler_out[2 * i + 1] = (int32_t)Er;
+            }
         }
     }
     return nb;
@@ -789,11 +830,13 @@ int collect_gaps_batch_c(
     int32_t* jqlen,          // [n_cand * gstride]
     int64_t* jlref, int64_t* jrref,
     int32_t* jclean_j, int32_t* jclean_vote,
+    int32_t* jel, int32_t* jer,   // [n_cand * gstride] prior centers
     int32_t* n_junc_out,     // [n_cand] (-1 = overflow -> caller fallback)
     int n_threads) {
     auto work = [&](int lo_c, int hi_c) {
         std::vector<uint8_t> rcbuf;
         std::vector<Blk64> blk(blk_stride);
+        std::vector<int32_t> eler(2 * blk_stride);
         for (int i = lo_c; i < hi_c; ++i) {
             int ri = cand_read[i];
             const uint8_t* codes = reads + read_offs[ri];
@@ -811,7 +854,7 @@ int collect_gaps_batch_c(
             int na = (int)(a_offs[i + 1] - a_offs[i]);
             if (na <= 0) { n_blocks_out[i] = 0; n_junc_out[i] = 0; continue; }
             int nb = build_blocks(cq, cg, na, k, min_intron_gap, blk.data(),
-                                  blk_stride);
+                                  blk_stride, eler.data());
             n_blocks_out[i] = nb;
             for (int b = 0; b < nb; ++b) {
                 blocks_out[((int64_t)i * blk_stride + b) * 3 + 0] = blk[b].q0;
@@ -831,11 +874,15 @@ int collect_gaps_batch_c(
                 int64_t gi = (int64_t)i * gstride + nj;
                 jlref[gi] = pge;
                 jrref[gi] = blk[b].g0;
+                int el = eler[2 * b], er = eler[2 * b + 1];
+                jel[gi] = el;
+                jer[gi] = er;
                 double fsc; int32_t v;
                 int jsplit = refine_splice_c(codes + pqe, (int)gq, ref,
                                              ref_len, pge, blk[b].g0,
-                                             &fsc, &v);
-                if (fsc >= (double)gq + BONUS_CANON) {
+                                             el, er, &fsc, &v);
+                if (fsc >= (double)gq + BONUS_CANON -
+                        W_POS * (double)std::max<int64_t>(el + er - gq, 0)) {
                     jflag[gi] = 1;
                     jclean_j[gi] = jsplit;
                     jclean_vote[gi] = v;
@@ -881,6 +928,7 @@ int assemble_ops_batch_c(
     const int8_t* jflag, const uint8_t* jq, const int32_t* jqlen,
     const int64_t* jlref, const int64_t* jrref,
     const int32_t* jclean_j, const int32_t* jclean_vote,
+    const int32_t* jel, const int32_t* jer,
     const int32_t* n_junc,
     const int64_t* dev_offs,          // [n_cand+1] device-gap index range
     const uint8_t* dev_found,         // [n_dev]
@@ -1018,6 +1066,7 @@ int assemble_ops_batch_c(
                                 if (refine_splice_indel_c(
                                         codes + pqe, (int)gq, ref, ref_len,
                                         pge, BG(b), B_junc, min_intron_len,
+                                        jel[gi], jer[gi],
                                         lops.data(), &ln, rops.data(), &rn,
                                         &ilen, &v2, &sc2) == 0) {
                                     lptr = lops.data();

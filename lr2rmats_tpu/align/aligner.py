@@ -24,7 +24,7 @@ from ..index.minimizer import MinimizerIndex, extract_minimizers
 from ..utils import log
 from .banded import banded_edit_path
 from .chain import ChainParams, backtrack, chain_anchors
-from .splice import BONUS_CANON, refine_splice, refine_splice_indel
+from .splice import BONUS_CANON, W_POS, refine_splice, refine_splice_indel
 
 
 @dataclass
@@ -355,8 +355,11 @@ class SpliceAligner:
         L = len(codes)
         blocks = [list(b) for b in self._merge_chain_blocks(q, g)]
         # pull anchor-block edges back into intron gaps so the junction DP
-        # can move the splice point into exactly-matching flank sequence
+        # can move the splice point into exactly-matching flank sequence;
+        # the per-gap (El, Er) is kept as the junction prior center (the
+        # anchor-implied donor/acceptor offsets into the gap — splice.W_POS)
         E = 6
+        eler = {}
         for i in range(1, len(blocks)):
             pq, pg, pl = blocks[i - 1]
             bq, bg, bl = blocks[i]
@@ -369,6 +372,7 @@ class SpliceAligner:
                 blocks[i][0] += Er
                 blocks[i][1] += Er
                 blocks[i][2] -= Er
+                eler[i] = (El, Er)
         ops: List[Tuple[int, int]] = []
         ed = 0
         nmatch = 0
@@ -443,10 +447,13 @@ class SpliceAligner:
                 if (gap_g - gap_q >= p.min_intron_gap and
                         gap_g - gap_q >= p.min_intron_len):
                     qgap = codes[pq + pl: bq]
+                    el, er = eler.get(bi, (0, 0))
                     # fast path: clean split (all gap bases match, canonical
-                    # motif) needs no indel DP
-                    j, fsc, v = refine_splice(qgap, ref, pg + pl, bg)
-                    if fsc >= len(qgap) + BONUS_CANON:
+                    # motif) needs no indel DP; the threshold discounts the
+                    # minimum achievable prior penalty
+                    j, fsc, v = refine_splice(qgap, ref, pg + pl, bg, el, er)
+                    if fsc >= (len(qgap) + BONUS_CANON
+                               - W_POS * max(el + er - len(qgap), 0)):
                         vote += v
                         intron = gap_g - gap_q
                         if j:
@@ -461,7 +468,8 @@ class SpliceAligner:
                         count_m(bq, bg, blen)
                         continue
                     res = refine_splice_indel(qgap, ref, pg + pl, bg,
-                                              min_intron=p.min_intron_len)
+                                              min_intron=p.min_intron_len,
+                                              el_exp=el, er_exp=er)
                     if res is not None:
                         left_ops, intron, right_ops, v, _ = res
                         vote += v

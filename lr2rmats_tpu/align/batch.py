@@ -426,6 +426,8 @@ class BatchAligner:
         jrref = np.zeros(n_cand * GSTRIDE, np.int64)
         jclean_j = np.zeros(n_cand * GSTRIDE, np.int32)
         jclean_vote = np.zeros(n_cand * GSTRIDE, np.int32)
+        jel = np.zeros(n_cand * GSTRIDE, np.int32)
+        jer = np.zeros(n_cand * GSTRIDE, np.int32)
         n_junc = np.zeros(n_cand, np.int32)
         lib.collect_gaps_batch_c(
             reads_concat, read_offs, ref, len(ref),
@@ -433,7 +435,7 @@ class BatchAligner:
             p.k, p.min_intron_gap, p.min_intron_len, MGAP,
             n_cand, BLK, GSTRIDE,
             blocks, n_blocks, jflag, jq, jqlen, jlref, jrref,
-            jclean_j, jclean_vote, n_junc, self.n_threads)
+            jclean_j, jclean_vote, jel, jer, n_junc, self.n_threads)
         # device gaps in candidate order
         dev_offs = np.zeros(n_cand + 1, np.int64)
         gaps = []
@@ -446,7 +448,9 @@ class BatchAligner:
                     gaps.append((jq[(base + s) * MGAP:
                                     (base + s) * MGAP + m],
                                  int(jlref[base + s]),
-                                 int(jrref[base + s])))
+                                 int(jrref[base + s]),
+                                 int(jel[base + s]),
+                                 int(jer[base + s])))
             dev_offs[i + 1] = len(gaps)
         n_dev = len(gaps)
         B = 4
@@ -510,7 +514,8 @@ class BatchAligner:
             reads_concat, read_offs, ref, len(ref),
             self.index.chrom_offsets, len(self.index.chrom_offsets) - 1,
             cand_read, cand_strand, blocks, n_blocks,
-            jflag, jq, jqlen, jlref, jrref, jclean_j, jclean_vote, n_junc,
+            jflag, jq, jqlen, jlref, jrref, jclean_j, jclean_vote,
+            jel, jer, n_junc,
             dev_offs, dev_found, dev_ilen, dev_vote,
             dev_lo, dev_ln, dev_ro, dev_rn, dev_stride,
             p.k, p.min_intron_gap, p.min_intron_len, p.band_pad,
@@ -585,17 +590,41 @@ class BatchAligner:
         return self._build_records(names, reads, rows, chained)
 
     def align_seqset(self, reads: SeqSet, batch_size: int = 1024,
-                     pipeline_depth: int = 2) -> Iterator[AlnRec]:
+                     pipeline_depth: int = 2,
+                     polish: Optional[bool] = None) -> Iterator[AlnRec]:
         """Pipelined batches: up to `pipeline_depth` batches of device chain
-        work stay in flight while the host extends the oldest."""
+        work stay in flight while the host extends the oldest.
+
+        `polish` (default on; env kill-switch LR2RMATS_NO_POLISH=1) runs the
+        cross-read junction consensus pass (align/polish.py) over the whole
+        seqset before yielding — the STAR-2-pass/`--junc-bed` analog."""
+        import os
         from collections import deque
+        if polish is None:
+            polish = not os.environ.get("LR2RMATS_NO_POLISH")
         inflight = deque()
+        buf: List[AlnRec] = [] if polish else None
         for off in range(0, reads.n, batch_size):
             hi = min(off + batch_size, reads.n)
             names = [reads.names[i] for i in range(off, hi)]
             codes = [reads.get(i) for i in range(off, hi)]
             inflight.append(self.dispatch_batch(names, codes))
             if len(inflight) > pipeline_depth:
-                yield from self.finish_batch(inflight.popleft())
+                recs = self.finish_batch(inflight.popleft())
+                if polish:
+                    buf.extend(recs)
+                else:
+                    yield from recs
         while inflight:
-            yield from self.finish_batch(inflight.popleft())
+            recs = self.finish_batch(inflight.popleft())
+            if polish:
+                buf.extend(recs)
+            else:
+                yield from recs
+        if polish:
+            from .polish import polish_records
+            n = polish_records(buf, self.inner.genome.codes,
+                               self.index.chrom_offsets)
+            if n:
+                log("align", "junction consensus polish: %d re-placed", n)
+            yield from buf

@@ -26,6 +26,19 @@ _AT = (0, 3)
 BONUS_CANON = 10.0   # GT..AG / CT..AC
 BONUS_SEMI = 5.0     # GC..AG / AT..AC and complements
 
+# Anchor-position prior weight.  The caller passes (el_exp, er_exp) — the
+# edge pullback it applied to each flank, i.e. how many bases of the gap
+# are EXACT-MATCH anchored sequence deliberately re-exposed to the DP.
+# Anchors pin those bases to the exon, so the junction can never sit
+# inside them: placements with donor offset < el_exp or acceptor offset
+# < er_exp (under-slides into the anchored flank — the classic wobble
+# ambiguity, which the lexicographic argmax used to resolve TOWARD the
+# under-slide) pay a one-sided hinge penalty of W_POS per base:
+#     W_POS * (max(el_exp - don_off, 0) + max(er_exp - acc_off, 0)).
+# Placements beyond the anchors (error slack before the junction) stay
+# free, so truth is never penalized.  Dyadic (3/8) so the f32 device
+# combine (ops/splice_device.py) agrees bit-for-bit with this f64 math.
+W_POS = 0.375
 
 
 def _dinuc_eq(arr: np.ndarray, pos: np.ndarray, pair: Tuple[int, int]) -> np.ndarray:
@@ -37,8 +50,8 @@ def _dinuc_eq(arr: np.ndarray, pos: np.ndarray, pair: Tuple[int, int]) -> np.nda
     return (a == pair[0]) & (b == pair[1])
 
 
-def refine_splice(q: np.ndarray, ref: np.ndarray, left_ref: int, right_ref: int
-                  ) -> Tuple[int, float, int]:
+def refine_splice(q: np.ndarray, ref: np.ndarray, left_ref: int, right_ref: int,
+                  el_exp: int = 0, er_exp: int = 0) -> Tuple[int, float, int]:
     """Dispatch wrapper; native kernel when available (bit-equal)."""
     from ..native import get_lib
     lib = get_lib()
@@ -48,14 +61,15 @@ def refine_splice(q: np.ndarray, ref: np.ndarray, left_ref: int, right_ref: int
         vote = ctypes.c_int32()
         j = lib.refine_splice_c(
             np.ascontiguousarray(q, np.uint8), len(q), ref, len(ref),
-            int(left_ref), int(right_ref), ctypes.byref(score),
-            ctypes.byref(vote))
+            int(left_ref), int(right_ref), int(el_exp), int(er_exp),
+            ctypes.byref(score), ctypes.byref(vote))
         return j, float(score.value), int(vote.value)
-    return refine_splice_np(q, ref, left_ref, right_ref)
+    return refine_splice_np(q, ref, left_ref, right_ref, el_exp, er_exp)
 
 
 def refine_splice_np(q: np.ndarray, ref: np.ndarray, left_ref: int,
-                     right_ref: int) -> Tuple[int, float, int]:
+                     right_ref: int, el_exp: int = 0, er_exp: int = 0
+                     ) -> Tuple[int, float, int]:
     """Place the intron inside a gap region.
 
     q          : query gap codes (length m, may be 0)
@@ -92,8 +106,12 @@ def refine_splice_np(q: np.ndarray, ref: np.ndarray, left_ref: int,
     bonus_p = np.maximum(plus, np.maximum(semi_p, semi_p2))
     bonus_m = np.maximum(minus, np.maximum(semi_m, semi_m2))
     bonus = np.maximum(bonus_p, bonus_m)
-    score = lpre + rsuf + bonus
-    best = int(np.argmax(score))
+    # anchor-position prior (one-sided hinge; see W_POS)
+    pen = W_POS * (np.maximum(el_exp - j, 0) +
+                   np.maximum(er_exp - (m - j), 0))
+    score = lpre + rsuf + bonus - pen
+    # ties resolve to the LARGEST j (see refine_splice_indel_np)
+    best = m - int(np.argmax(score[::-1]))
     if bonus_p[best] > bonus_m[best]:
         vote = 1
     elif bonus_m[best] > bonus_p[best]:
@@ -224,14 +242,15 @@ def _motif_bonus(ref: np.ndarray, don: int, last: int):
 
 
 def refine_splice_indel(q: np.ndarray, ref: np.ndarray, left_ref: int,
-                        right_ref: int, B: int = 4, min_intron: int = 20):
+                        right_ref: int, B: int = 4, min_intron: int = 20,
+                        el_exp: int = 0, er_exp: int = 0):
     """Dispatch to the native kernel when available (bit-equal; see
     tests/test_native.py), else the numpy reference below."""
     from ..native import get_lib
     lib = get_lib()
     if lib is None:
         return refine_splice_indel_np(q, ref, left_ref, right_ref, B,
-                                      min_intron)
+                                      min_intron, el_exp, er_exp)
     import ctypes
     m = len(q)
     cap = m + 2 * B + 4
@@ -245,6 +264,7 @@ def refine_splice_indel(q: np.ndarray, ref: np.ndarray, left_ref: int,
     q8 = np.ascontiguousarray(q, np.uint8)
     rc = lib.refine_splice_indel_c(
         q8, m, ref, len(ref), left_ref, right_ref, B, min_intron,
+        int(el_exp), int(er_exp),
         left_ops, ctypes.byref(ln), right_ops, ctypes.byref(rn),
         ctypes.byref(ilen), ctypes.byref(vote), ctypes.byref(score))
     if rc != 0:
@@ -257,7 +277,8 @@ def refine_splice_indel(q: np.ndarray, ref: np.ndarray, left_ref: int,
 
 
 def refine_splice_indel_np(q: np.ndarray, ref: np.ndarray, left_ref: int,
-                           right_ref: int, B: int = 4, min_intron: int = 20):
+                           right_ref: int, B: int = 4, min_intron: int = 20,
+                           el_exp: int = 0, er_exp: int = 0):
     """Indel-aware intron placement in the gap between two anchor blocks.
 
     q         : query gap codes (m bases)
@@ -329,16 +350,27 @@ def refine_splice_indel_np(q: np.ndarray, ref: np.ndarray, left_ref: int,
     bonus = bonus_tab[dc[:, :, None], ac[:, None, :]]    # [m+1, W, W]
     ilen = last_mat[:, None, :] - don_mat[:, :, None] + 1
     SRr = SR[::-1]                                       # SRr[j] = SR[m-j]
-    total = SL[:, :, None] + SRr[:, None, :] + bonus
+    # anchor-position prior on the donor/acceptor offsets (d_idx - B is the
+    # ref consumed by the left flank, a_idx - B by the right; one-sided
+    # hinge — see W_POS)
+    pen_l = W_POS * np.maximum(el_exp - (d_idx - B), 0)  # [m+1, W]
+    pen_r = W_POS * np.maximum(er_exp - (a_idx - B), 0)  # [m+1, W]
+    total = (SL[:, :, None] + SRr[:, None, :] + bonus
+             - pen_l[:, :, None] - pen_r[:, None, :])
     total = np.where(ilen >= min_intron, total, NEG)
     total = np.where(don_valid[d_idx][:, :, None] &
                      acc_valid[a_idx][:, None, :], total, NEG)
-    flat = int(np.argmax(total))
-    sc = float(total.flat[flat])
+    # ties resolve to the LARGEST (j, cl, cr): wobble tie intervals carry
+    # the true junction at their large end far more often than the small
+    # end (the small end merely reuses pulled-back anchored matches)
+    flat = int(np.argmax(total[::-1, ::-1, ::-1]))
+    sc = float(total[::-1, ::-1, ::-1].flat[flat])
     if sc <= NEG / 2:
         return None
     j, cl_i, cr_i = np.unravel_index(flat, total.shape)
-    j, cl, cr = int(j), int(cl_i), int(cr_i)
+    j = m - int(j)
+    cl = W - 1 - int(cl_i)
+    cr = W - 1 - int(cr_i)
     don = int(don_all[j + cl])
     last = int(last_all[(m - j) + cr])
     vote = int(vote_tab[dclass[j + cl], aclass[(m - j) + cr]])

@@ -65,6 +65,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.refine_splice_indel_c.argtypes = [
             c_u8p, ctypes.c_int, c_u8p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
             c_i32p, ctypes.POINTER(ctypes.c_int32),
             c_i32p, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -78,7 +79,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.refine_splice_c.restype = ctypes.c_int
         lib.refine_splice_c.argtypes = [
             c_u8p, ctypes.c_int, c_u8p, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32)]
 
         lib.backtrack_c.restype = ctypes.c_int
@@ -108,14 +109,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             c_i64p, c_i32p, c_i8p, c_u8p, c_i32p, c_i64p, c_i64p,
-            c_i32p, c_i32p, c_i32p, ctypes.c_int]
+            c_i32p, c_i32p, c_i32p, c_i32p, c_i32p, ctypes.c_int]
 
         lib.assemble_ops_batch_c.restype = ctypes.c_int
         lib.assemble_ops_batch_c.argtypes = [
             c_u8p, c_i64p, c_u8p, ctypes.c_int64, c_i64p, ctypes.c_int,
             c_i32p, c_i8p,
             c_i64p, c_i32p,
-            c_i8p, c_u8p, c_i32p, c_i64p, c_i64p, c_i32p, c_i32p, c_i32p,
+            c_i8p, c_u8p, c_i32p, c_i64p, c_i64p, c_i32p, c_i32p,
+            c_i32p, c_i32p, c_i32p,
             c_i64p, c_u8p, c_i64p, c_i32p,
             c_i32p, c_i32p, c_i32p, c_i32p, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -98,10 +98,15 @@ def prepare_junction_batch(ref: np.ndarray, gaps: List[Tuple[np.ndarray, int, in
     m_arr = np.array([len(g[0]) for g in gaps], np.int32)
     lr_arr = np.array([g[1] for g in gaps], np.int64)
     rr_arr = np.array([g[2] for g in gaps], np.int64)
+    # anchor-position prior centers (edge pullback El/Er; splice.W_POS);
+    # legacy 3-tuple gaps mean "no pullback applied" (center 0)
+    el_arr = np.array([g[3] if len(g) > 3 else 0 for g in gaps], np.int32)
+    er_arr = np.array([g[4] if len(g) > 4 else 0 for g in gaps], np.int32)
     span_arr = rr_arr - lr_arr
     q = np.full((MGAP, G), PAD_CODE, np.int32)
     qr = np.full((MGAP, G), PAD_CODE, np.int32)
-    for g, (qg, _, _) in enumerate(gaps):     # ragged copies stay a loop
+    for g, gap in enumerate(gaps):            # ragged copies stay a loop
+        qg = gap[0]
         m = len(qg)
         q[:m, g] = qg
         qr[:m, g] = qg[::-1]
@@ -121,7 +126,7 @@ def prepare_junction_batch(ref: np.ndarray, gaps: List[Tuple[np.ndarray, int, in
     aok = _dinuc_classes(ref, apos, _ATAB)
     aok = np.where(cmask, aok, -1).astype(np.int8)
     return dict(q=q, qr=qr, lwin=lwin, rwin=rwin, m=m_arr, span=span_arr,
-                dok=dok, aok=aok, B=B)
+                dok=dok, aok=aok, el=el_arr, er=er_arr, B=B)
 
 
 # ---------------------------------------------------------------------------
@@ -144,8 +149,12 @@ def _motif_terms(dc, ac):
 
 
 @functools.partial(jax.jit, static_argnames=("B",))
-def _combine(SL, SR, m, span, dok, aok, B: int, min_intron):
-    """Best (j, cl, cr) per gap.  SL/SR: [M+1, W, G] f32."""
+def _combine(SL, SR, m, span, dok, aok, el, er, B: int, min_intron):
+    """Best (j, cl, cr) per gap.  SL/SR: [M+1, W, G] f32.
+
+    el/er [G] are the anchor-position prior centers (splice.py W_POS); the
+    penalty values are multiples of 3/8 on integer offsets, so f32 math
+    here equals the host's f64 bit-for-bit."""
     M1, W, G = SL.shape
     M = M1 - 1
     jj = jnp.arange(M1, dtype=jnp.int32)
@@ -166,19 +175,35 @@ def _combine(SL, SR, m, span, dok, aok, B: int, min_intron):
             + jnp.arange(W, dtype=jnp.int32)[None, :])       # [W, W]
     ilen = (span - m + 2 * B).astype(jnp.int64)[None, None, None, :] \
         - clcr[None, :, :, None].astype(jnp.int64)
-    total = SL[:, :, None, :] + SRr[:, None, :, :] + bonus
+    # anchor-position prior: doff - B / roff - B are the ref bases consumed
+    # by the left/right flank (the donor/acceptor offsets into the gap);
+    # one-sided hinge against under-slides into the anchored flank
+    # (align/splice.py W_POS)
+    w_pos = jnp.float32(0.375)
+    pen_l = w_pos * jnp.maximum(el[None, None, :] - (doff[:, :, None] - B),
+                                0).astype(jnp.float32)   # [M+1, W, G]
+    roff = ((m[None, :] - jj[:, None])[:, None, :]
+            + jnp.arange(W, dtype=jnp.int32)[None, :, None])  # [M+1, W, G]
+    pen_r = w_pos * jnp.maximum(er[None, None, :] - (roff - B),
+                                0).astype(jnp.float32)
+    total = (SL[:, :, None, :] + SRr[:, None, :, :] + bonus
+             - pen_l[:, :, None, :] - pen_r[:, None, :, :])
     ok = ((jj[:, None, None, None] <= m[None, None, None, :])
           & (dc[:, :, None, :] >= 0) & (ac[:, None, :, :] >= 0)
           & (ilen >= min_intron))
     total = jnp.where(ok, total, jnp.float32(NEG))
-    flat = total.reshape(M1 * W * W, G)
-    best = jnp.argmax(flat, axis=0).astype(jnp.int32)        # lexicographic
+    # ties resolve to the LARGEST (j, cl, cr) — the host kernels' >= scan
+    # (align/splice.py refine_splice_indel_np tie note); argmax is
+    # first-max, so flatten the axis-reversed tensor and map indices back
+    flat = total[::-1, ::-1, ::-1, :].reshape(M1 * W * W, G)
+    best = jnp.argmax(flat, axis=0).astype(jnp.int32)
     score = jnp.max(flat, axis=0)
-    bj = best // (W * W)
-    bcl = (best // W) % W
-    bcr = best % W
+    bj = (M1 - 1) - best // (W * W)
+    bcl = (W - 1) - (best // W) % W
+    bcr = (W - 1) - best % W
     bvote = jnp.take_along_axis(
-        vote.reshape(M1 * W * W, G), best[None, :], axis=0)[0]
+        vote[::-1, ::-1, ::-1, :].reshape(M1 * W * W, G),
+        best[None, :], axis=0)[0]
     found = score > jnp.float32(NEG / 2)
     return score, bj, bcl, bcr, bvote, found
 
@@ -232,10 +257,11 @@ def _shift_dp_scan(q, win, m, B: int):
 
 
 @functools.partial(jax.jit, static_argnames=("B",))
-def _junction_scan(q, qr, lwin, rwin, m, span, dok, aok, B: int, min_intron):
+def _junction_scan(q, qr, lwin, rwin, m, span, dok, aok, el, er, B: int,
+                   min_intron):
     SL = _shift_dp_scan(q, lwin, m, B)
     SR = _shift_dp_scan(qr, rwin, m, B)
-    return _combine(SL, SR, m, span, dok, aok, B, min_intron)
+    return _combine(SL, SR, m, span, dok, aok, el, er, B, min_intron)
 
 
 def junction_batch_scan(batch, min_intron: int = 30):
@@ -247,6 +273,7 @@ def junction_batch_scan(batch, min_intron: int = 30):
         jnp.asarray(batch["lwin"]), jnp.asarray(batch["rwin"]),
         jnp.asarray(batch["m"]), jnp.asarray(batch["span"]),
         jnp.asarray(batch["dok"]), jnp.asarray(batch["aok"]),
+        jnp.asarray(batch["el"]), jnp.asarray(batch["er"]),
         B, jnp.int64(min_intron))
     return tuple(np.asarray(x) for x in jax.device_get(out))
 
@@ -360,7 +387,9 @@ def junction_batch_pallas(batch, min_intron: int = 30,
     SR = SRf.reshape(MGAP + 1, W, Gp)
     out = _combine(SL, SR, jnp.asarray(m), jnp.asarray(pad(batch["span"], 1)),
                    jnp.asarray(pad(batch["dok"], -1)),
-                   jnp.asarray(pad(batch["aok"], -1)), B,
+                   jnp.asarray(pad(batch["aok"], -1)),
+                   jnp.asarray(pad(batch["el"], 0)),
+                   jnp.asarray(pad(batch["er"], 0)), B,
                    jnp.int64(min_intron))
     return tuple(np.asarray(x)[:G] for x in jax.device_get(out))
 
@@ -384,8 +413,11 @@ def recover_ops(ref: np.ndarray, gaps, placements, B: int = B_DEF):
     if lib is None:
         from ..align.splice import refine_splice_indel_np
         for g in sel:
-            qg, lr, rr = gaps[g]
-            results[g] = refine_splice_indel_np(qg, ref, lr, rr, B)
+            qg, lr, rr = gaps[g][:3]
+            el = gaps[g][3] if len(gaps[g]) > 3 else 0
+            er = gaps[g][4] if len(gaps[g]) > 4 else 0
+            results[g] = refine_splice_indel_np(qg, ref, lr, rr, B,
+                                                el_exp=el, er_exp=er)
         return results
     n = len(sel)
     q_offs = np.zeros(n + 1, np.int64)
