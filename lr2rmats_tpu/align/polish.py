@@ -134,13 +134,48 @@ def _window(ops, op_i: int, pos: int, need_l: int = FLANK_Q,
             need_r: int = FLANK_Q):
     """Flank windows around the N run at op_i.
 
-    Returns (q0, r0, left_ops_i, right_ops_j, q_end, r_end) where
-    [left_ops_i, op_i) and (op_i, right_ops_j] bound the replaced segment,
-    q0/q_end are query offsets and r0/r_end chrom-local ref offsets of the
-    window boundaries.  Windows never cross another N run.  need_l/need_r
-    are the minimum query bases wanted per side (grown by the caller when
-    the junction shift must be absorbed by one flank).
+    Returns (ops2, op_i2, q0, r0, left_ops_i, right_ops_j, q_end, r_end)
+    where ops2 is `ops` with the outermost included M runs split so the
+    window holds only ~need bases (a 600 bp exon M op would otherwise make
+    the flank DP 10-20x more expensive for no gain — splitting an M op is
+    a semantic no-op and the caller's seam re-merge restores it), op_i2 is
+    the N run's index within ops2, [left_ops_i, op_i2) and (op_i2,
+    right_ops_j] bound the replaced segment, q0/q_end are query offsets
+    and r0/r_end chrom-local ref offsets of the window boundaries.
+    Windows never cross another N run.  need_l/need_r are the minimum
+    query bases wanted per side (grown by the caller when the junction
+    shift must be absorbed by one flank).
     """
+    ops = list(ops)
+    # clip: split the outermost M op of each flank at the need boundary
+    got_q = 0
+    for t in range(op_i - 1, -1, -1):
+        op, l = ops[t]
+        if op in (OP_N, OP_S):
+            break
+        if op in (OP_M, OP_I):
+            if op == OP_M and got_q + l > need_l and got_q < need_l:
+                keep = need_l - got_q
+                ops[t: t + 1] = [(OP_M, l - keep), (OP_M, keep)]
+                op_i += 1
+                got_q += l
+                break
+            got_q += l
+            if got_q >= need_l:
+                break
+    got_q = 0
+    for t in range(op_i + 1, len(ops)):
+        op, l = ops[t]
+        if op in (OP_N, OP_S):
+            break
+        if op in (OP_M, OP_I):
+            if op == OP_M and got_q + l > need_r and got_q < need_r:
+                keep = need_r - got_q
+                ops[t: t + 1] = [(OP_M, keep), (OP_M, l - keep)]
+                break
+            got_q += l
+            if got_q >= need_r:
+                break
     q = 0
     r = pos
     qs, rs = [], []          # query/ref offsets at the START of each op
@@ -171,7 +206,7 @@ def _window(ops, op_i: int, pos: int, need_l: int = FLANK_Q,
         j += 1
         if op in (OP_M, OP_I):
             got_q += l
-    return qs[i], rs[i], i, j, qs[j + 1], rs[j + 1]
+    return ops, op_i, qs[i], rs[i], i, j, qs[j + 1], rs[j + 1]
 
 
 def _window_score(ops, lo: int, hi: int, q: np.ndarray, q0: int,
@@ -262,7 +297,7 @@ def _pair_scores(rec, ops, q, op_i, don, acc, wd, wa, off,
     """(own_score, alt_score) of rec's junction window under its own
     placement (don, acc) vs the alternative (wd, wa); None if the
     alternative is infeasible for this read."""
-    q0, r0, lo, hi, q1, r1 = _window(
+    ops2, op_i, q0, r0, lo, hi, q1, r1 = _window(
         ops, op_i, rec.pos,
         FLANK_Q + max(wd - don, 0), FLANK_Q + max(acc - wa, 0))
     qwin = q[q0: q1]
@@ -270,7 +305,7 @@ def _pair_scores(rec, ops, q, op_i, don, acc, wd, wa, off,
     res = _constrained_place(qwin, ref, L0, R0, off + wd, off + wa)
     if res is None:
         return None
-    own_sc, _, _ = _window_score(ops, lo, hi, q, q0, ref, L0)
+    own_sc, _, _ = _window_score(ops2, lo, hi, q, q0, ref, L0)
     b_own = _motif_bonus(ref, off + don, off + acc)[0]
     b_alt = _motif_bonus(ref, off + wd, off + wa)[0]
     return own_sc + b_own, res[0] + b_alt
@@ -382,7 +417,7 @@ def polish_records(records: List[AlnRec], genome_codes: np.ndarray,
         for op_i, don, acc in reversed(todo):
             _, wd, wa = winners[(rec.tid, don, acc)]
             # a junction shift must be absorbed by one flank's query window
-            q0, r0, lo, hi, q1, r1 = _window(
+            ops, op_i, q0, r0, lo, hi, q1, r1 = _window(
                 ops, op_i, rec.pos,
                 FLANK_Q + max(wd - don, 0), FLANK_Q + max(acc - wa, 0))
             qwin = q[q0: q1]
