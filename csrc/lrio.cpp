@@ -339,6 +339,38 @@ int64_t extract_minimizers_c(const uint8_t* codes, int64_t n_codes,
     return cnt;
 }
 
+// Batched minimizer extraction: one call for a whole read batch instead of
+// one ctypes crossing per read (~85 us each measured).  Read i's
+// minimizers land at output offset read_offs[i] (count <= read length, so
+// slots never collide); positions are READ-LOCAL.  Threaded over reads.
+int extract_minimizers_batch_c(
+    const uint8_t* reads, const int64_t* read_offs, int n_reads,
+    int k, int w, int n_threads,
+    uint64_t* out_hash, int64_t* out_pos, int8_t* out_strand,
+    int64_t* out_n) {
+    auto work = [&](int lo, int hi) {
+        for (int i = lo; i < hi; ++i) {
+            int64_t off = read_offs[i];
+            int64_t L = read_offs[i + 1] - off;
+            out_n[i] = extract_minimizers_c(reads + off, L, k, w,
+                                            out_hash + off, out_pos + off,
+                                            out_strand + off);
+        }
+    };
+    if (n_threads <= 1 || n_reads < 2 * n_threads) {
+        work(0, n_reads);
+    } else {
+        std::vector<std::thread> ts;
+        int per = (n_reads + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; ++t) {
+            int lo = t * per, hi = std::min(n_reads, lo + per);
+            if (lo < hi) ts.emplace_back(work, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    return 0;
+}
+
 // Pure-split splice scan (align/splice.py::refine_splice): choose query
 // split j in [0, m] maximizing prefix/suffix matches + motif bonus.
 // Returns j; writes score and strand vote.
@@ -1480,6 +1512,29 @@ void lookup_range_c(const uint64_t* hashes, int64_t M,
         lo_out[i] = l - hashes;
         hi_out[i] = u - hashes;
     }
+}
+
+// Threaded variant: query ranges are independent, outputs strided.
+void lookup_range_mt_c(const uint64_t* hashes, int64_t M,
+                       const int64_t* bucket_start, int64_t n_buckets,
+                       int shift, const uint64_t* q, int64_t nq,
+                       int64_t* lo_out, int64_t* hi_out, int n_threads) {
+    if (n_threads <= 1 || nq < 1 << 14) {
+        lookup_range_c(hashes, M, bucket_start, n_buckets, shift, q, nq,
+                       lo_out, hi_out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t per = (nq + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per, hi = std::min(nq, lo + per);
+        if (lo < hi)
+            ts.emplace_back([=] {
+                lookup_range_c(hashes, M, bucket_start, n_buckets, shift,
+                               q + lo, hi - lo, lo_out + lo, hi_out + lo);
+            });
+    }
+    for (auto& th : ts) th.join();
 }
 
 }  // extern "C"

@@ -212,10 +212,12 @@ class MinimizerIndex:
             [starts, [len(self.hashes)]]).astype(np.int64)
         self._nbuckets = nb
 
-    def lookup(self, qhashes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def lookup(self, qhashes: np.ndarray, n_threads: int = 4
+               ) -> Tuple[np.ndarray, np.ndarray]:
         """searchsorted range per query hash -> (lo, hi) index arrays.
 
-        Dispatches to the native bucketed lookup when available."""
+        Dispatches to the native bucketed lookup when available (threaded
+        over query ranges for large batches)."""
         from ..native import get_lib
         lib = get_lib()
         if lib is not None and len(qhashes):
@@ -223,8 +225,9 @@ class MinimizerIndex:
             q = np.ascontiguousarray(qhashes, np.uint64)
             lo = np.empty(len(q), np.int64)
             hi = np.empty(len(q), np.int64)
-            lib.lookup_range_c(self.hashes, len(self.hashes), self._bstart,
-                               self._nbuckets, self._bshift, q, len(q), lo, hi)
+            lib.lookup_range_mt_c(self.hashes, len(self.hashes),
+                                  self._bstart, self._nbuckets, self._bshift,
+                                  q, len(q), lo, hi, n_threads)
             return lo, hi
         lo = np.searchsorted(self.hashes, qhashes, side="left")
         hi = np.searchsorted(self.hashes, qhashes, side="right")

@@ -76,6 +76,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             c_u64p, c_i64p, c_i8p]
 
+        lib.extract_minimizers_batch_c.restype = ctypes.c_int
+        lib.extract_minimizers_batch_c.argtypes = [
+            c_u8p, c_i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, c_u64p, c_i64p, c_i8p, c_i64p]
+
         lib.refine_splice_c.restype = ctypes.c_int
         lib.refine_splice_c.argtypes = [
             c_u8p, ctypes.c_int, c_u8p, ctypes.c_int64,
@@ -174,6 +179,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.lookup_range_c.argtypes = [
             c_u64p, ctypes.c_int64, c_i64p, ctypes.c_int64, ctypes.c_int,
             c_u64p, ctypes.c_int64, c_i64p, c_i64p]
+
+        lib.lookup_range_mt_c.restype = None
+        lib.lookup_range_mt_c.argtypes = [
+            c_u64p, ctypes.c_int64, c_i64p, ctypes.c_int64, ctypes.c_int,
+            c_u64p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int]
 
         lib.hamming_pairs_c.restype = None
         lib.hamming_pairs_c.argtypes = [

@@ -386,3 +386,46 @@ def test_check_iden_match():
             check_iden_np(a, 0, b, 0, ss, ee), trial
         assert check_iden(b, 0, a, 0, ss, ee) == \
             check_iden_np(b, 0, a, 0, ss, ee), trial
+
+
+def test_minimizers_batch_match():
+    """extract_minimizers_batch_c == per-read numpy reference, incl. the
+    L = k+w-1 shortest-valid edge and all-too-short reads."""
+    from lr2rmats_tpu.index.minimizer import extract_minimizers_np
+    lib = get_lib()
+    rng = np.random.default_rng(11)
+    k, w = 15, 5
+    reads = [rng.integers(0, 4, n).astype(np.uint8)
+             for n in (0, 5, k + w - 2, k + w - 1, k + w, 300, 1500, 2500)]
+    reads[6][100:110] = 4
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    concat = np.ascontiguousarray(np.concatenate(reads), np.uint8)
+    oh = np.empty(len(concat), np.uint64)
+    op = np.empty(len(concat), np.int64)
+    os_ = np.empty(len(concat), np.int8)
+    on = np.zeros(len(reads), np.int64)
+    lib.extract_minimizers_batch_c(concat, offs, len(reads), k, w, 3,
+                                   oh, op, os_, on)
+    for i, r in enumerate(reads):
+        h, p, s = extract_minimizers_np(r, k, w)
+        o, n = offs[i], int(on[i])
+        assert n == len(h)
+        np.testing.assert_array_equal(oh[o:o + n], h)
+        np.testing.assert_array_equal(op[o:o + n], p)
+        np.testing.assert_array_equal(os_[o:o + n], s)
+
+
+def test_lookup_range_mt_match():
+    """Threaded bucketed lookup == numpy searchsorted on a large batch."""
+    from lr2rmats_tpu.index.minimizer import MinimizerIndex
+    rng = np.random.default_rng(12)
+    hashes = np.sort(rng.integers(0, 1 << 30, 1 << 16).astype(np.uint64))
+    idx = MinimizerIndex(15, 5, hashes, np.zeros(len(hashes), np.int64),
+                         np.zeros(len(hashes), np.int8),
+                         np.array([0, 10], np.int64), ["c"])
+    q = rng.integers(0, 1 << 30, 40_000).astype(np.uint64)
+    q[:100] = hashes[rng.integers(0, len(hashes), 100)]  # guaranteed hits
+    lo, hi = idx.lookup(q, n_threads=4)
+    np.testing.assert_array_equal(lo, np.searchsorted(hashes, q, "left"))
+    np.testing.assert_array_equal(hi, np.searchsorted(hashes, q, "right"))
