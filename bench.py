@@ -144,14 +144,19 @@ def main():
         import jax
         jax.profiler.start_trace(profile_dir)
     t1 = time.perf_counter()
+    # pipelined batches: device chains batch N+1 while host extends batch N;
+    # records stay packed (RecordBatch) through polish and SAM emit — the
+    # exact production path of pipeline/stages.py
+    rb = aligner.align_seqset_packed(seqset, batch_size=512)
+    sam_body = rb.emit_sam(aligner.refs)
+    dt = time.perf_counter() - t1
+    assert sam_body
     n_aligned = 0
     primary = {}
-    # pipelined batches: device chains batch N+1 while host extends batch N
-    for r in aligner.align_seqset(seqset, batch_size=512):
+    for r in rb.to_alnrecs():
         if not (r.flag & 0x100):
             n_aligned += 1
             primary[r.qname] = r
-    dt = time.perf_counter() - t1
     if profile_dir:
         jax.profiler.stop_trace()
     rps = len(reads) / dt

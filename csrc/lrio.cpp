@@ -2007,6 +2007,95 @@ int check_iden_c(const int32_t* s1, const int32_t* e1, int n1,
     return result;
 }
 
+// SAM text emission from packed record arrays (align/records.py
+// RecordBatch.emit_sam; line layout of io/sam.SamWriter.write):
+//   qname flag rname pos+1 mapq cigar * 0 0 seq * NM:i: AS:i: NH:i: [XS:A:]
+// Sequences are stored once per read as forward codes; seq_rc=1 emits the
+// reverse complement.  qname/ref blobs are NUL-separated.  Returns bytes
+// written, or -1 when out_cap would overflow.
+int64_t format_sam_batch_c(
+    const uint8_t* qname_blob, const int64_t* qname_offs,
+    const int32_t* flag, const int32_t* tid, const int64_t* pos,
+    const int32_t* mapq,
+    const uint32_t* cig_buf, const int64_t* cig_offs,
+    const uint8_t* seq_buf, const int64_t* seq_offs, const int32_t* seq_id,
+    const int8_t* seq_rc,
+    const int64_t* nm, const int64_t* as_, const int32_t* nh,
+    const int8_t* xs,
+    const uint8_t* ref_blob, const int64_t* ref_offs,
+    int64_t n, uint8_t* out, int64_t out_cap) {
+    static const char OPS[] = "MIDNSHP=X";
+    static const char BASE[] = "ACGTN";
+    static const char CBASE[] = "TGCAN";
+    int64_t o = 0;
+    auto put_int = [&](int64_t v) {
+        char tmp[24];
+        int l = 0;
+        if (v == 0) tmp[l++] = '0';
+        bool neg = v < 0;
+        if (neg) v = -v;
+        while (v) { tmp[l++] = (char)('0' + v % 10); v /= 10; }
+        if (neg) tmp[l++] = '-';
+        for (int i = l - 1; i >= 0; --i) out[o++] = (uint8_t)tmp[i];
+    };
+    auto put = [&](const void* p, int64_t l) {
+        std::memcpy(out + o, p, (size_t)l);
+        o += l;
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t ql = qname_offs[i + 1] - qname_offs[i] - 1;
+        int64_t nc = cig_offs[i + 1] - cig_offs[i];
+        int64_t s0 = seq_offs[seq_id[i]], s1 = seq_offs[seq_id[i] + 1];
+        int64_t sl = s1 - s0;
+        int64_t rl = (tid[i] >= 0)
+            ? ref_offs[tid[i] + 1] - ref_offs[tid[i]] - 1 : 1;
+        int64_t need = ql + rl + 12 * nc + sl + 160;
+        if (o + need > out_cap) return -1;
+        put(qname_blob + qname_offs[i], ql);
+        out[o++] = '\t';
+        put_int(flag[i]);
+        out[o++] = '\t';
+        if (tid[i] >= 0) put(ref_blob + ref_offs[tid[i]], rl);
+        else out[o++] = '*';
+        out[o++] = '\t';
+        put_int(pos[i] + 1);
+        out[o++] = '\t';
+        put_int(mapq[i]);
+        out[o++] = '\t';
+        if (nc == 0) out[o++] = '*';
+        for (int64_t t = cig_offs[i]; t < cig_offs[i + 1]; ++t) {
+            put_int((int64_t)(cig_buf[t] >> 4));
+            out[o++] = (uint8_t)OPS[cig_buf[t] & 0xF];
+        }
+        put("\t*\t0\t0\t", 7);
+        if (sl == 0) {
+            out[o++] = '*';
+        } else if (seq_rc[i]) {
+            for (int64_t t = s1 - 1; t >= s0; --t) {
+                uint8_t c = seq_buf[t];
+                out[o++] = (uint8_t)CBASE[c < 4 ? c : 4];
+            }
+        } else {
+            for (int64_t t = s0; t < s1; ++t) {
+                uint8_t c = seq_buf[t];
+                out[o++] = (uint8_t)BASE[c < 4 ? c : 4];
+            }
+        }
+        put("\t*\tNM:i:", 8);
+        put_int(nm[i]);
+        put("\tAS:i:", 6);
+        put_int(as_[i]);
+        put("\tNH:i:", 6);
+        put_int(nh[i]);
+        if (xs[i]) {
+            put("\tXS:A:", 6);
+            out[o++] = xs[i] > 0 ? '+' : '-';
+        }
+        out[o++] = '\n';
+    }
+    return o;
+}
+
 }  // extern "C"
 
 extern "C" {

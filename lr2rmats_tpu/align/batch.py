@@ -396,15 +396,14 @@ class BatchAligner:
         return (cands_by_read, flat, reads_concat, read_offs, cand_read,
                 cand_strand, aq, ag, a_offs, max_len)
 
-    def _build_records_native(self, lib, names, reads, per_read, order
-                              ) -> List[AlnRec]:
+    def _extend_candidates_native(self, lib, reads, per_read, order):
         """One native call extends every candidate of the batch (the
         per-candidate ctypes crossing cost ~85 us; csrc
-        extend_chain_batch_c), then a thin python loop assembles AlnRecs."""
+        extend_chain_batch_c).  Returns (packed, ext) or None."""
         p = self.p
         packed = self._flatten_candidates(reads, per_read, order)
         if packed is None:
-            return []
+            return None
         (cands_by_read, flat, reads_concat, read_offs, cand_read,
          cand_strand, aq, ag, a_offs, max_len) = packed
         n_cand = len(flat)
@@ -432,8 +431,47 @@ class BatchAligner:
                 pos_out, ops_out, n_ops, ed_out, nm_out, vote_out, rc_out)
             ext = (stride, pos_out, ops_out, n_ops, ed_out, nm_out,
                    vote_out, rc_out)
-        return self._records_from_extension(names, reads, flat,
-                                            cands_by_read, ext)
+        return packed, ext
+
+    def _build_records_native(self, lib, names, reads, per_read, order
+                              ) -> List[AlnRec]:
+        res = self._extend_candidates_native(lib, reads, per_read, order)
+        if res is None:
+            return []
+        packed, ext = res
+        return self._records_from_extension(names, reads, packed[1],
+                                            packed[0], ext)
+
+    def _build_packed(self, names, reads, rows, chained):
+        """RecordBatch (struct-of-arrays) result for the batch — the
+        production path; AlnRec assembly (`_build_records`) is the legacy
+        bridge on top."""
+        from .records import RecordBatch
+        per_read: Dict[int, List[Tuple[float, int, np.ndarray, np.ndarray]]] = {}
+        for r, ch in zip(rows, chained):
+            pri, ps, sec, ss = ch
+            if len(pri):
+                per_read.setdefault(r.read_i, []).append(
+                    (ps, r.strand, r.qpos[pri], r.gpos[pri]))
+            if len(sec):
+                per_read.setdefault(r.read_i, []).append(
+                    (ss, r.strand, r.qpos[sec], r.gpos[sec]))
+        order = sorted(per_read)
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is None or len(order) <= 8:
+            return RecordBatch.from_alnrecs(
+                self._build_records(names, reads, rows, chained))
+        res = self._extend_candidates_native(lib, reads, per_read, order)
+        if res is None:
+            return RecordBatch.from_alnrecs([])
+        packed, ext = res
+        (cands_by_read, flat, reads_concat, read_offs, cand_read,
+         cand_strand, aq, ag, a_offs, max_len) = packed
+        return self._packed_from_extension(names, reads, flat,
+                                           cands_by_read, reads_concat,
+                                           read_offs, cand_read,
+                                           cand_strand, ext)
 
     def _extend_device_junctions(self, lib, packed, n_cand, max_len):
         """Two-pass extension with the splice junction DP on the DEVICE:
@@ -556,6 +594,123 @@ class BatchAligner:
         return (stride, pos_out, ops_out, n_ops, ed_out, nm_out, vote_out,
                 rc_out)
 
+    def _packed_from_extension(self, names, reads, flat, cands_by_read,
+                               reads_concat, read_offs, cand_read,
+                               cand_strand, ext):
+        """Vectorized RecordBatch assembly from the batch extension
+        outputs — the per-record python of `_records_from_extension`
+        (~70 us/record measured) collapses to array ops; only the rare
+        native-refused (rc != 0) and terminal-rescue candidates take the
+        per-record path.  Bit-identical output is tested against the
+        AlnRec reference path (tests/test_records.py)."""
+        from .records import RecordBatch
+        from ..io.fasta import revcomp
+        from ..io.sam import FREVERSE, FSECONDARY, OP_N, OP_S
+        p = self.p
+        (stride, pos_out, ops_out, n_ops, ed_out, nm_out, vote_out,
+         rc_out) = ext
+        n = len(flat)
+        MIN_RESCUE = p.k + p.w + 4
+        ops_mat = ops_out.reshape(n, stride, 2)
+        no = n_ops.astype(np.int64)
+        opc = ops_mat[:, :, 0]
+        opl = ops_mat[:, :, 1]
+        valid = np.arange(stride)[None, :] < no[:, None]
+        # terminal-exon rescue triggers on the UNFILTERED first/last op
+        first_clip = (no > 0) & (opc[:, 0] == OP_S) & (opl[:, 0] >=
+                                                       MIN_RESCUE)
+        last_i = np.maximum(no - 1, 0)
+        ar = np.arange(n)
+        last_clip = (no > 0) & (opc[ar, last_i] == OP_S) & \
+            (opl[ar, last_i] >= MIN_RESCUE)
+        special = (rc_out != 0) | first_clip | last_clip
+        pos_g = pos_out.astype(np.int64).copy()
+        ed = ed_out.astype(np.int64).copy()
+        nmatch = nm_out.astype(np.int64).copy()
+        vote = vote_out.astype(np.int64).copy()
+        cig_list: Dict[int, np.ndarray] = {}
+        intron_special = {}
+        for i in np.nonzero(special)[0]:
+            ri, rank = flat[i]
+            _, s, cq, cg = cands_by_read[ri][rank]
+            codes = reads[ri]
+            seq_codes = revcomp(codes) if s == 1 else codes
+            if rc_out[i]:
+                res = self.inner._extend(seq_codes, cq, cg)
+            else:
+                base_ops = [(int(opc[i, t]), int(opl[i, t]))
+                            for t in range(int(no[i]))]
+                res = (int(pos_g[i]), base_ops, int(ed[i]), int(nmatch[i]),
+                       int(vote[i]))
+                res = self.inner._rescue_terminal_exons(seq_codes, res)
+            pos_g[i], ops_i, ed[i], nmatch[i], vote[i] = res
+            cig_list[i] = np.array([(l << 4) | op for op, l in ops_i
+                                    if l > 0], np.uint32)
+            intron_special[i] = any(op == OP_N for op, _ in ops_i)
+        keep = nmatch >= p.min_score
+        kept = np.nonzero(keep)[0]
+        if not len(kept):
+            return RecordBatch(
+                [], np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.uint32), np.zeros(1, np.int64),
+                reads_concat, read_offs, np.zeros(0, np.int32),
+                np.zeros(0, np.int8), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.int8))
+        # vectorized CIGARs (drop zero-length ops, like the AlnRec path)
+        emit = valid & (opl > 0)
+        vec_counts = emit.sum(axis=1).astype(np.int64)
+        vec_flat = ((opl.astype(np.int64) << 4) |
+                    opc.astype(np.int64))[emit].astype(np.uint32)
+        vec_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(vec_counts, out=vec_offs[1:])
+        has_intron = ((opc == OP_N) & emit).any(axis=1)
+        if not cig_list:
+            # pure-vectorized fast path: select kept records' entries
+            cig_buf = vec_flat[np.repeat(keep, vec_counts)]
+            counts_kept = vec_counts[kept]
+        else:
+            segs = []
+            counts_kept = np.empty(len(kept), np.int64)
+            for t, i in enumerate(kept):
+                c = cig_list.get(i)
+                if c is None:
+                    c = vec_flat[vec_offs[i]: vec_offs[i + 1]]
+                else:
+                    has_intron[i] = intron_special[i]
+                segs.append(c)
+                counts_kept[t] = len(c)
+            cig_buf = (np.concatenate(segs) if segs
+                       else np.zeros(0, np.uint32))
+        cig_offs = np.zeros(len(kept) + 1, np.int64)
+        np.cumsum(counts_kept, out=cig_offs[1:])
+        tid, pos = self.index.global_to_chrom(pos_g[kept])
+        ranks = np.array([rank for _, rank in flat], np.int64)[kept]
+        nh = np.array([len(cands_by_read[ri]) for ri, _ in flat],
+                      np.int32)[kept]
+        s1 = np.array([cands_by_read[ri][0][0] for ri, _ in flat],
+                      np.float64)[kept]
+        s2 = np.array([cands_by_read[ri][1][0]
+                       if len(cands_by_read[ri]) > 1 else 0.0
+                       for ri, _ in flat], np.float64)[kept]
+        mq = np.where(
+            nh == 1, 60,
+            np.clip(np.trunc(80.0 * (1.0 - s2 / np.maximum(s1, 1e-9))),
+                    0, 60)).astype(np.int32)
+        mq = np.where(ranks == 0, mq, 0)
+        strand = cand_strand.astype(np.int8)[kept]
+        flag = (np.where(strand == 1, FREVERSE, 0) |
+                np.where(ranks > 0, FSECONDARY, 0)).astype(np.int32)
+        xs = np.where(has_intron[kept] & (vote[kept] != 0),
+                      np.sign(vote[kept]), 0).astype(np.int8)
+        return RecordBatch(
+            [names[flat[i][0]] for i in kept], flag,
+            tid.astype(np.int32), pos.astype(np.int64), mq,
+            cig_buf, cig_offs, reads_concat, read_offs,
+            cand_read[kept].astype(np.int32), strand,
+            ed[kept], (2 * nmatch[kept] - 4 * ed[kept]), nh, xs)
+
     def _records_from_extension(self, names, reads, flat, cands_by_read,
                                 ext) -> List[AlnRec]:
         from ..io.fasta import decode_seq, revcomp
@@ -620,42 +775,53 @@ class BatchAligner:
         chained = self._materialize_chains(rows, pending)
         return self._build_records(names, reads, rows, chained)
 
-    def align_seqset(self, reads: SeqSet, batch_size: int = 1024,
-                     pipeline_depth: int = 2,
-                     polish: Optional[bool] = None) -> Iterator[AlnRec]:
-        """Pipelined batches: up to `pipeline_depth` batches of device chain
-        work stay in flight while the host extends the oldest.
+    def finish_batch_packed(self, handle):
+        names, reads, rows, pending = handle
+        chained = self._materialize_chains(rows, pending)
+        return self._build_packed(names, reads, rows, chained)
 
-        `polish` (default on; env kill-switch LR2RMATS_NO_POLISH=1) runs the
-        cross-read junction consensus pass (align/polish.py) over the whole
-        seqset before yielding — the STAR-2-pass/`--junc-bed` analog."""
+    def align_seqset_packed(self, reads: SeqSet, batch_size: int = 1024,
+                            pipeline_depth: int = 2,
+                            polish: Optional[bool] = None):
+        """Whole-seqset alignment as ONE packed RecordBatch (the
+        production path: no per-record python objects anywhere between
+        extension and SAM bytes).
+
+        `polish` (default on; env kill-switch LR2RMATS_NO_POLISH=1) runs
+        the cross-read junction consensus pass (align/polish.py) over the
+        whole seqset — the STAR-2-pass/`--junc-bed` analog.  Pipelined:
+        up to `pipeline_depth` batches of device chain work stay in flight
+        while the host extends the oldest."""
         import os
         from collections import deque
+        from .records import RecordBatch
         if polish is None:
             polish = not os.environ.get("LR2RMATS_NO_POLISH")
         inflight = deque()
-        buf: List[AlnRec] = [] if polish else None
+        chunks = []
         for off in range(0, reads.n, batch_size):
             hi = min(off + batch_size, reads.n)
             names = [reads.names[i] for i in range(off, hi)]
             codes = [reads.get(i) for i in range(off, hi)]
             inflight.append(self.dispatch_batch(names, codes))
             if len(inflight) > pipeline_depth:
-                recs = self.finish_batch(inflight.popleft())
-                if polish:
-                    buf.extend(recs)
-                else:
-                    yield from recs
+                chunks.append(self.finish_batch_packed(inflight.popleft()))
         while inflight:
-            recs = self.finish_batch(inflight.popleft())
-            if polish:
-                buf.extend(recs)
-            else:
-                yield from recs
+            chunks.append(self.finish_batch_packed(inflight.popleft()))
+        rb = RecordBatch.concat(chunks) if chunks else \
+            RecordBatch.from_alnrecs([])
         if polish:
-            from .polish import polish_records
-            n = polish_records(buf, self.inner.genome.codes,
-                               self.index.chrom_offsets)
+            from .polish import polish_batch
+            n = polish_batch(rb, self.inner.genome.codes,
+                             self.index.chrom_offsets)
             if n:
                 log("align", "junction consensus polish: %d re-placed", n)
-            yield from buf
+        return rb
+
+    def align_seqset(self, reads: SeqSet, batch_size: int = 1024,
+                     pipeline_depth: int = 2,
+                     polish: Optional[bool] = None) -> Iterator[AlnRec]:
+        """Legacy per-record generator over `align_seqset_packed`."""
+        rb = self.align_seqset_packed(reads, batch_size, pipeline_depth,
+                                      polish)
+        yield from rb.to_alnrecs()

@@ -16,6 +16,12 @@ better-supported placement within SNAP bp on both ends, and only when the
 read's own bases support the new placement within DELTA score of the old
 one (re-scored with the same banded flank DP the aligner uses —
 align/splice.py).  CIGAR, NM and AS are rewritten exactly.
+
+The production entry point is `polish_batch` over a packed RecordBatch:
+support collection parses every CIGAR with array ops (the per-record
+python pass cost ~80 us/record), and per-record python runs only for the
+few records that actually hold a candidate junction.  `polish_records`
+is the AlnRec-list bridge with identical semantics.
 """
 
 from __future__ import annotations
@@ -24,7 +30,10 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..io.sam import FSECONDARY, FUNMAP, OP_D, OP_I, OP_M, OP_N, OP_S, AlnRec
+from ..io.fasta import _COMP
+from ..io.sam import (FSECONDARY, FUNMAP, OP_D, OP_I, OP_M, OP_N, OP_S,
+                      AlnRec, _CONSUME)
+from .records import RecordBatch
 from .splice import (GAP, MATCH, MISMATCH, NEG, _motif_bonus, _shift_dp,
                      _traceback_ops)
 
@@ -41,69 +50,105 @@ FLK = 8          # flank bases checked for the clean-vote weight
 W_CLEAN = 2      # vote weight of a junction with both flanks error-free
 
 
-def _cigar_ops(rec: AlnRec) -> List[Tuple[int, int]]:
-    return [(int(c) & 0xF, int(c) >> 4) for c in rec.cigar]
+def _cigar_ops(cigar: np.ndarray) -> List[Tuple[int, int]]:
+    return [(int(c) & 0xF, int(c) >> 4) for c in cigar]
 
 
-def _junctions_of(ops, pos: int) -> List[Tuple[int, int, int]]:
-    """(op_index, don, acc) for every N run; don/acc 0-based chrom-local
-    first/last intron base."""
-    out = []
-    r = pos
-    for i, (op, l) in enumerate(ops):
-        if op == OP_N:
-            out.append((i, r, r + l - 1))
-        if op in (OP_M, OP_D, OP_N):
-            r += l
-    return out
+# ------------------------------------------------------------------ parse
+def _junction_table(rb: RecordBatch) -> dict:
+    """One vectorized CIGAR parse of the whole batch.
+
+    Returns per-entry arrays (ops, lens, q_before) and per-junction arrays
+    (j = entry index, rj = record, opi = op index within the record,
+    don/acc = 0-based chrom-local first/last intron base)."""
+    counts = np.diff(rb.cig_offs)
+    ops = (rb.cig_buf & 0xF).astype(np.int64)
+    lens = (rb.cig_buf >> 4).astype(np.int64)
+    rid = np.repeat(np.arange(rb.n, dtype=np.int64), counts)
+    if len(ops):
+        consume = np.asarray(_CONSUME, np.int64)[ops]
+        q_excl = np.concatenate([[0], np.cumsum(lens * (consume & 1))[:-1]])
+        r_excl = np.concatenate(
+            [[0], np.cumsum(lens * ((consume & 2) >> 1))[:-1]])
+        start = np.minimum(rb.cig_offs[:-1], len(ops) - 1)
+        q_before = q_excl - q_excl[start][rid]
+        r_before = r_excl - r_excl[start][rid]
+    else:
+        q_before = r_before = np.zeros(0, np.int64)
+    j = np.nonzero(ops == OP_N)[0]
+    rj = rid[j]
+    opi = j - rb.cig_offs[:-1][rj]
+    don = rb.pos[rj] + r_before[j]
+    acc = don + lens[j] - 1
+    return dict(ops=ops, lens=lens, counts=counts, q_before=q_before,
+                j=j, rj=rj, opi=opi, don=don, acc=acc)
+
+
+def _support_batch(rb: RecordBatch, jt: dict, genome_codes: np.ndarray,
+                   chrom_offsets: np.ndarray
+                   ) -> Dict[Tuple[int, int, int], int]:
+    """Weighted junction support over primary mapped records.
+
+    A junction flanked on both sides by >= FLK exactly-matching M bases
+    votes with weight W_CLEAN: an error-free flank pins the placement,
+    while the error-corrupted flanks that cause misplacements get weight
+    1 — so a clean sibling outvotes one error-driven misplacement even at
+    1:1 read counts."""
+    j, rj = jt["j"], jt["rj"]
+    if not len(j):
+        return {}
+    ops, lens, q_before = jt["ops"], jt["lens"], jt["q_before"]
+    voter = (rb.flag[rj] & (FSECONDARY | FUNMAP)) == 0
+    inner = (jt["opi"] > 0) & (jt["opi"] < jt["counts"][rj] - 1)
+    jl = np.where(inner, j - 1, j)
+    jr = np.where(inner, j + 1, j)
+    flank = (inner & (ops[jl] == OP_M) & (lens[jl] >= FLK) &
+             (ops[jr] == OP_M) & (lens[jr] >= FLK))
+    w = np.ones(len(j), np.int64)
+    cand = np.nonzero(voter & flank)[0]
+    if len(cand):
+        lq = q_before[j[cand]]          # query offset at donor side
+        rq = q_before[jr[cand]]         # query offset at acceptor side
+        don, acc = jt["don"][cand], jt["acc"][cand]
+        off = chrom_offsets[rb.tid[rj[cand]]]
+        gl = off + don - FLK
+        gr = off + acc + 1
+        G = len(genome_codes)
+        inb = (gl >= 0) & (gr + FLK <= G)
+        sid = rb.seq_id[rj[cand]]
+        sbase = rb.seq_offs[sid]
+        L = rb.seq_offs[sid + 1] - sbase
+        rc = rb.seq_rc[rj[cand]].astype(bool)[:, None]
+        ar = np.arange(FLK, dtype=np.int64)[None, :]
+
+        def asq(idx):
+            """as-aligned query codes at positions idx (reverse-
+            complemented reads gather from the forward buffer mirrored)."""
+            fwd = np.where(rc, L[:, None] - 1 - idx, idx) + sbase[:, None]
+            v = rb.seq_buf[fwd]
+            return np.where(rc, _COMP[v], v)
+
+        gil = np.clip(gl, 0, max(G - FLK, 0))[:, None] + ar
+        gir = np.clip(gr, 0, max(G - FLK, 0))[:, None] + ar
+        clean = (inb &
+                 (asq(lq[:, None] - FLK + ar) == genome_codes[gil]).all(1) &
+                 (asq(rq[:, None] + ar) == genome_codes[gir]).all(1))
+        w[cand[clean]] = W_CLEAN
+    keys = np.stack([rb.tid[rj].astype(np.int64), jt["don"], jt["acc"]], 1)
+    uniq, inv = np.unique(keys[voter], axis=0, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, w[voter])
+    return {(int(t), int(d), int(a)): int(s)
+            for (t, d, a), s in zip(uniq, sums)}
 
 
 def collect_junction_support(records, genome_codes: np.ndarray,
                              chrom_offsets: np.ndarray
                              ) -> Dict[Tuple[int, int, int], int]:
-    """Weighted junction support over primary mapped records.
-
-    A junction flanked on both sides by >= FLK exactly-matching M bases
-    (no adjacent indels) votes with weight W_CLEAN: an error-free flank
-    pins the placement, while the error-corrupted flanks that cause
-    misplacements get weight 1 — so a clean sibling outvotes one
-    error-driven misplacement even at 1:1 read counts."""
-    from ..io.fasta import encode_seq
-    support: Dict[Tuple[int, int, int], int] = {}
-    for rec in records:
-        if rec.flag & (FSECONDARY | FUNMAP):
-            continue
-        ops = _cigar_ops(rec)
-        juncs = _junctions_of(ops, rec.pos)
-        if not juncs:
-            continue
-        off = int(chrom_offsets[rec.tid])
-        q = encode_seq(rec.seq.encode())
-        qi = 0
-        r = rec.pos
-        qs = []
-        for op, l in ops:
-            qs.append(qi)
-            if op in (OP_M, OP_I, OP_S):
-                qi += l
-        for op_i, don, acc in juncs:
-            w = 1
-            if 0 < op_i < len(ops) - 1:
-                lop, ll = ops[op_i - 1]
-                rop, rl = ops[op_i + 1]
-                if lop == OP_M and ll >= FLK and rop == OP_M and rl >= FLK:
-                    lq = qs[op_i - 1] + ll
-                    rq = qs[op_i + 1]
-                    gl = off + don - FLK
-                    gr = off + acc + 1
-                    if (np.array_equal(q[lq - FLK: lq],
-                                       genome_codes[gl: gl + FLK]) and
-                            np.array_equal(q[rq: rq + FLK],
-                                           genome_codes[gr: gr + FLK])):
-                        w = W_CLEAN
-            key = (rec.tid, don, acc)
-            support[key] = support.get(key, 0) + w
-    return support
+    """AlnRec-list bridge over `_support_batch`."""
+    rb = RecordBatch.from_alnrecs(list(records))
+    return _support_batch(rb, _junction_table(rb), genome_codes,
+                          chrom_offsets)
 
 
 def consensus_winners(support: Dict[Tuple[int, int, int], int]
@@ -292,13 +337,13 @@ def _constrained_place(qwin: np.ndarray, ref: np.ndarray, L0: int, R0: int,
     return best, lops, rops, match, nm
 
 
-def _pair_scores(rec, ops, q, op_i, don, acc, wd, wa, off,
+def _pair_scores(pos, ops, q, op_i, don, acc, wd, wa, off,
                  ref: np.ndarray):
-    """(own_score, alt_score) of rec's junction window under its own
+    """(own_score, alt_score) of the record's junction window under its own
     placement (don, acc) vs the alternative (wd, wa); None if the
     alternative is infeasible for this read."""
     ops2, op_i, q0, r0, lo, hi, q1, r1 = _window(
-        ops, op_i, rec.pos,
+        ops, op_i, pos,
         FLANK_Q + max(wd - don, 0), FLANK_Q + max(acc - wa, 0))
     qwin = q[q0: q1]
     L0, R0 = off + r0, off + r1
@@ -311,7 +356,26 @@ def _pair_scores(rec, ops, q, op_i, don, acc, wd, wa, off,
     return own_sc + b_own, res[0] + b_alt
 
 
-def _resolve_weight_ties(records, genome_codes, chrom_offsets, support,
+def _holders_index(rb: RecordBatch, jt: dict):
+    """(tid, don, acc) -> array of junction-row indices, over mapped
+    records (secondaries included; reference behavior of the replacement
+    and tie-resolve passes)."""
+    j, rj = jt["j"], jt["rj"]
+    m = np.nonzero((rb.flag[rj] & FUNMAP) == 0)[0]
+    if not len(m):
+        return {}, m
+    keys = np.stack([rb.tid[rj[m]].astype(np.int64), jt["don"][m],
+                     jt["acc"][m]], 1)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+    idx = {tuple(int(v) for v in uniq[t]): m[order[bounds[t]: bounds[t + 1]]]
+           for t in range(len(uniq))}
+    return idx, m
+
+
+def _resolve_weight_ties(rb: RecordBatch, jt: dict, holders,
+                         genome_codes, chrom_offsets, support,
                          winners) -> None:
     """Resolve equal-weight junction pairs by summed read evidence.
 
@@ -322,17 +386,9 @@ def _resolve_weight_ties(records, genome_codes, chrom_offsets, support,
     score — the misplaced read barely prefers its junction while a clean
     sibling strongly prefers truth.  Losers are added to `winners`.
     """
-    from ..io.fasta import encode_seq
-    holders: Dict[Tuple[int, int, int], List] = {}
+    rj, opi = jt["rj"], jt["opi"]
     ops_cache: Dict[int, list] = {}
     q_cache: Dict[int, np.ndarray] = {}
-    for rec in records:
-        if rec.flag & FUNMAP:
-            continue
-        ops = _cigar_ops(rec)
-        ops_cache[id(rec)] = ops
-        for op_i, d, a in _junctions_of(ops, rec.pos):
-            holders.setdefault((rec.tid, d, a), []).append((rec, op_i))
     by_tid: Dict[int, List[Tuple[int, int, int]]] = {}
     for (tid, d, a), c in support.items():
         by_tid.setdefault(tid, []).append((d, a, c))
@@ -355,11 +411,13 @@ def _resolve_weight_ties(records, genome_codes, chrom_offsets, support,
                 ok = True
                 for own, alt, sign in (((d, a), (d2, a2), -1.0),
                                        ((d2, a2), (d, a), +1.0)):
-                    for rec, op_i in holders.get((tid,) + own, []):
-                        if id(rec) not in q_cache:
-                            q_cache[id(rec)] = encode_seq(rec.seq.encode())
-                        s = _pair_scores(rec, ops_cache[id(rec)],
-                                         q_cache[id(rec)], op_i,
+                    for row in holders.get((tid,) + own, ()):
+                        ri = int(rj[row])
+                        if ri not in q_cache:
+                            q_cache[ri] = rb.seq_codes(ri)
+                            ops_cache[ri] = _cigar_ops(rb.cigar(ri))
+                        s = _pair_scores(int(rb.pos[ri]), ops_cache[ri],
+                                         q_cache[ri], int(opi[row]),
                                          own[0], own[1], alt[0], alt[1],
                                          off, genome_codes)
                         if s is None:
@@ -376,49 +434,47 @@ def _resolve_weight_ties(records, genome_codes, chrom_offsets, support,
                     winners[(tid, d2, a2)] = (tid, d, a)
 
 
-def polish_records(records: List[AlnRec], genome_codes: np.ndarray,
-                   chrom_offsets: np.ndarray) -> int:
+def polish_batch(rb: RecordBatch, genome_codes: np.ndarray,
+                 chrom_offsets: np.ndarray,
+                 changed_out: Optional[list] = None) -> int:
     """Snap near-miss junctions to their cross-read consensus placement.
 
-    Mutates records in place; returns the number of junctions re-placed.
-    `chrom_offsets` maps tid -> offset of that chromosome in the
-    concatenated `genome_codes` buffer.
-    """
-    support = collect_junction_support(records, genome_codes, chrom_offsets)
+    Mutates the batch in place (CIGAR + NM/AS arrays); returns the number
+    of junctions re-placed.  `changed_out` collects changed record
+    indices for callers that mirror results elsewhere."""
+    import os
+    jt = _junction_table(rb)
+    if not len(jt["j"]):
+        return 0
+    support = _support_batch(rb, jt, genome_codes, chrom_offsets)
     winners = consensus_winners(support)
-    _resolve_weight_ties(records, genome_codes, chrom_offsets, support,
-                         winners)
+    holders, _ = _holders_index(rb, jt)
+    _resolve_weight_ties(rb, jt, holders, genome_codes, chrom_offsets,
+                         support, winners)
     if not winners:
         return 0
-    import os
-    dbg = bool(os.environ.get("LR2RMATS_POLISH_DEBUG"))
-    from ..io.fasta import encode_seq
+    dbg = os.environ.get("LR2RMATS_POLISH_DEBUG")
+    rj, opi = jt["rj"], jt["opi"]
+    by_rec: Dict[int, List[Tuple[int, int, int]]] = {}
+    for key, w in winners.items():
+        for row in holders.get(key, ()):
+            by_rec.setdefault(int(rj[row]), []).append(
+                (int(opi[row]), key[1], key[2]))
     n_fix = 0
-    for rec in records:
-        if rec.flag & FUNMAP:
-            continue
-        ops = _cigar_ops(rec)
-        juncs = _junctions_of(ops, rec.pos)
-        todo = [(i, d, a) for i, d, a in juncs
-                if (rec.tid, d, a) in winners]
-        if dbg and os.environ.get("LR2RMATS_POLISH_DEBUG") == rec.qname:
-            for i, d, a in juncs:
-                near = {k: v for k, v in support.items()
-                        if k[0] == rec.tid and abs(k[1] - d) <= SNAP}
-                print(f"[polish] {rec.qname} junc ({d},{a}) "
-                      f"w={support.get((rec.tid, d, a))} near={near} "
-                      f"winner={winners.get((rec.tid, d, a))}")
-        if not todo:
-            continue
-        off = int(chrom_offsets[rec.tid])
-        q = encode_seq(rec.seq.encode())
+    for ri in sorted(by_rec):
+        todo = sorted(by_rec[ri])
+        ops = _cigar_ops(rb.cigar(ri))
+        off = int(chrom_offsets[rb.tid[ri]])
+        q = rb.seq_codes(ri)
+        pos = int(rb.pos[ri])
+        tid = int(rb.tid[ri])
         changed = False
         # re-place junctions right to left so op indices stay valid
         for op_i, don, acc in reversed(todo):
-            _, wd, wa = winners[(rec.tid, don, acc)]
+            _, wd, wa = winners[(tid, don, acc)]
             # a junction shift must be absorbed by one flank's query window
             ops, op_i, q0, r0, lo, hi, q1, r1 = _window(
-                ops, op_i, rec.pos,
+                ops, op_i, pos,
                 FLANK_Q + max(wd - don, 0), FLANK_Q + max(acc - wa, 0))
             qwin = q[q0: q1]
             L0, R0 = off + r0, off + r1
@@ -426,20 +482,22 @@ def polish_records(records: List[AlnRec], genome_codes: np.ndarray,
             res = _constrained_place(qwin, genome_codes, L0, R0, gd, ga)
             if res is None:
                 if dbg:
-                    print(f"[polish] {rec.qname} ({don},{acc})->({wd},{wa}) "
-                          f"infeasible m={q1-q0} DL={gd-L0} DR={R0-1-ga}")
+                    print(f"[polish] {rb.qname[ri]} ({don},{acc})->"
+                          f"({wd},{wa}) infeasible m={q1-q0} DL={gd-L0} "
+                          f"DR={R0-1-ga}")
                 continue
             new_sc, lops, rops, new_match, new_nm = res
             old_sc, old_match, old_nm = _window_score(ops, lo, hi, q, q0,
                                                       genome_codes, L0)
             bonus_old = _motif_bonus(genome_codes, off + don, off + acc)[0]
             bonus_new, _ = _motif_bonus(genome_codes, gd, ga)
-            own_w = support.get((rec.tid, don, acc), 1)
-            win_w = support.get((rec.tid, wd, wa), 0)
+            own_w = support.get((tid, don, acc), 1)
+            win_w = support.get((tid, wd, wa), 0)
             delta = DELTA_STRONG if win_w >= 2 * own_w + 2 else DELTA
             if dbg:
-                print(f"[polish] {rec.qname} ({don},{acc})->({wd},{wa}) "
-                      f"own_w={own_w} win_w={win_w} old={old_sc + bonus_old:.1f} "
+                print(f"[polish] {rb.qname[ri]} ({don},{acc})->({wd},{wa}) "
+                      f"own_w={own_w} win_w={win_w} "
+                      f"old={old_sc + bonus_old:.1f} "
                       f"new={new_sc + bonus_new:.1f} delta={delta} "
                       f"accept={new_sc + bonus_new >= old_sc + bonus_old - delta}")
             if new_sc + bonus_new < old_sc + bonus_old - delta:
@@ -455,15 +513,31 @@ def polish_records(records: List[AlnRec], genome_codes: np.ndarray,
                     merged.append((op, l))
             ops = merged
             # NM/AS deltas (aligner convention: AS = 2*nmatch - 4*ed)
-            if "NM" in rec.tags:
-                rec.tags["NM"] = int(rec.tags["NM"]) - old_nm + new_nm
-            if "AS" in rec.tags:
-                rec.tags["AS"] = (int(rec.tags["AS"])
-                                  + 2 * (new_match - old_match)
-                                  - 4 * (new_nm - old_nm))
+            rb.nm[ri] += new_nm - old_nm
+            rb.score[ri] += (2 * (new_match - old_match)
+                             - 4 * (new_nm - old_nm))
             changed = True
             n_fix += 1
         if changed:
-            rec.cigar = np.array([(l << 4) | op for op, l in ops if l > 0],
-                                 np.uint32)
+            rb.set_cigar(ri, np.array([(l << 4) | op for op, l in ops
+                                       if l > 0], np.uint32))
+            if changed_out is not None:
+                changed_out.append(ri)
     return n_fix
+
+
+def polish_records(records: List[AlnRec], genome_codes: np.ndarray,
+                   chrom_offsets: np.ndarray) -> int:
+    """AlnRec-list bridge over `polish_batch` (mutates records in place;
+    returns the number of junctions re-placed)."""
+    rb = RecordBatch.from_alnrecs(records)
+    changed: list = []
+    n = polish_batch(rb, genome_codes, chrom_offsets, changed_out=changed)
+    for i in changed:
+        rec = records[i]
+        rec.cigar = rb.cigar(i).copy()
+        if "NM" in rec.tags:
+            rec.tags["NM"] = int(rb.nm[i])
+        if "AS" in rec.tags:
+            rec.tags["AS"] = int(rb.score[i])
+    return n

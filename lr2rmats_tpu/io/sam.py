@@ -177,6 +177,11 @@ def _tag_sam(name: str, val) -> str:
     return f"{name}:Z:{val}"
 
 
+def sam_header(refs: List[Tuple[str, int]]) -> str:
+    return ("@HD\tVN:1.6\tSO:unknown\n" +
+            "".join(f"@SQ\tSN:{name}\tLN:{ln}\n" for name, ln in refs))
+
+
 class SamWriter:
     def __init__(self, fp: IO[str], refs: List[Tuple[str, int]],
                  header_lines: Optional[List[str]] = None):
@@ -186,9 +191,7 @@ class SamWriter:
             for h in header_lines:
                 fp.write(h + "\n")
         else:
-            fp.write("@HD\tVN:1.6\tSO:unknown\n")
-            for name, ln in refs:
-                fp.write(f"@SQ\tSN:{name}\tLN:{ln}\n")
+            fp.write(sam_header(refs))
 
     def write(self, r: AlnRec) -> None:
         rname = self.refs[r.tid][0] if r.tid >= 0 else "*"

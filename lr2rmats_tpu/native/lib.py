@@ -180,6 +180,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u64p, ctypes.c_int64, c_i64p, ctypes.c_int64, ctypes.c_int,
             c_u64p, ctypes.c_int64, c_i64p, c_i64p]
 
+        lib.format_sam_batch_c.restype = ctypes.c_int64
+        lib.format_sam_batch_c.argtypes = [
+            c_u8p, c_i64p, c_i32p, c_i32p, c_i64p, c_i32p,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), c_i64p,
+            c_u8p, c_i64p, c_i32p, c_i8p,
+            c_i64p, c_i64p, c_i32p, c_i8p,
+            c_u8p, c_i64p, ctypes.c_int64, c_u8p, ctypes.c_int64]
+
         lib.lookup_range_mt_c.restype = None
         lib.lookup_range_mt_c.argtypes = [
             c_u64p, ctypes.c_int64, c_i64p, ctypes.c_int64, ctypes.c_int,

@@ -182,12 +182,12 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                                            backend=("host" if use_tpu is False
                                                     else "jax"))
                 long_reads = read_fasta(reads.long_read)
-                with open(sam_path + ".tmp", "w") as f:
-                    w = SamWriter(f, aligner.refs)
-                    n = 0
-                    for rec in aligner.align_seqset(long_reads):
-                        w.write(rec)
-                        n += 1
+                rb = aligner.align_seqset_packed(long_reads)
+                n = rb.n
+                from ..io.sam import sam_header
+                with open(sam_path + ".tmp", "wb") as f:
+                    f.write(sam_header(aligner.refs).encode())
+                    f.write(rb.emit_sam(aligner.refs))
                 os.replace(sam_path + ".tmp", sam_path)
                 _done(sam_path, cfg.genome_fasta, reads.long_read)
                 log("align", "%s: %d alignment records", sample, n)
