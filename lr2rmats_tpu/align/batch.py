@@ -74,6 +74,10 @@ class BatchAligner:
         # thread pool pays off
         self.n_threads = n_threads if n_threads is not None else min(4, os.cpu_count() or 1)
         self._pool = None
+        # scripts/calibrate_mapq.py support: record the raw score margin
+        # of every primary record (qname -> 1 - s2/s1)
+        self.record_margins = False
+        self._mapq_margins: Dict[str, float] = {}
 
     # -------------------------------------------------------------- seeding
     def _batch_minimizers(self, reads: List[np.ndarray]):
@@ -146,8 +150,21 @@ class BatchAligner:
         qfinal = np.where(strand == 1, L[ridx] - p.k - qpx, qpx)
 
         # cluster per (read, strand) by sorted gpos gaps — fully vectorized
-        # (the round-1 python group loop cost ~0.06 s per 512-read batch)
-        order = np.lexsort((qfinal, gp, strand, ridx))
+        # (the round-1 python group loop cost ~0.06 s per 512-read batch).
+        # The 4-key lexsort costs 4 stable argsort+gather passes; when the
+        # keys fit one uint64 (genome < 4 Gbp, batch <= 2048 reads, reads
+        # < 512 kb — all production cases) a single radix argsort on the
+        # composite key gives the identical permutation ~3x faster.
+        if (len(gp) and int(gp.max()) < (1 << 32)
+                and len(reads) <= (1 << 11)
+                and int(qfinal.max(initial=0)) < (1 << 19)):
+            key = ((ridx.astype(np.uint64) << np.uint64(52)) |
+                   (strand.astype(np.uint64) << np.uint64(51)) |
+                   (gp.astype(np.uint64) << np.uint64(19)) |
+                   qfinal.astype(np.uint64))
+            order = np.argsort(key, kind="stable")
+        else:
+            order = np.lexsort((qfinal, gp, strand, ridx))
         ridx, strand, qfinal, gp = (ridx[order], strand[order],
                                     qfinal[order], gp[order])
         # boundaries where (read, strand) changes, gpos jumps > max_intron,
@@ -168,7 +185,14 @@ class BatchAligner:
         # top MAX_CLUSTERS_PER_STRAND clusters per (read, strand), ≥2 anchors
         g_rid = ridx[gstart[:-1]]
         g_str = strand[gstart[:-1]]
-        og = np.lexsort((-counts, g_str, g_rid))
+        if len(reads) <= (1 << 11) and (not n_g or
+                                        int(counts.max()) < (1 << 32)):
+            key2 = ((g_rid.astype(np.uint64) << np.uint64(33)) |
+                    (g_str.astype(np.uint64) << np.uint64(32)) |
+                    (np.uint64(0xFFFFFFFF) - counts.astype(np.uint64)))
+            og = np.argsort(key2, kind="stable")
+        else:
+            og = np.lexsort((-counts, g_str, g_rid))
         gr, gs2, gc = g_rid[og], g_str[og], counts[og]
         newkey = np.ones(n_g, bool)
         if n_g > 1:
@@ -283,11 +307,19 @@ class BatchAligner:
             self.stats["device_calls"] += 1
             self.stats["anchors"] += int(np.sum(nn))
             mask, ps, ss = unpack_chain_result(flat, A, len(nn))
+            # vectorized per-row nonzero: one flat nonzero + split beats
+            # two np.nonzero calls per row (~10 us each) by ~4x
+            valid = np.arange(A)[None, :] < np.asarray(nn)[:, None]
+            r1, c1 = np.nonzero((mask & 1).astype(bool) & valid)
+            r2, c2 = np.nonzero((mask & 2).astype(bool) & valid)
+            B = len(nn)
+            o1 = np.zeros(B + 1, np.int64)
+            np.cumsum(np.bincount(r1, minlength=B), out=o1[1:])
+            o2 = np.zeros(B + 1, np.int64)
+            np.cumsum(np.bincount(r2, minlength=B), out=o2[1:])
             for bi, i in enumerate(part):
-                n = int(nn[bi])
-                row = mask[bi, :n]
-                out[i] = (np.nonzero(row & 1)[0], float(ps[bi]),
-                          np.nonzero(row & 2)[0], float(ss[bi]))
+                out[i] = (c1[o1[bi]: o1[bi + 1]], float(ps[bi]),
+                          c2[o2[bi]: o2[bi + 1]], float(ss[bi]))
         return out
 
     def _chain_rows(self, rows: List[_Row]):
@@ -699,6 +731,11 @@ class BatchAligner:
             np.clip(np.trunc(80.0 * (1.0 - s2 / np.maximum(s1, 1e-9))),
                     0, 60)).astype(np.int32)
         mq = np.where(ranks == 0, mq, 0)
+        if self.record_margins:
+            margin = 1.0 - s2 / np.maximum(s1, 1e-9)
+            qn = [names[flat[i][0]] for i in kept]
+            for t in np.nonzero(ranks == 0)[0]:
+                self._mapq_margins[qn[t]] = float(margin[t])
         strand = cand_strand.astype(np.int8)[kept]
         flag = (np.where(strand == 1, FREVERSE, 0) |
                 np.where(ranks > 0, FSECONDARY, 0)).astype(np.int32)
