@@ -250,12 +250,20 @@ class BatchAligner:
                 qp = np.zeros((B, A), np.int32)
                 gp = np.zeros((B, A), np.int32)
                 nn = np.zeros(B, np.int32)
-                for bi, i in enumerate(part):
-                    r = rows[i]
-                    n = len(r.qpos)
-                    qp[bi, :n] = r.qpos
-                    gp[bi, :n] = r.gpos - r.base
-                    nn[bi] = n
+                ns = np.array([len(rows[i].qpos) for i in part], np.int64)
+                nn[:len(part)] = ns
+                # one scatter for the whole chunk (the per-row slice
+                # assignment loop cost ~7 us/row)
+                rowrep = np.repeat(np.arange(len(part)), ns)
+                offs = np.zeros(len(part) + 1, np.int64)
+                np.cumsum(ns, out=offs[1:])
+                col = np.arange(offs[-1]) - np.repeat(offs[:-1], ns)
+                qp[rowrep, col] = np.concatenate(
+                    [rows[i].qpos for i in part])
+                gp[rowrep, col] = (np.concatenate(
+                    [rows[i].gpos for i in part]) -
+                    np.repeat(np.array([rows[i].base for i in part],
+                                       np.int64), ns))
                 pending.append((part, nn, (A,
                                 chain_backtrack_batch_async(
                                     qp, gp, nn, self.p.chain,
