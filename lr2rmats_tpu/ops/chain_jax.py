@@ -259,7 +259,10 @@ def chain_backtrack_batch_async(qpos: np.ndarray, rpos: np.ndarray,
     buf[A:2 * A] = rpos.T
     buf[2 * A] = n_anchor
     arg = jnp.asarray(buf)
-    devs = jax.devices()
+    # host-local dp sharding: under a jax.distributed process group the
+    # cross-host axis is the per-sample scatter (parallel.distributed), so
+    # the chain chunk only ever spans this host's addressable chips
+    devs = jax.local_devices()
     if len(devs) > 1 and B % len(devs) == 0 and B >= 8 * len(devs):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         mesh = Mesh(np.array(devs), ("dp",))
@@ -281,7 +284,7 @@ def chain_anchors_batch_async(qpos: np.ndarray, rpos: np.ndarray,
     r = jnp.asarray(np.ascontiguousarray(rpos.T), jnp.int32)
     n = jnp.asarray(n_anchor, jnp.int32)
     if shard:
-        devs = jax.devices()
+        devs = jax.local_devices()
         B = qpos.shape[0]
         if len(devs) > 1 and B % len(devs) == 0 and B >= 2 * len(devs):
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

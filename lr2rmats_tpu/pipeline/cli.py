@@ -140,6 +140,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "--jobs role; default min(4, n_samples), 1=serial)")
     sp.add_argument("--cpu", action="store_true",
                     help="force the CPU host path (no accelerator)")
+    sp.add_argument("--coordinator", default=None,
+                    help="jax.distributed coordinator host:port (multi-host "
+                         "run; the reference's qsub cluster submission, "
+                         "README.md:139-153)")
+    sp.add_argument("--num-processes", type=int, default=None,
+                    help="process-group size for a multi-host run")
+    sp.add_argument("--process-id", type=int, default=None,
+                    help="this process's rank in the multi-host group")
 
     sp = sub.add_parser("version", help="print version")
     return ap
@@ -251,6 +259,14 @@ def _main(argv=None) -> int:
             # backend — the pure-python "host" fallback is for tests only
             import jax
             jax.config.update("jax_platforms", "cpu")
+        if args.num_processes and args.num_processes > 1:
+            from ..parallel.distributed import init_multihost
+            if args.coordinator is None or args.process_id is None:
+                raise ValueError(
+                    "--num-processes > 1 needs --coordinator and "
+                    "--process-id")
+            init_multihost(args.coordinator, args.num_processes,
+                           args.process_id)
         run_pipeline(cfg)
         return 0
     return 1

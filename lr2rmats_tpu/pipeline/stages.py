@@ -100,10 +100,20 @@ def write_bed12(sam_path: str, bed_path: str) -> None:
 
 def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None,
                  use_tpu: Optional[bool] = None) -> str:
-    """Run the full two-pass pipeline; returns the updated.gtf path."""
+    """Run the full two-pass pipeline; returns the updated.gtf path.
+
+    Under a jax.distributed process group (parallel.distributed), each
+    process runs the round-robin shard of samples it owns and the final
+    cross-sample gather rides the distributed backend; process 0 writes
+    updated.gtf (the reference's qsub-per-sample + shared-FS `cat` gather,
+    Snakefile:172-192 / README.md:139-153)."""
+    from ..parallel.distributed import (barrier, gather_indexed_payloads,
+                                        multihost_info, owned_indices)
+    pid, nproc = multihost_info()
     out_dir = cfg.out_dir
     _ensure_dirs(out_dir)
     A = lambda *p: os.path.join(out_dir, *p)
+    psuf = f".p{pid}" if nproc > 1 else ""
 
     # tee stage logs into logs/pipeline.log (Snakemake `log:` role)
     import sys
@@ -125,12 +135,15 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
             if not self.f.closed:
                 self.f.flush()
 
-    _logf = open(A("logs", "pipeline.log"), "a")
+    _logf = open(A("logs", f"pipeline{psuf}.log"), "a")
     set_log_stream(_Tee(_logf))
 
     # record the resolved configuration (run_snakemake.py writes config.yaml
-    # into the out dir, run_snakemake.py:132-135)
+    # into the out dir, run_snakemake.py:132-135); process 0 only — the out
+    # dir may be a shared filesystem
     try:
+        if pid != 0:
+            raise RuntimeError
         import yaml
         with open(A("config.yaml"), "w") as f:
             yaml.safe_dump({
@@ -153,7 +166,7 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         pass
 
     # ---- stage: genome + index (minimap_idx, Snakefile:24-38)
-    with Timer("stage/index", benchmark_file=A("benchmark", "index.benchmark.txt")):
+    with Timer("stage/index", benchmark_file=A("benchmark", f"index{psuf}.benchmark.txt")):
         genome = Genome.load(cfg.genome_fasta)
         aligner: Optional[BatchAligner] = None
 
@@ -162,16 +175,23 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
     os.makedirs(os.path.dirname(updated_gtf) or ".", exist_ok=True)
 
     gtf_novel_paths: List[str] = []
-    first_sam: Optional[str] = None
+
+    # sample shard this process owns (round-robin over the process group;
+    # one process owns everything in a single-host run)
+    all_items = list(cfg.samples.items())
+    own = owned_indices(len(all_items))
+    items = [all_items[i] for i in own]
+    # header source for the final unique-gtf: the globally-first sample's
+    # SAM — process 0 always owns sample 0 under round-robin assignment
+    first_sam = (A("alignment", f"{all_items[0][0]}.minimap.sam")
+                 if all_items else None)
 
     # ---- phase 1: alignment per sample (minimap_map, Snakefile:42-63).
     # Sequential: the accelerator is a single exclusive device; host-side
     # per-sample stages parallelize in phase 2.
-    for sample, reads in cfg.samples.items():
+    for sample, reads in items:
         sam_path = A("alignment", f"{sample}.minimap.sam")
         bed_path = A("alignment", f"{sample}.minimap.bed")
-        if first_sam is None:
-            first_sam = sam_path
         if not _fresh(sam_path, cfg.genome_fasta, reads.long_read):
             with Timer(f"stage/align[{sample}]", benchmark_file=A("benchmark", f"{sample}.minimap.benchmark.txt")):
                 if aligner is None:
@@ -270,7 +290,6 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                       *([sj_tab] if short_inputs else []))
         return gtf_novel
 
-    items = list(cfg.samples.items())
     if len(items) > 1 and (cfg.jobs or 0) != 1:
         from concurrent.futures import ThreadPoolExecutor
         n_jobs = cfg.jobs or min(4, len(items))
@@ -279,6 +298,28 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                 lambda sr: _sample_stages(sr[0], sr[1]), items))
     else:
         gtf_novel_paths = [_sample_stages(s, r) for s, r in items]
+
+    # ---- cross-process gather: every process contributes its samples'
+    # pass-2 candidates over the distributed backend (DCN on a pod, the
+    # reference's shared-FS `cat` at Snakefile:172-192); afterwards every
+    # process holds all payloads in global sample order
+    if nproc > 1:
+        payloads = [(gi, open(p, "rb").read())
+                    for gi, p in zip(own, gtf_novel_paths)]
+        gathered = gather_indexed_payloads(payloads)
+        if pid != 0:
+            barrier("final_merge")
+            log("pipeline", "process %d/%d: sample shard done; updated GTF "
+                "written by process 0", pid, nproc)
+            set_log_stream(None)
+            _logf.close()
+            return updated_gtf
+        gtf_novel_paths = []
+        for gi in range(len(all_items)):
+            p = A("gtf", f"{all_items[gi][0]}_gtf_novel.gathered.gtf")
+            with open(p, "wb") as f:
+                f.write(gathered[gi])
+            gtf_novel_paths.append(p)
 
     # ---- stage: update_gtf (cross-sample merge, Snakefile:172-192)
     with Timer("stage/final_merge", benchmark_file=A("benchmark", "update_gtf.benchmark.txt")):
@@ -290,10 +331,13 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         uniq_gtf = A("gtf", "uniq.gtf")
         ugp = UpdateGtfParams(input_mode="gtf")
         # multi-device: route candidate tensors through the dp all-gather
-        # collective (the Snakefile:189-192 cross-sample gather, on ICI)
+        # collective (the Snakefile:189-192 cross-sample gather, on ICI);
+        # single-process only — across hosts the gather above is the data
+        # plane and local meshes see only addressable devices
         try:
             import jax
-            device_gather = use_tpu is not False and len(jax.devices()) > 1
+            device_gather = (use_tpu is not False and nproc == 1
+                             and len(jax.devices()) > 1)
         except Exception:
             device_gather = False
         cmd_unique_gtf(tmp, ugp, hdr_bam=first_sam, out_path=uniq_gtf,
@@ -304,6 +348,8 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                     out.write(src.read())
         sort_gtf_file(tmp, updated_gtf)
         os.remove(tmp)
+    if nproc > 1:
+        barrier("final_merge")
     log("pipeline", "updated GTF written to %s", updated_gtf)
     set_log_stream(None)
     _logf.close()
