@@ -24,7 +24,7 @@ constexpr double MISMATCH = -2.0;
 constexpr double GAP = -3.0;
 constexpr double NEG = -1e18;
 constexpr double BONUS_CANON = 10.0;
-constexpr double BONUS_SEMI = 5.0;
+constexpr double BONUS_SEMI = 8.0;
 // anchor-position prior weight (align/splice.py W_POS; dyadic so the f32
 // device kernel agrees bit-for-bit).  The penalty is a one-sided hinge:
 // anchors are exact matches, so the junction can never sit INSIDE the

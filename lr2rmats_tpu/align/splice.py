@@ -24,7 +24,12 @@ _GC = (2, 1)
 _AT = (0, 3)
 
 BONUS_CANON = 10.0   # GT..AG / CT..AC
-BONUS_SEMI = 5.0     # GC..AG / AT..AC and complements
+BONUS_SEMI = 8.0     # GC..AG / AT..AC and complements: a gap of 2 below
+                     # canonical keeps GT..AG preferred on equal flank
+                     # evidence, but lets ONE clean flank match (+1/-2 per
+                     # base) outweigh it — minor-spliceosome introns no
+                     # longer lose to GT..AG look-alikes a few bp away
+                     # (the dominant ONT-profile failure mode)
 
 # Anchor-position prior weight.  The caller passes (el_exp, er_exp) — the
 # edge pullback it applied to each flank, i.e. how many bases of the gap

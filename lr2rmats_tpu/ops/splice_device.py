@@ -142,7 +142,7 @@ def _motif_terms(dc, ac):
     semi_p = ((dc == 3) & (ac == 1)) | ((dc == 4) & (ac == 2))
     semi_m = ((dc == 2) & (ac == 3)) | ((dc == 1) & (ac == 4))
     bonus = jnp.where(canon_p | canon_m, 10.0,
-                      jnp.where(semi_p | semi_m, 5.0, 0.0)).astype(jnp.float32)
+                      jnp.where(semi_p | semi_m, 8.0, 0.0)).astype(jnp.float32)
     vote = (jnp.where(canon_p | semi_p, 1, 0)
             + jnp.where(canon_m | semi_m, -1, 0)).astype(jnp.int32)
     return bonus, vote
