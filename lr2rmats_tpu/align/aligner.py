@@ -555,8 +555,9 @@ class SpliceAligner:
             has_intron = any(op == OP_N for op, _ in ops)
             if has_intron and vote != 0:
                 tags["XS"] = "+" if vote > 0 else "-"
-            mapq = 60 if len(cands) == 1 else max(
-                0, min(60, int(40.0 * (1.0 - cands[1][0] / max(cands[0][0], 1e-9)) * 2)))
+            from .mapq import MAPQ_UNIQUE, mapq_from_scores
+            mapq = (MAPQ_UNIQUE if len(cands) == 1 else
+                    mapq_from_scores(cands[0][0], cands[1][0]))
             recs.append(AlnRec(
                 qname=name, flag=flag, tid=tid, pos=pos,
                 mapq=mapq if rank == 0 else 0, cigar=cigar,

@@ -377,8 +377,9 @@ class BatchAligner:
                 has_intron = any(op == OP_N for op, _ in ops)
                 if has_intron and vote != 0:
                     tags["XS"] = "+" if vote > 0 else "-"
-                mapq = 60 if len(cands) == 1 else max(0, min(60, int(
-                    80.0 * (1.0 - cands[1][0] / max(cands[0][0], 1e-9)))))
+                from .mapq import MAPQ_UNIQUE, mapq_from_scores
+                mapq = (MAPQ_UNIQUE if len(cands) == 1 else
+                        mapq_from_scores(cands[0][0], cands[1][0]))
                 out.append(AlnRec(
                     qname=names[ri], flag=flag, tid=tid, pos=pos,
                     mapq=mapq if rank == 0 else 0, cigar=cigar,
@@ -734,11 +735,8 @@ class BatchAligner:
         s2 = np.array([cands_by_read[ri][1][0]
                        if len(cands_by_read[ri]) > 1 else 0.0
                        for ri, _ in flat], np.float64)[kept]
-        mq = np.where(
-            nh == 1, 60,
-            np.clip(np.trunc(80.0 * (1.0 - s2 / np.maximum(s1, 1e-9))),
-                    0, 60)).astype(np.int32)
-        mq = np.where(ranks == 0, mq, 0)
+        from .mapq import mapq_from_scores_vec
+        mq = mapq_from_scores_vec(s1, s2, nh, ranks)
         if self.record_margins:
             margin = 1.0 - s2 / np.maximum(s1, 1e-9)
             qn = [names[flat[i][0]] for i in kept]
@@ -796,8 +794,9 @@ class BatchAligner:
                     "NH": len(cands)}
             if vote != 0 and any(op == OP_N for op, _ in ops):
                 tags["XS"] = "+" if vote > 0 else "-"
-            mapq = 60 if len(cands) == 1 else max(0, min(60, int(
-                80.0 * (1.0 - cands[1][0] / max(cands[0][0], 1e-9)))))
+            from .mapq import MAPQ_UNIQUE, mapq_from_scores
+            mapq = (MAPQ_UNIQUE if len(cands) == 1 else
+                    mapq_from_scores(cands[0][0], cands[1][0]))
             recs.append(AlnRec(
                 qname=names[ri], flag=flag, tid=tid, pos=pos,
                 mapq=mapq if rank == 0 else 0, cigar=cigar,

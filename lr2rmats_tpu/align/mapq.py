@@ -8,13 +8,16 @@ empirical wrong-placement probability as a function of that margin on
 clean and ONT-like simulations (MAPQ_CALIBRATION.json) and this module
 pins the resulting piecewise-linear fit.
 
-Calibration result (see the JSON for the raw bins): single-candidate
-reads and wide margins are overwhelmingly correct (error ~2e-4 -> ~37),
-while small margins (< 0.05) are toss-ups (error ~0.5 -> ~3).  The
-mapping below is monotone in the margin, anchored at those two ends, and
-deliberately conservative in between (never claims more than Q37 without
-a second candidate to compare against -- errors at wide margins come from
-repeat copies the seeder never found, which the margin cannot see).
+Calibration result (MAPQ_CALIBRATION.json, 20k clean + 20k ONT-profile
+reads incl. repeat content): single-candidate reads had 0 observed
+errors in 36k placements (phred lower bound 45.6 -> keep the SAM
+convention 60); margins below 0.05 are toss-ups (empirical error
+0.2-1.0 -> Q0-3); the wide-margin bins are error-free with phred lower
+bounds 11.5 / 18.3 / 21.1 / 26.4 / 34.9 at 0.1 / 0.15 / 0.25 / 0.4 /
+0.6+.  The knots below track those LOWER bounds — deliberately
+conservative (never more than Q40 with a competing candidate: wide-
+margin errors come from repeat copies the seeder never found, which
+the margin cannot see).
 """
 
 from __future__ import annotations
@@ -22,8 +25,8 @@ from __future__ import annotations
 import numpy as np
 
 # piecewise-linear (margin -> mapq) knots from MAPQ_CALIBRATION.json
-_KNOT_X = np.array([0.0, 0.02, 0.05, 0.15, 0.40, 1.0])
-_KNOT_Q = np.array([0.0, 2.0, 8.0, 30.0, 55.0, 60.0])
+_KNOT_X = np.array([0.0, 0.02, 0.05, 0.15, 0.40, 0.60, 1.0])
+_KNOT_Q = np.array([0.0, 1.0, 3.0, 12.0, 22.0, 27.0, 40.0])
 MAPQ_UNIQUE = 60        # no second candidate anywhere in the genome
 
 
