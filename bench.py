@@ -148,7 +148,9 @@ def main():
     # records stay packed (RecordBatch) through polish and SAM emit — the
     # exact production path of pipeline/stages.py
     rb = aligner.align_seqset_packed(seqset, batch_size=512)
+    t_emit = time.perf_counter()
     sam_body = rb.emit_sam(aligner.refs)
+    emit_s = time.perf_counter() - t_emit
     dt = time.perf_counter() - t1
     assert sam_body
     n_aligned = 0
@@ -216,6 +218,9 @@ def main():
         "anchors_chained": st["anchors"],
         "est_device_gflops": round(est_flops / max(dev_s, 1e-9) / 1e9, 1),
         "vpu_util_est": round(est_flops / max(dev_s, 1e-9) / 4e12, 4),
+        "host_phases_s": {k[:-2]: round(st.get(k, 0.0), 3)
+                          for k in ("seed_s", "dispatch_s", "build_s",
+                                    "polish_s")} | {"emit": round(emit_s, 3)},
     }
     if profile:
         detail["err_profile"] = profile

@@ -809,8 +809,15 @@ class BatchAligner:
         NOTE: D2H overlap options are closed off by the relay client: a
         device_get on a second thread deadlocks it, and copy_to_host_async
         hangs it.  finish_batch pays the blocking device_get."""
+        import time as _time
+        t0 = _time.perf_counter()
         rows = self._batch_anchors(reads)
+        t1 = _time.perf_counter()
         pending = self._chain_rows_async(rows)
+        t2 = _time.perf_counter()
+        st = self.stats
+        st["seed_s"] = st.get("seed_s", 0.0) + (t1 - t0)
+        st["dispatch_s"] = st.get("dispatch_s", 0.0) + (t2 - t1)
         return (names, reads, rows, pending)
 
     def finish_batch(self, handle) -> List[AlnRec]:
@@ -820,9 +827,14 @@ class BatchAligner:
         return self._build_records(names, reads, rows, chained)
 
     def finish_batch_packed(self, handle):
+        import time as _time
         names, reads, rows, pending = handle
         chained = self._materialize_chains(rows, pending)
-        return self._build_packed(names, reads, rows, chained)
+        t0 = _time.perf_counter()
+        out = self._build_packed(names, reads, rows, chained)
+        self.stats["build_s"] = (self.stats.get("build_s", 0.0) +
+                                 _time.perf_counter() - t0)
+        return out
 
     def align_seqset_packed(self, reads: SeqSet, batch_size: int = 1024,
                             pipeline_depth: int = 2,
@@ -855,9 +867,13 @@ class BatchAligner:
         rb = RecordBatch.concat(chunks) if chunks else \
             RecordBatch.from_alnrecs([])
         if polish:
+            import time as _time
             from .polish import polish_batch
+            t0 = _time.perf_counter()
             n = polish_batch(rb, self.inner.genome.codes,
                              self.index.chrom_offsets)
+            self.stats["polish_s"] = (self.stats.get("polish_s", 0.0) +
+                                      _time.perf_counter() - t0)
             if n:
                 log("align", "junction consensus polish: %d re-placed", n)
         return rb

@@ -81,7 +81,9 @@ def gather_junctions(transcripts: List[Transcripts], min_intron: int = 20
 class JunctionCounter:
     def __init__(self, genome: Genome, tid: np.ndarray, don: np.ndarray,
                  acc: np.ndarray, is_anno: np.ndarray,
-                 params: Optional[SJCountParams] = None):
+                 params: Optional[SJCountParams] = None,
+                 backend: Optional[str] = None):
+        import os
         self.genome = genome
         self.p = params or SJCountParams()
         self.jtid, self.jdon, self.jacc, self.janno = tid, don, acc, is_anno
@@ -90,6 +92,22 @@ class JunctionCounter:
         self.uniq_c = np.zeros(len(tid), np.int32)
         self.multi_c = np.zeros(len(tid), np.int32)
         self.max_over = np.zeros(len(tid), np.int32)
+        # "device" routes the Hamming verify + count scatter-adds through
+        # junctions/sjcount_device.py (env: LR2RMATS_DEVICE_SJCOUNT=1);
+        # falls back to host when the buffer exceeds int32 addressing
+        if backend is None:
+            backend = ("device" if os.environ.get("LR2RMATS_DEVICE_SJCOUNT")
+                       else "host")
+        self._dev_verifier = None
+        self._dev_counts = None
+        if backend == "device":
+            from .sjcount_device import DeviceCounts, make_verifier
+            self._dev_verifier = make_verifier(self.buf)
+            if self._dev_verifier is None:
+                backend = "host"
+            else:
+                self._dev_counts = DeviceCounts(len(tid))
+        self.backend = backend
 
     # ------------------------------------------------------------- contexts
     def _build_contexts(self):
@@ -403,9 +421,12 @@ class JunctionCounter:
         cc = c0[sel]
         over = np.minimum(lpart[sel], rpart[sel]).astype(np.int32)
         u = uniq_per_cand[sel]
-        np.add.at(self.uniq_c, cc[u], 1)
-        np.add.at(self.multi_c, cc[~u], 1)
-        np.maximum.at(self.max_over, cc, over)
+        if self._dev_counts is not None:
+            self._dev_counts.add(cc, u, over)
+        else:
+            np.add.at(self.uniq_c, cc[u], 1)
+            np.add.at(self.multi_c, cc[~u], 1)
+            np.maximum.at(self.max_over, cc, over)
 
     def count_pairs_batched(self, reads1: SeqSet, reads2: SeqSet) -> None:
         """Paired-end counting with mate-consistency gating (the STAR
@@ -492,9 +513,12 @@ class JunctionCounter:
             sel = part & cross_m & ok_pair[ri_m] & ~tie[ri_m]
             cc = c0_m[sel]
             u = uniq_pair[ri_m[sel]]
-            np.add.at(self.uniq_c, cc[u], 1)
-            np.add.at(self.multi_c, cc[~u], 1)
-            np.maximum.at(self.max_over, cc, over_m[sel])
+            if self._dev_counts is not None:
+                self._dev_counts.add(cc, u, over_m[sel])
+            else:
+                np.add.at(self.uniq_c, cc[u], 1)
+                np.add.at(self.multi_c, cc[~u], 1)
+                np.maximum.at(self.max_over, cc, over_m[sel])
 
     def _place_batched(self, reads: SeqSet):
         """Shared batched placement pass: seeds, hits, verification, best
@@ -581,7 +605,15 @@ class JunctionCounter:
             return
         # Hamming verify: rc candidates compare the rc read buffer
         mm = np.empty(len(cr), np.int32)
-        if lib is not None:
+        if self._dev_verifier is not None:
+            comb = np.concatenate([fwd, rc_all])
+            comb_off = np.empty(2 * R + 1, np.int64)
+            comb_off[: R + 1] = offs
+            comb_off[R + 1:] = 2 * total - offs[R - 1:: -1].astype(np.int64)
+            rc_seg = 2 * R - 1 - ri
+            rid_comb = np.where(ori == 1, rc_seg, ri).astype(np.int32)
+            mm = self._dev_verifier.verify(comb, comb_off, rid_comb, cp)
+        elif lib is not None:
             # unified reads buffer: fwd ++ rc; segment R+j is the rc of
             # read R-1-j, so rc of read i = segment 2R-1-i
             comb = np.concatenate([fwd, rc_all])
@@ -635,11 +667,18 @@ class JunctionCounter:
             s, m = intron_motif_of(self.genome, int(self.jtid[j]),
                                    int(self.jdon[j]), int(self.jacc[j]))
             strand[j], motif[j] = s, m
+        uniq_c, multi_c, max_over = (self.uniq_c.copy(),
+                                     self.multi_c.copy(),
+                                     self.max_over.copy())
+        if self._dev_counts is not None:
+            du, dm, do = self._dev_counts.fetch()
+            uniq_c += du
+            multi_c += dm
+            np.maximum(max_over, do, out=max_over)
         t = SJTable(
             tid=self.jtid.copy(), don=self.jdon.copy(), acc=self.jacc.copy(),
             strand=strand, motif=motif, is_anno=self.janno.astype(np.int8),
-            uniq_c=self.uniq_c.copy(), multi_c=self.multi_c.copy(),
-            max_over=self.max_over.copy(),
+            uniq_c=uniq_c, multi_c=multi_c, max_over=max_over,
         )
         return t.sort()
 

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--genes", type=int, default=1000)
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("--batch", type=int, default=200_000)
+    ap.add_argument("--backend", choices=("host", "device"), default="host",
+                    help="device = Hamming verify + count scatter-add on "
+                         "the accelerator (junctions/sjcount_device.py)")
     args = ap.parse_args()
 
     from lr2rmats_tpu.io.fasta import Genome, SeqSet, revcomp
@@ -63,7 +66,7 @@ def main():
           f"setup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     jc = JunctionCounter(genome, jt, jd, ja, np.ones(len(jt), np.int32),
-                         SJCountParams())
+                         SJCountParams(), backend=args.backend)
     print(f"# counter init {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # simulate paired reads: fragment 250-450bp from a transcript,
@@ -101,7 +104,11 @@ def main():
         print(f"#   {done}/{R} pairs, count {t_cnt:.1f}s "
               f"({done*2/t_cnt/1e3:.0f}k reads/s)", file=sys.stderr)
 
-    supported = int(np.sum(jc.uniq_c + jc.multi_c > 0))
+    uc, mc = jc.uniq_c, jc.multi_c
+    if jc._dev_counts is not None:
+        du, dm, _ = jc._dev_counts.fetch()
+        uc, mc = uc + du, mc + dm
+    supported = int(np.sum(uc + mc > 0))
     import json
     print(json.dumps({
         "metric": "short_reads_counted_per_sec",
@@ -109,10 +116,11 @@ def main():
         "unit": "reads/s",
         "detail": {
             "pairs": R, "genome_mb": args.genome_mb,
+            "backend": jc.backend,
             "count_wall_s": round(t_cnt, 1),
             "junctions": len(jt),
             "junction_recall": round(supported / len(jt), 4),
-            "uniq_counts_total": int(jc.uniq_c.sum()),
+            "uniq_counts_total": int(uc.sum()),
         }}))
 
 
