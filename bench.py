@@ -119,6 +119,50 @@ def simulate_reads(genome, n_reads: int, rng, err=0.03, profile=None):
     return reads, truths
 
 
+def accuracy_vs_truth(truths, names, primary):
+    """(n exact exon chains, splice-site TPs, total true sites)."""
+    from lr2rmats_tpu.transcript.exon_chain import gen_exons
+    exact = 0
+    site_tp = site_n = 0
+    for i, parts in enumerate(truths):
+        true_sites = []
+        for (a1, b1), (a2, b2) in zip(parts[:-1], parts[1:]):
+            true_sites += [b1, a2 + 1]          # 1-based donor end / acc start
+        site_n += len(true_sites)
+        r = primary.get(names[i])
+        if r is None:
+            continue
+        es, ee, _ = gen_exons(r, 3, 3, 50)
+        got = []
+        for j in range(len(es) - 1):
+            got += [int(ee[j]), int(es[j + 1])]
+        if got == true_sites:
+            exact += 1
+        site_tp += len(set(got) & set(true_sites))
+    return exact, site_tp, site_n
+
+
+def ont_accuracy(n_reads: int):
+    """Exact-exon-chain fraction on the ONT-like realistic error profile
+    (indels, minor splice classes, repeat content).  Runs the HOST backend
+    — accuracy is bit-identical to the device path (tested) and this keeps
+    the extra measurement off the (occasionally hanging) relay link."""
+    rng = np.random.default_rng(SEED + 1)
+    genome = build_genome(int(GENOME_MB * 1e6), rng)
+    reads, truths = simulate_reads(genome, n_reads, rng, profile="ont")
+    names = [f"ont{i}" for i in range(len(reads))]
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.io.fasta import SeqSet
+    al = BatchAligner(genome, backend="host")
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    rb = al.align_seqset_packed(SeqSet(names, np.concatenate(reads), offs),
+                                batch_size=512)
+    primary = {r.qname: r for r in rb.to_alnrecs() if not (r.flag & 0x100)}
+    exact, _, _ = accuracy_vs_truth(truths, names, primary)
+    return exact / max(len(reads), 1)
+
+
 def main():
     rng = np.random.default_rng(SEED)
     profile = os.environ.get("BENCH_ERR_PROFILE") or None
@@ -131,7 +175,8 @@ def main():
     aligner = BatchAligner(genome)
     setup_s = time.perf_counter() - t0
 
-    # warmup: one small batch (compiles the chain kernel buckets)
+    # warmup: compile every chain-kernel shape, then one small batch
+    aligner.warmup_chain_shapes()
     aligner.align_batch(names[:64], reads[:64])
     aligner.stats = {"device_wall_s": 0.0, "anchors": 0, "device_calls": 0}
 
@@ -165,24 +210,7 @@ def main():
 
     # exon-chain accuracy vs simulation truth: every splice site must land
     # exactly on the planted coordinates (the judge metric's correctness arm)
-    from lr2rmats_tpu.transcript.exon_chain import gen_exons
-    exact = 0
-    site_tp = site_n = 0
-    for i, parts in enumerate(truths):
-        true_sites = []
-        for (a1, b1), (a2, b2) in zip(parts[:-1], parts[1:]):
-            true_sites += [b1, a2 + 1]          # 1-based donor end / acc start
-        site_n += len(true_sites)
-        r = primary.get(names[i])
-        if r is None:
-            continue
-        es, ee, _ = gen_exons(r, 3, 3, 50)
-        got = []
-        for j in range(len(es) - 1):
-            got += [int(ee[j]), int(es[j + 1])]
-        if got == true_sites:
-            exact += 1
-        site_tp += len(set(got) & set(true_sites))
+    exact, site_tp, site_n = accuracy_vs_truth(truths, names, primary)
 
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -224,6 +252,10 @@ def main():
     }
     if profile:
         detail["err_profile"] = profile
+    elif not os.environ.get("BENCH_SKIP_ONT"):
+        # realistic-profile accuracy arm (host backend, see ont_accuracy)
+        detail["ont_exact_exon_chain_frac"] = round(
+            ont_accuracy(min(len(reads), 1500)), 4)
     if os.environ.get("BENCH_NOTE"):
         detail["note"] = os.environ["BENCH_NOTE"]
     print(json.dumps({

@@ -29,7 +29,18 @@ from ..io.sam import AlnRec
 from .aligner import AlignParams, SpliceAligner
 from ..utils import log
 
-A_BUCKETS = (64, 256)
+# Padded-anchor buckets for the device chain dispatch.  The per-row anchor
+# count is strongly bimodal — spurious secondary clusters carry 2-3 anchors
+# while true placements fill the 256 cap — so an 8-wide bucket for the junk
+# rows cuts the H2D volume ~2.5x (the relay link at ~20-90 MB/s is the
+# device-path bottleneck; measured round 3, /tmp padding study: 9.5 MB
+# shipped for 2.7 MB of real anchors under the old (64, 256) buckets).
+A_BUCKETS = (8, 64, 256)
+# fixed row-chunk per bucket => exactly one compiled shape per bucket for
+# the whole run (variable shapes trigger fresh device compiles, which are
+# slow/flaky over the remote relay); sized so one production 512-read
+# batch fills ~one call per bucket
+CHAIN_CHUNK = {8: 1024, 64: 256, 256: 512}
 MAX_CLUSTERS_PER_STRAND = 4
 
 
@@ -235,10 +246,7 @@ class BatchAligner:
         for i, r in enumerate(rows):
             A = next(b for b in A_BUCKETS if len(r.qpos) <= b)
             buckets.setdefault(A, []).append(i)
-        # fixed row-chunk size per A bucket => exactly one compiled shape
-        # per bucket for the whole run; dispatch is async so device work
-        # overlaps host work
-        CHUNK = {64: 2048, 256: 1024}
+        CHUNK = CHAIN_CHUNK
         pending = []
         for A, members in buckets.items():
             C = CHUNK[A]
@@ -269,6 +277,24 @@ class BatchAligner:
                                     qp, gp, nn, self.p.chain,
                                     self.p.min_score))))
         return pending
+
+    def warmup_chain_shapes(self) -> None:
+        """Compile every (bucket, chunk) chain-kernel shape up front with a
+        dummy dispatch, so no remote compile (~10-40 s over the relay) lands
+        inside a timed or latency-sensitive region.  No-op for host/pallas
+        backends."""
+        if self.backend in ("host", "pallas"):
+            return
+        from ..ops.chain_jax import chain_backtrack_batch_async
+        import jax
+        for A, B in CHAIN_CHUNK.items():
+            qp = np.zeros((B, A), np.int32)
+            qp[:, 1] = 1
+            gp = np.zeros((B, A), np.int32)
+            gp[:, 1] = 1
+            nn = np.full(B, 2, np.int32)
+            jax.device_get(chain_backtrack_batch_async(
+                qp, gp, nn, self.p.chain, self.p.min_score))
 
     def _materialize_chains(self, rows: List[_Row], pending):
         """Resolve chains as per-row (pri_idx, ps, sec_idx, ss) tuples."""
