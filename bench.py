@@ -192,7 +192,7 @@ def main():
     # pipelined batches: device chains batch N+1 while host extends batch N;
     # records stay packed (RecordBatch) through polish and SAM emit — the
     # exact production path of pipeline/stages.py
-    rb = aligner.align_seqset_packed(seqset, batch_size=512)
+    rb = aligner.align_seqset_packed(seqset)
     t_emit = time.perf_counter()
     sam_body = rb.emit_sam(aligner.refs)
     emit_s = time.perf_counter() - t_emit

@@ -36,11 +36,18 @@ from ..utils import log
 # device-path bottleneck; measured round 3, /tmp padding study: 9.5 MB
 # shipped for 2.7 MB of real anchors under the old (64, 256) buckets).
 A_BUCKETS = (8, 64, 256)
+# Production read-batch size.  The relay link serializes all device
+# traffic with a ~36 ms per-call roundtrip (scripts/bench_device_link.py)
+# and host/device overlap is impossible (async D2H deadlocks the relay
+# client), so bigger batches with ONE fused device call each are strictly
+# better until padding waste dominates.
+DEFAULT_BATCH = 1536
 # fixed row-chunk per bucket => exactly one compiled shape per bucket for
 # the whole run (variable shapes trigger fresh device compiles, which are
-# slow/flaky over the remote relay); sized so one production 512-read
-# batch fills ~one call per bucket
-CHAIN_CHUNK = {8: 1024, 64: 256, 256: 512}
+# slow/flaky over the remote relay); sized so one DEFAULT_BATCH-read batch
+# fills ~one fused call (~1.2 rows/read land in the 8-bucket, ~1.0 in the
+# 256-bucket on the bench workload; overflow spills into extra calls)
+CHAIN_CHUNK = {8: 2048, 64: 128, 256: 1536}
 MAX_CLUSTERS_PER_STRAND = 4
 
 
@@ -240,42 +247,71 @@ class BatchAligner:
         pending list (device arrays not yet materialized)."""
         if self.backend in ("host", "pallas"):
             return self.backend
-        from ..ops.chain_jax import chain_backtrack_batch_async
-        # bucket rows by padded anchor count
+        from ..ops.chain_jax import (chain_backtrack_batch_async,
+                                     chain_backtrack_multi_async)
+        # bucket rows by padded anchor count; query positions ride the link
+        # as u16 pairs, so the rare >=64 kb read chains on the host instead
         buckets: Dict[int, List[int]] = {}
+        host_rows: List[int] = []
         for i, r in enumerate(rows):
+            if len(r.qpos) and int(r.qpos.max()) >= (1 << 16):
+                host_rows.append(i)
+                continue
             A = next(b for b in A_BUCKETS if len(r.qpos) <= b)
             buckets.setdefault(A, []).append(i)
-        CHUNK = CHAIN_CHUNK
-        pending = []
-        for A, members in buckets.items():
-            C = CHUNK[A]
-            for off in range(0, len(members), C):
-                part = members[off: off + C]
-                # ALWAYS the fixed chunk shape: variable shapes trigger
-                # fresh device compiles (slow/flaky over the remote relay)
-                B = C
-                qp = np.zeros((B, A), np.int32)
-                gp = np.zeros((B, A), np.int32)
-                nn = np.zeros(B, np.int32)
-                ns = np.array([len(rows[i].qpos) for i in part], np.int64)
-                nn[:len(part)] = ns
-                # one scatter for the whole chunk (the per-row slice
-                # assignment loop cost ~7 us/row)
-                rowrep = np.repeat(np.arange(len(part)), ns)
-                offs = np.zeros(len(part) + 1, np.int64)
-                np.cumsum(ns, out=offs[1:])
-                col = np.arange(offs[-1]) - np.repeat(offs[:-1], ns)
+
+        def pack_chunk(A, part):
+            # ALWAYS the fixed chunk shape: variable shapes trigger fresh
+            # device compiles (slow/flaky over the remote relay)
+            B = CHAIN_CHUNK[A]
+            qp = np.zeros((B, A), np.int32)
+            gp = np.zeros((B, A), np.int32)
+            nn = np.zeros(B, np.int32)
+            ns = np.array([len(rows[i].qpos) for i in part], np.int64)
+            nn[:len(part)] = ns
+            # one scatter for the whole chunk (the per-row slice
+            # assignment loop cost ~7 us/row)
+            rowrep = np.repeat(np.arange(len(part)), ns)
+            offs = np.zeros(len(part) + 1, np.int64)
+            np.cumsum(ns, out=offs[1:])
+            col = np.arange(offs[-1]) - np.repeat(offs[:-1], ns)
+            if part:
                 qp[rowrep, col] = np.concatenate(
                     [rows[i].qpos for i in part])
                 gp[rowrep, col] = (np.concatenate(
                     [rows[i].gpos for i in part]) -
                     np.repeat(np.array([rows[i].base for i in part],
                                        np.int64), ns))
-                pending.append((part, nn, (A,
+            return qp, gp, nn
+
+        # the relay costs a ~36 ms roundtrip PER CALL regardless of size
+        # (scripts/bench_device_link.py), so the head chunk of every bucket
+        # fuses into ONE device call; only overflow beyond a bucket's fixed
+        # chunk capacity spills into extra single-bucket calls
+        pending = []
+        multi_parts = []
+        multi_items = []
+        shapes = []
+        for A in A_BUCKETS:
+            members = buckets.get(A, [])
+            C = CHAIN_CHUNK[A]
+            head = members[:C]
+            qp, gp, nn = pack_chunk(A, head)
+            multi_parts.append((head, nn))
+            multi_items.append((qp, gp, nn))
+            shapes.append((A, C))
+            for off in range(C, len(members), C):
+                part = members[off: off + C]
+                qp, gp, nn = pack_chunk(A, part)
+                pending.append(("single", part, nn, A,
                                 chain_backtrack_batch_async(
                                     qp, gp, nn, self.p.chain,
-                                    self.p.min_score))))
+                                    self.p.min_score)))
+        dev = chain_backtrack_multi_async(multi_items, self.p.chain,
+                                          self.p.min_score)
+        pending.insert(0, ("multi", multi_parts, shapes, dev))
+        if host_rows:
+            pending.append(("hostrows", host_rows))
         return pending
 
     def warmup_chain_shapes(self) -> None:
@@ -285,16 +321,21 @@ class BatchAligner:
         backends."""
         if self.backend in ("host", "pallas"):
             return
-        from ..ops.chain_jax import chain_backtrack_batch_async
+        from ..ops.chain_jax import chain_backtrack_multi_async
         import jax
-        for A, B in CHAIN_CHUNK.items():
+        items = []
+        for A in A_BUCKETS:
+            B = CHAIN_CHUNK[A]
             qp = np.zeros((B, A), np.int32)
             qp[:, 1] = 1
             gp = np.zeros((B, A), np.int32)
             gp[:, 1] = 1
             nn = np.full(B, 2, np.int32)
-            jax.device_get(chain_backtrack_batch_async(
-                qp, gp, nn, self.p.chain, self.p.min_score))
+            items.append((qp, gp, nn))
+        # the fused multi-bucket call is the production dispatch; spill
+        # (overflow) single-bucket shapes compile lazily if ever hit
+        jax.device_get(chain_backtrack_multi_async(
+            items, self.p.chain, self.p.min_score))
 
     def _materialize_chains(self, rows: List[_Row], pending):
         """Resolve chains as per-row (pri_idx, ps, sec_idx, ss) tuples."""
@@ -331,16 +372,9 @@ class BatchAligner:
             return out
         import time as _time
         import jax
-        from ..ops.chain_jax import unpack_chain_result
-        for part, nn, (A, dev) in pending:
-            # device_get, NOT np.asarray: some shape/dtype combos hit a
-            # pathologically slow per-array serialization path in the relay
-            t0 = _time.perf_counter()
-            flat = jax.device_get(dev)
-            self.stats["device_wall_s"] += _time.perf_counter() - t0
-            self.stats["device_calls"] += 1
-            self.stats["anchors"] += int(np.sum(nn))
-            mask, ps, ss = unpack_chain_result(flat, A, len(nn))
+        from ..ops.chain_jax import split_multi_result, unpack_chain_result
+
+        def decode(part, nn, A, mask, ps, ss):
             # vectorized per-row nonzero: one flat nonzero + split beats
             # two np.nonzero calls per row (~10 us each) by ~4x
             valid = np.arange(A)[None, :] < np.asarray(nn)[:, None]
@@ -354,6 +388,32 @@ class BatchAligner:
             for bi, i in enumerate(part):
                 out[i] = (c1[o1[bi]: o1[bi + 1]], float(ps[bi]),
                           c2[o2[bi]: o2[bi + 1]], float(ss[bi]))
+
+        for entry in pending:
+            if entry[0] == "hostrows":
+                # >=64 kb reads: u16 q-packing can't carry them (rare)
+                from .chain import backtrack, chain_anchors
+                for i in entry[1]:
+                    r = rows[i]
+                    f, parent = chain_anchors(r.qpos, r.gpos, self.p.chain)
+                    out[i] = backtrack(f, parent, self.p.min_score)
+                continue
+            # device_get, NOT np.asarray: some shape/dtype combos hit a
+            # pathologically slow per-array serialization path in the relay
+            t0 = _time.perf_counter()
+            flat = jax.device_get(entry[-1])
+            self.stats["device_wall_s"] += _time.perf_counter() - t0
+            self.stats["device_calls"] += 1
+            if entry[0] == "multi":
+                _, multi_parts, shapes, _ = entry
+                for ((part, nn), (A, B), res) in zip(
+                        multi_parts, shapes, split_multi_result(flat, shapes)):
+                    self.stats["anchors"] += int(np.sum(nn))
+                    decode(part, nn, A, *res)
+            else:
+                _, part, nn, A, _ = entry
+                self.stats["anchors"] += int(np.sum(nn))
+                decode(part, nn, A, *unpack_chain_result(flat, A, len(nn)))
         return out
 
     def _chain_rows(self, rows: List[_Row]):
@@ -678,18 +738,29 @@ class BatchAligner:
          rc_out) = ext
         n = len(flat)
         MIN_RESCUE = p.k + p.w + 4
-        ops_mat = ops_out.reshape(n, stride, 2)
         no = n_ops.astype(np.int64)
-        opc = ops_mat[:, :, 0]
-        opl = ops_mat[:, :, 1]
-        valid = np.arange(stride)[None, :] < no[:, None]
-        # terminal-exon rescue triggers on the UNFILTERED first/last op
-        first_clip = (no > 0) & (opc[:, 0] == OP_S) & (opl[:, 0] >=
-                                                       MIN_RESCUE)
-        last_i = np.maximum(no - 1, 0)
+        # RAGGED view of the op stream: record i's (code, len) pairs live at
+        # ops_out[2*(i*stride) ... ], only no[i] of the stride slots real.
+        # (The dense [n, stride] matrices this used to build were ~99%
+        # padding — stride is max_len+80 ~ 3000 — and fell off the cache at
+        # production batch sizes: build wall 0.12 s -> 3.8 s at B=1536.)
+        total_ops = int(no.sum())
+        rowrep = np.repeat(np.arange(n), no)
+        ostarts = np.cumsum(no) - no
+        colidx = np.arange(total_ops) - np.repeat(ostarts, no)
+        obase = rowrep * stride + colidx
+        opc_f = ops_out[2 * obase]
+        opl_f = ops_out[2 * obase + 1]
         ar = np.arange(n)
-        last_clip = (no > 0) & (opc[ar, last_i] == OP_S) & \
-            (opl[ar, last_i] >= MIN_RESCUE)
+        nz = no > 0
+        # terminal-exon rescue triggers on the UNFILTERED first/last op
+        first_c = np.where(nz, ops_out[2 * (ar * stride)], -1)
+        first_l = np.where(nz, ops_out[2 * (ar * stride) + 1], 0)
+        last_at = ar * stride + np.maximum(no - 1, 0)
+        last_c = np.where(nz, ops_out[2 * last_at], -1)
+        last_l = np.where(nz, ops_out[2 * last_at + 1], 0)
+        first_clip = (first_c == OP_S) & (first_l >= MIN_RESCUE)
+        last_clip = (last_c == OP_S) & (last_l >= MIN_RESCUE)
         special = (rc_out != 0) | first_clip | last_clip
         pos_g = pos_out.astype(np.int64).copy()
         ed = ed_out.astype(np.int64).copy()
@@ -705,7 +776,8 @@ class BatchAligner:
             if rc_out[i]:
                 res = self.inner._extend(seq_codes, cq, cg)
             else:
-                base_ops = [(int(opc[i, t]), int(opl[i, t]))
+                o0 = int(ostarts[i])
+                base_ops = [(int(opc_f[o0 + t]), int(opl_f[o0 + t]))
                             for t in range(int(no[i]))]
                 res = (int(pos_g[i]), base_ops, int(ed[i]), int(nmatch[i]),
                        int(vote[i]))
@@ -726,13 +798,15 @@ class BatchAligner:
                 np.zeros(0, np.int64), np.zeros(0, np.int32),
                 np.zeros(0, np.int8))
         # vectorized CIGARs (drop zero-length ops, like the AlnRec path)
-        emit = valid & (opl > 0)
-        vec_counts = emit.sum(axis=1).astype(np.int64)
-        vec_flat = ((opl.astype(np.int64) << 4) |
-                    opc.astype(np.int64))[emit].astype(np.uint32)
+        emit_f = opl_f > 0
+        vec_counts = np.bincount(rowrep[emit_f], minlength=n
+                                 ).astype(np.int64)
+        vec_flat = ((opl_f[emit_f].astype(np.int64) << 4) |
+                    opc_f[emit_f].astype(np.int64)).astype(np.uint32)
         vec_offs = np.zeros(n + 1, np.int64)
         np.cumsum(vec_counts, out=vec_offs[1:])
-        has_intron = ((opc == OP_N) & emit).any(axis=1)
+        has_intron = np.zeros(n, bool)
+        has_intron[rowrep[(opc_f == OP_N) & emit_f]] = True
         if not cig_list:
             # pure-vectorized fast path: select kept records' entries
             cig_buf = vec_flat[np.repeat(keep, vec_counts)]
@@ -862,7 +936,8 @@ class BatchAligner:
                                  _time.perf_counter() - t0)
         return out
 
-    def align_seqset_packed(self, reads: SeqSet, batch_size: int = 1024,
+    def align_seqset_packed(self, reads: SeqSet,
+                            batch_size: int = DEFAULT_BATCH,
                             pipeline_depth: int = 2,
                             polish: Optional[bool] = None):
         """Whole-seqset alignment as ONE packed RecordBatch (the
@@ -904,7 +979,7 @@ class BatchAligner:
                 log("align", "junction consensus polish: %d re-placed", n)
         return rb
 
-    def align_seqset(self, reads: SeqSet, batch_size: int = 1024,
+    def align_seqset(self, reads: SeqSet, batch_size: int = DEFAULT_BATCH,
                      pipeline_depth: int = 2,
                      polish: Optional[bool] = None) -> Iterator[AlnRec]:
         """Legacy per-record generator over `align_seqset_packed`."""

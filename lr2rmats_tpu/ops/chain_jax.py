@@ -119,14 +119,16 @@ def _chain_scan_T(qT, rT, n_anchor, window: int, k: int,
     return f, parents
 
 
-@functools.partial(jax.jit, static_argnames=("window", "k"))
-def _chain_backtrack(buf, window: int, k: int,
-                     max_qgap, max_intron, gap_open, gap_scale, intron_scale,
-                     min_intron_gap, min_score):
+def _backtrack_core(buf, window: int, k: int,
+                    max_qgap, max_intron, gap_open, gap_scale, intron_scale,
+                    min_intron_gap, min_score):
     """Fused chain DP + backtrack; see module docstring.  buf is one packed
-    [2A+1, B] int32 H2D array: rows [0,A) = qT, rows [A,2A) = rT, row 2A =
-    n_anchor (transposed host-side, see _chain_scan_T; packed because every
-    separate transfer pays ~10 ms of relay overhead).
+    [A/2+A+1, B] int32 H2D array: rows [0, A/2) hold query positions as
+    u16 PAIRS (anchor 2i in the low half-word, 2i+1 high — query positions
+    fit 16 bits for any cDNA read; >=64 kb rows fall back to the host
+    chain), rows [A/2, A/2+A) = rT int32, last row = n_anchor.  One array,
+    half-width q: every separate transfer pays ~36 ms of relay overhead
+    and ~35 ms/MB (measured, scripts/bench_device_link.py).
 
     Every backtrack pass exploits the window invariant parent[i] ∈ [i-W, i)
     (both the device scan and the host DP only ever link within the
@@ -140,10 +142,13 @@ def _chain_backtrack(buf, window: int, k: int,
     shift 2*(a%16); K=ceil(A/16)) ++ [B] pscore (f32 bitcast) ++ [B] sscore
     (f32 bitcast)."""
     AB1, B = buf.shape
-    A = (AB1 - 1) // 2
-    qT = buf[:A]
-    rT = buf[A:2 * A]
-    n_anchor = buf[2 * A]
+    A = (AB1 - 1) * 2 // 3
+    qpk = jax.lax.bitcast_convert_type(buf[: A // 2], jnp.uint32)
+    lo = (qpk & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hi = (qpk >> jnp.uint32(16)).astype(jnp.int32)
+    qT = jnp.stack([lo, hi], axis=1).reshape(A, B)
+    rT = buf[A // 2: A // 2 + A]
+    n_anchor = buf[AB1 - 1]
     W = window
     fT, pT = _scan_core(_pad_top(qT, W), _pad_top(rT, W), n_anchor,
                         W, k, max_qgap, max_intron, gap_open, gap_scale,
@@ -224,10 +229,34 @@ def _chain_backtrack(buf, window: int, k: int,
         jnp.where(p_ok, ps, 0.0), jnp.uint32)
     ss_bits = jax.lax.bitcast_convert_type(
         jnp.where(s_ok, ss, 0.0), jnp.uint32)
-    # ship ONE flat array (each transfer pays ~10 ms relay overhead, and
+    # ship ONE flat array (each transfer pays the full relay roundtrip, and
     # device arrays with dim0 < 8 sublanes hit a ~600x slower de-padding
     # path in the relay's D2H serialization)
     return jnp.concatenate([packed.reshape(-1), ps_bits, ss_bits])
+
+
+@functools.partial(jax.jit, static_argnames=("window", "k"))
+def _chain_backtrack(buf, window: int, k: int,
+                     max_qgap, max_intron, gap_open, gap_scale, intron_scale,
+                     min_intron_gap, min_score):
+    return _backtrack_core(buf, window, k, max_qgap, max_intron, gap_open,
+                           gap_scale, intron_scale, min_intron_gap,
+                           min_score)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "k"))
+def _chain_backtrack_multi(bufs, window: int, k: int,
+                           max_qgap, max_intron, gap_open, gap_scale,
+                           intron_scale, min_intron_gap, min_score):
+    """One device call for SEVERAL bucket shapes: the relay link costs a
+    ~36 ms roundtrip per call regardless of size (null_roundtrip_ms,
+    scripts/bench_device_link.py), so a 512-read batch's three anchor
+    buckets fuse into one dispatch.  Returns the buckets' flat outputs
+    concatenated in order; split host-side by K_i*B_i + 2*B_i."""
+    outs = [_backtrack_core(b, window, k, max_qgap, max_intron, gap_open,
+                            gap_scale, intron_scale, min_intron_gap,
+                            min_score) for b in bufs]
+    return jnp.concatenate(outs)
 
 
 def unpack_chain_result(flat: np.ndarray, A: int, B: int):
@@ -252,27 +281,68 @@ def chain_backtrack_batch_async(qpos: np.ndarray, rpos: np.ndarray,
     With several local devices and a divisible batch, the buffer is placed
     lane-sharded over a dp mesh — every op in the kernel is lane-parallel,
     so XLA runs the chunk data-parallel across chips with no collectives
-    until the packed output gathers."""
-    B, A = qpos.shape
-    buf = np.empty((2 * A + 1, B), np.int32)
-    buf[:A] = qpos.T
-    buf[A:2 * A] = rpos.T
-    buf[2 * A] = n_anchor
-    arg = jnp.asarray(buf)
-    # host-local dp sharding: under a jax.distributed process group the
-    # cross-host axis is the per-sample scatter (parallel.distributed), so
-    # the chain chunk only ever spans this host's addressable chips
-    devs = jax.local_devices()
-    if len(devs) > 1 and B % len(devs) == 0 and B >= 8 * len(devs):
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        mesh = Mesh(np.array(devs), ("dp",))
-        arg = jax.device_put(arg, NamedSharding(mesh, P(None, "dp")))
+    until the packed output gathers.  (Host-local dp sharding: under a
+    jax.distributed process group the cross-host axis is the per-sample
+    scatter (parallel.distributed), so the chain chunk only ever spans
+    this host's addressable chips.)"""
+    arg = _pack_sharded(qpos, rpos, n_anchor)
     return _chain_backtrack(
         arg, p.window, p.k,
         jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
         jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
         jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap),
         jnp.float32(min_score))
+
+
+def pack_chain_buf(qpos: np.ndarray, rpos: np.ndarray, n_anchor: np.ndarray
+                   ) -> np.ndarray:
+    """Host-pack the fused kernel's [A/2+A+1, B] int32 buffer: q positions
+    as u16 pairs (see _backtrack_core), rT int32, n_anchor row."""
+    B, A = qpos.shape
+    assert A % 2 == 0, "anchor buckets must be even for u16 q-packing"
+    q = qpos.T.astype(np.uint32)                     # [A, B]
+    buf = np.empty((A // 2 + A + 1, B), np.int32)
+    buf[: A // 2] = ((q[1::2] << np.uint32(16)) | q[0::2]).view(np.int32)
+    buf[A // 2: A // 2 + A] = rpos.T
+    buf[A // 2 + A] = n_anchor
+    return buf
+
+
+def _pack_sharded(qpos, rpos, n_anchor):
+    """Pack + dp-shard over local devices when the batch divides
+    (lane-parallel kernel => pure data parallelism)."""
+    B = qpos.shape[0]
+    arg = jnp.asarray(pack_chain_buf(qpos, rpos, n_anchor))
+    devs = jax.local_devices()
+    if len(devs) > 1 and B % len(devs) == 0 and B >= 8 * len(devs):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(devs), ("dp",))
+        arg = jax.device_put(arg, NamedSharding(mesh, P(None, "dp")))
+    return arg
+
+
+def chain_backtrack_multi_async(items, p: ChainParams, min_score: float):
+    """Fused multi-bucket dispatch: ONE device call for a whole read-batch.
+
+    items: [(qpos [B_i, A_i], rpos, n_anchor), ...] — one per bucket, fixed
+    shapes.  Decode the result with split_multi_result."""
+    bufs = tuple(_pack_sharded(q, r, n) for q, r, n in items)
+    return _chain_backtrack_multi(
+        bufs, p.window, p.k,
+        jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
+        jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
+        jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap),
+        jnp.float32(min_score))
+
+
+def split_multi_result(flat: np.ndarray, shapes):
+    """Inverse of the multi kernel's concatenation: shapes = [(A_i, B_i)];
+    yields each bucket's (mask [B, A] uint8, ps [B], ss [B])."""
+    off = 0
+    for A, B in shapes:
+        n = ((A + 15) // 16) * B + 2 * B
+        yield unpack_chain_result(flat[off: off + n], A, B)
+        off += n
 
 
 def chain_anchors_batch_async(qpos: np.ndarray, rpos: np.ndarray,

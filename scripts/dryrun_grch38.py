@@ -77,7 +77,7 @@ def main():
     seqset = SeqSet(names, np.concatenate(reads), offs)
     n_aligned = 0
     primary = {}
-    for r in aligner.align_seqset(seqset, batch_size=2048):
+    for r in aligner.align_seqset(seqset, batch_size=1536):
         if not (r.flag & 0x100):
             n_aligned += 1
             primary[r.qname] = r

@@ -98,3 +98,48 @@ def test_fused_backtrack_matches_host():
                 bad += 1
     # at most a couple of tie-level divergences over the whole set
     assert bad <= tot // 20
+
+
+def test_fused_u16_qpos_boundary():
+    """q positions ride the link as u16 pairs (pack_chain_buf); values up
+    to 65535 must round-trip exactly through the fused kernel."""
+    import jax
+    from lr2rmats_tpu.align.chain import backtrack, chain_anchors
+    from lr2rmats_tpu.ops.chain_jax import (chain_backtrack_batch_async,
+                                            unpack_chain_result)
+    p = ChainParams()
+    rng = np.random.default_rng(7)
+    B, A = 8, 64
+    q = np.zeros((B, A), np.int32)
+    g = np.zeros((B, A), np.int32)
+    n = np.zeros(B, np.int32)
+    for b in range(B):
+        na = int(rng.integers(8, A + 1))
+        n[b] = na
+        qq = np.sort(rng.integers(60_000, 65_536, na)).astype(np.int32)
+        q[b, :na] = qq
+        g[b, :na] = np.sort(qq + int(rng.integers(0, 40_000)))
+    flat = jax.device_get(chain_backtrack_batch_async(q, g, n, p, 10.0))
+    mask, ps, ss = unpack_chain_result(flat, A, B)
+    for b in range(B):
+        na = n[b]
+        f, parent = chain_anchors(q[b, :na].astype(np.int64),
+                                  g[b, :na].astype(np.int64), p)
+        pri, hps, _, _ = backtrack(f, parent, 10.0)
+        np.testing.assert_array_equal(np.nonzero(mask[b, :na] & 1)[0], pri)
+        assert abs(hps - ps[b]) < 1e-3
+
+
+def test_big_qpos_rows_fall_back_to_host():
+    """Rows whose query positions exceed u16 (>= 64 kb reads) must chain on
+    the host and still produce records."""
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.io.fasta import Genome
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 300_000).astype(np.uint8)
+    g = Genome(["c"], codes, np.array([0, len(codes)], np.int64))
+    al = BatchAligner(g, backend="jax")
+    read = codes[100_000: 180_000].copy()       # 80 kb contiguous read
+    recs = al.align_batch(["big"], [read])
+    prim = [r for r in recs if not (r.flag & 0x100)]
+    assert prim and prim[0].pos <= 100_000 <= prim[0].pos + 1
