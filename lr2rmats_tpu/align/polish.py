@@ -356,22 +356,39 @@ def _pair_scores(pos, ops, q, op_i, don, acc, wd, wa, off,
     return own_sc + b_own, res[0] + b_alt
 
 
+class _Holders:
+    """Lazy (tid, don, acc) -> junction-row-indices lookup over mapped
+    records (secondaries included).  Only a handful of keys (tie pairs +
+    consensus winners) are ever queried, so instead of materializing a
+    dict of every junction group (~8 us/group — the polish hot spot at
+    batch scale), keep the rows lexsorted and answer each get() with a
+    three-level binary search."""
+
+    def __init__(self, t, d, a, rows):
+        order = np.lexsort((a, d, t))
+        self.t, self.d, self.a = t[order], d[order], a[order]
+        self.rows = rows[order]
+
+    def get(self, key, default=()):
+        t, d, a = key
+        lo = int(np.searchsorted(self.t, t, "left"))
+        hi = int(np.searchsorted(self.t, t, "right"))
+        lo2 = lo + int(np.searchsorted(self.d[lo:hi], d, "left"))
+        hi2 = lo + int(np.searchsorted(self.d[lo:hi], d, "right"))
+        lo3 = lo2 + int(np.searchsorted(self.a[lo2:hi2], a, "left"))
+        hi3 = lo2 + int(np.searchsorted(self.a[lo2:hi2], a, "right"))
+        return self.rows[lo3:hi3] if hi3 > lo3 else default
+
+
 def _holders_index(rb: RecordBatch, jt: dict):
-    """(tid, don, acc) -> array of junction-row indices, over mapped
-    records (secondaries included; reference behavior of the replacement
-    and tie-resolve passes)."""
+    """Lazy holders lookup + the mapped-junction row mask."""
     j, rj = jt["j"], jt["rj"]
     m = np.nonzero((rb.flag[rj] & FUNMAP) == 0)[0]
     if not len(m):
-        return {}, m
-    keys = np.stack([rb.tid[rj[m]].astype(np.int64), jt["don"][m],
-                     jt["acc"][m]], 1)
-    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-    order = np.argsort(inv, kind="stable")
-    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
-    idx = {tuple(int(v) for v in uniq[t]): m[order[bounds[t]: bounds[t + 1]]]
-           for t in range(len(uniq))}
-    return idx, m
+        return _Holders(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                        np.zeros(0, np.int64), m), m
+    return _Holders(rb.tid[rj[m]].astype(np.int64), jt["don"][m],
+                    jt["acc"][m], m), m
 
 
 def _resolve_weight_ties(rb: RecordBatch, jt: dict, holders,
@@ -396,11 +413,15 @@ def _resolve_weight_ties(rb: RecordBatch, jt: dict, holders,
         rows.sort()
         dons = np.array([r[0] for r in rows], np.int64)
         off = int(chrom_offsets[tid])
-        for d, a, c in rows:
+        # vectorized candidate prefilter: only junctions with a SNAP-window
+        # neighbor can tie (two per-row searchsorteds -> two array calls)
+        lo_all = np.searchsorted(dons, dons - SNAP)
+        hi_all = np.searchsorted(dons, dons + SNAP, side="right")
+        for i in np.nonzero(hi_all - lo_all > 1)[0]:
+            d, a, c = rows[i]
             if (tid, d, a) in winners:
                 continue
-            lo = int(np.searchsorted(dons, d - SNAP))
-            hi = int(np.searchsorted(dons, d + SNAP, side="right"))
+            lo, hi = int(lo_all[i]), int(hi_all[i])
             for t in range(lo, hi):
                 d2, a2, c2 = rows[t]
                 if (d2, a2) <= (d, a) or abs(a2 - a) > SNAP or c2 != c:
