@@ -21,11 +21,14 @@ LR2RMATS_DEVICE_SJCOUNT=1.  Shapes are bucketed (reads to the next
 power-of-two row count, lengths to the next lane multiple) so the jit
 cache stays small across batches.
 
-Measured reality on this rig: like ops/splice_device.py, the serialized
-relay link (~10 ms/transfer) eats the win for small batches — the host
-C++ path stays the default HERE; on direct-attached hardware the verify
-is ~L*C byte-ops against ~C*(L+8) transferred bytes, compute-rich for
-short-read L ~ 100-300.
+Measured reality on this rig (scripts/bench_sjcount.py --backend device,
+20k pairs / 5 Mb genome, identical counts both backends): 8.3k reads/s
+on the device vs 267k host — the serialized relay link (~36 ms/call +
+~35 ms/MB, scripts/bench_device_link.py) eats the win, exactly like the
+device junction DP (ops/splice_device.py).  The host C++ path stays the
+default HERE; on direct-attached hardware the verify is ~L*C byte-ops
+against ~C*(L+8) transferred bytes, compute-rich for short-read
+L ~ 100-300.
 """
 
 from __future__ import annotations
