@@ -231,7 +231,14 @@ def _write_read_trans_native(T: Transcripts, cname: ChrNames, src: str,
         attr_buf, attr_off, n, buf, cap))
     if wrote < 0:
         return False
-    out.write(buf[:wrote].tobytes().decode())
+    # write BYTES: round-tripping a multi-hundred-MB buffer through
+    # str (decode + TextIOWrapper re-encode) cost ~7 s at 500k reads
+    bio = getattr(out, "buffer", None)
+    if bio is not None:
+        out.flush()
+        bio.write(buf[:wrote].tobytes())
+    else:
+        out.write(buf[:wrote].tobytes().decode())
     return True
 
 

@@ -216,6 +216,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_i32p, c_i32p, ctypes.c_int64, c_i32p,
             c_u8p, c_i64p, ctypes.c_int64, c_u8p, ctypes.c_int64]
 
+        lib.format_detail_c.restype = ctypes.c_int64
+        lib.format_detail_c.argtypes = [
+            c_u8p, c_i64p, c_u8p, c_i64p, c_u8p, c_i64p,   # name/gid/gname
+            c_u8p, c_i64p,                                  # chrom
+            c_i32p, c_u8p, c_u8p, c_u8p, c_i32p,            # tid/rev/known/site/en
+            c_i32p, c_i32p, ctypes.c_int64,                 # es/ee/ew
+            c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int64,   # ne/ns flags
+            c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int64,   # nj/uj flags
+            ctypes.c_int64, c_u8p, ctypes.c_int64]
+
         # RAW POINTER binding (arrays passed by .ctypes.data)
         lib.merge_into_batch_c.restype = ctypes.c_int64
         lib.merge_into_batch_c.argtypes = [

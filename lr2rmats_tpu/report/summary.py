@@ -16,6 +16,68 @@ from ..transcript.merge import merge_trans
 from ..transcript.model import Transcripts, UpdateGtfParams
 
 
+def _str_blob(strs, n):
+    """(uint8 buffer, int64 offsets) for n concatenated strings, or None
+    when any string is non-ascii (byte offsets would misalign)."""
+    lens = np.fromiter((len(s) for s in strs[:n]), np.int64, n)
+    b = "".join(strs[:n]).encode()
+    if len(b) != int(lens.sum()):
+        return None
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    buf = (np.frombuffer(b, np.uint8) if len(b)
+           else np.zeros(0, np.uint8))
+    return buf, off
+
+
+def _write_bam_detail_native(bam_T: Transcripts, cname: ChrNames,
+                             fp: IO[str]) -> bool:
+    """One-call native line formatting (csrc format_detail_c); False when
+    unavailable.  Byte-identical to the python path (tests/test_summary_
+    native.py)."""
+    from ..native import get_lib
+    lib = get_lib()
+    n = bam_T.n
+    if lib is None or n == 0:
+        return False
+    blobs = [_str_blob(bam_T.trans_name, n), _str_blob(bam_T.gene_id, n),
+             _str_blob(bam_T.gene_name, n),
+             _str_blob(list(cname.names), len(cname.names))]
+    if any(b is None for b in blobs):
+        return False
+    (nb, no), (gb, go), (gnb, gno), (cb, co) = blobs
+    en = np.ascontiguousarray(bam_T.exon_n[:n])
+    en64 = en.astype(np.int64)
+    str_bytes = (np.diff(no) + np.diff(go) + np.diff(gno)).sum() + \
+        int(np.diff(co)[bam_T.tid[:n]].sum())
+    cap = int(str_bytes + n * 96 + (en64 * 24).sum() +
+              ((en64 + 4 * np.maximum(en64 - 1, 0)) * 13).sum()) + 64
+    out = np.empty(cap, np.uint8)
+    wrote = int(lib.format_detail_c(
+        nb, no, gb, go, gnb, gno, cb, co,
+        np.ascontiguousarray(bam_T.tid[:n]),
+        np.ascontiguousarray(bam_T.is_rev[:n]).view(np.uint8),
+        np.ascontiguousarray(bam_T.flags["known"][:n]).view(np.uint8),
+        np.ascontiguousarray(bam_T.flags["has_known_site"][:n]).view(
+            np.uint8),
+        en, bam_T.exon_start, bam_T.exon_end, bam_T.exon_start.shape[1],
+        bam_T.novel_exon_flag, bam_T.novel_exon_flag.shape[1],
+        bam_T.novel_site_flag, bam_T.novel_site_flag.shape[1],
+        bam_T.novel_junction_flag, bam_T.novel_junction_flag.shape[1],
+        bam_T.unreliable_junction_flag,
+        bam_T.unreliable_junction_flag.shape[1],
+        n, out, cap))
+    if wrote < 0:
+        return False
+    bio = getattr(fp, "buffer", None)
+    if bio is not None:
+        fp.flush()
+        bio.write(out[:wrote].tobytes())
+    else:
+        fp.write(out[:wrote].tobytes().decode())
+    return True
+
+
 def write_bam_detail(bam_T: Transcripts, cname: ChrNames, fp: IO[str]) -> None:
     """Per-read 17-column novelty report (reference update_gtf.c:297-419)."""
     fp.write(
@@ -23,6 +85,8 @@ def write_bam_detail(bam_T: Transcripts, cname: ChrNames, fp: IO[str]) -> None:
         "ExonEnd\tNovelExonCount\tNovelExonIndex\tNovelSiteCount\tNovelSiteIndex\t"
         "NovelJunctionCount\tNovelJunctionIndex\tUnreliableJunctionCount\t"
         "UnreliableJunctionIndex\n")
+    if bam_T.n > 2000 and _write_bam_detail_native(bam_T, cname, fp):
+        return
     na = "NA"
     n = bam_T.n
     # vectorized pre-pass: flag counts per row (the per-row nonzero calls
