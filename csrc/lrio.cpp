@@ -2514,4 +2514,64 @@ int64_t format_detail_c(
     return o;
 }
 
+// Chain DP + backtrack for SMALL anchor rows (align/chain.py semantics,
+// float64).  Spurious secondary clusters carry 2-8 anchors and made up
+// ~75% of device rows at 500k scale — each wave of them cost extra
+// ~36 ms relay calls; here they chain in ~1 us/row on the host.
+// mask_out bit0 = primary member, bit1 = secondary member.
+void chain_small_batch_c(
+    const int32_t* qpos, const int32_t* gpos, const int32_t* n_anchor,
+    int64_t n_rows, int64_t cap,
+    int32_t k, int32_t window, int64_t max_intron, int64_t max_qgap,
+    double gap_open, double gap_scale, double intron_scale,
+    int64_t min_intron_gap, double min_score,
+    uint8_t* mask_out, float* ps_out, float* ss_out) {
+    std::vector<double> f(cap);
+    std::vector<int64_t> parent(cap), pri(cap), sec(cap);
+    for (int64_t row = 0; row < n_rows; ++row) {
+        const int32_t* q = qpos + row * cap;
+        const int32_t* r = gpos + row * cap;
+        int n = n_anchor[row];
+        uint8_t* mask = mask_out + row * cap;
+        std::memset(mask, 0, (size_t)cap);
+        ps_out[row] = 0.0f;
+        ss_out[row] = 0.0f;
+        if (n <= 0) continue;
+        for (int i = 0; i < n; ++i) { f[i] = (double)k; parent[i] = -1; }
+        for (int i = 1; i < n; ++i) {
+            int j0 = i - window < 0 ? 0 : i - window;
+            double best = -1e300;
+            int bestj = -1;
+            for (int j = j0; j < i; ++j) {
+                int64_t dq = (int64_t)q[i] - q[j];
+                int64_t dr = (int64_t)r[i] - r[j];
+                if (dq <= 0 || dr <= 0 || dq > max_qgap || dr > max_intron)
+                    continue;
+                double gain = (double)(dq < dr ? dq : dr);
+                if (gain > k) gain = k;
+                int64_t dd = dr - dq;
+                double add = dd < 0 ? (double)(-dd) : (double)dd;
+                double lin = gap_open + gap_scale * add;
+                double cost;
+                if (dd == 0) cost = 0.0;
+                else if (dd > min_intron_gap) {
+                    double logc = gap_open + intron_scale * std::log2(add + 1.0);
+                    cost = logc < lin ? logc : lin;
+                } else cost = lin;
+                double sc = f[j] + gain - cost;
+                if (sc > best) { best = sc; bestj = j; }
+            }
+            if (bestj >= 0 && best > f[i]) { f[i] = best; parent[i] = bestj; }
+        }
+        int64_t pn = 0, sn = 0;
+        double ps = 0.0, ss = 0.0;
+        backtrack_c(f.data(), parent.data(), n, min_score, 48,
+                    pri.data(), &pn, sec.data(), &sn, &ps, &ss);
+        for (int64_t t = 0; t < pn; ++t) mask[pri[t]] |= 1;
+        for (int64_t t = 0; t < sn; ++t) mask[sec[t]] |= 2;
+        ps_out[row] = (float)ps;
+        ss_out[row] = (float)ss;
+    }
+}
+
 }  // extern "C"

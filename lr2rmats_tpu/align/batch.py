@@ -284,15 +284,53 @@ class BatchAligner:
                                        np.int64), ns))
             return qp, gp, nn
 
+        # SMALL rows (<= A_BUCKETS[0] anchors — spurious secondary clusters,
+        # ~75% of all rows at 500k scale) chain natively on the host in
+        # ~1 us each; shipping them cost extra ~36 ms relay calls per batch
+        pending = []
+        from ..native import get_lib
+        lib = get_lib()
+        small_max = A_BUCKETS[0]
+        if lib is not None and small_max in buckets:
+            part = buckets.pop(small_max)
+            m = len(part)
+            qp = np.zeros((m, small_max), np.int32)
+            gp = np.zeros((m, small_max), np.int32)
+            nn = np.zeros(m, np.int32)
+            ns = np.array([len(rows[i].qpos) for i in part], np.int64)
+            nn[:m] = ns
+            rowrep = np.repeat(np.arange(m), ns)
+            offs = np.zeros(m + 1, np.int64)
+            np.cumsum(ns, out=offs[1:])
+            col = np.arange(offs[-1]) - np.repeat(offs[:-1], ns)
+            qp[rowrep, col] = np.concatenate([rows[i].qpos for i in part])
+            gp[rowrep, col] = (np.concatenate(
+                [rows[i].gpos for i in part]) -
+                np.repeat(np.array([rows[i].base for i in part], np.int64),
+                          ns))
+            mask = np.zeros((m, small_max), np.uint8)
+            ps = np.zeros(m, np.float32)
+            ss = np.zeros(m, np.float32)
+            pc = self.p.chain
+            lib.chain_small_batch_c(
+                qp, gp, nn, m, small_max,
+                pc.k, pc.window, pc.max_intron, pc.max_qgap,
+                pc.gap_open, pc.gap_scale, pc.intron_scale,
+                pc.min_intron_gap, float(self.p.min_score),
+                mask.reshape(-1), ps, ss)
+            pending.append(("small", part, nn, small_max, (mask, ps, ss)))
+
         # the relay costs a ~36 ms roundtrip PER CALL regardless of size
         # (scripts/bench_device_link.py), so the head chunk of every bucket
         # fuses into ONE device call; only overflow beyond a bucket's fixed
         # chunk capacity spills into extra single-bucket calls
-        pending = []
         multi_parts = []
         multi_items = []
         shapes = []
-        for A in A_BUCKETS:
+        # with the native small-chain path active the 8-bucket never has
+        # device rows — drop it from the fused call's (fixed) signature
+        device_buckets = A_BUCKETS[1:] if lib is not None else A_BUCKETS
+        for A in device_buckets:
             members = buckets.get(A, [])
             C = CHAIN_CHUNK[A]
             head = members[:C]
@@ -322,9 +360,11 @@ class BatchAligner:
         if self.backend in ("host", "pallas"):
             return
         from ..ops.chain_jax import chain_backtrack_multi_async
+        from ..native import get_lib
         import jax
         items = []
-        for A in A_BUCKETS:
+        buckets = A_BUCKETS[1:] if get_lib() is not None else A_BUCKETS
+        for A in buckets:
             B = CHAIN_CHUNK[A]
             qp = np.zeros((B, A), np.int32)
             qp[:, 1] = 1
@@ -390,6 +430,11 @@ class BatchAligner:
                           c2[o2[bi]: o2[bi + 1]], float(ss[bi]))
 
         for entry in pending:
+            if entry[0] == "small":
+                _, part, nn, A, (mask, ps, ss) = entry
+                self.stats["anchors"] += int(np.sum(nn))
+                decode(part, nn, A, mask, ps, ss)
+                continue
             if entry[0] == "hostrows":
                 # >=64 kb reads: u16 q-packing can't carry them (rare)
                 from .chain import backtrack, chain_anchors

@@ -216,6 +216,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_i32p, c_i32p, ctypes.c_int64, c_i32p,
             c_u8p, c_i64p, ctypes.c_int64, c_u8p, ctypes.c_int64]
 
+        c_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.chain_small_batch_c.restype = None
+        lib.chain_small_batch_c.argtypes = [
+            c_i32p, c_i32p, c_i32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_double,
+            c_u8p, c_f32p, c_f32p]
+
         lib.format_detail_c.restype = ctypes.c_int64
         lib.format_detail_c.argtypes = [
             c_u8p, c_i64p, c_u8p, c_i64p, c_u8p, c_i64p,   # name/gid/gname

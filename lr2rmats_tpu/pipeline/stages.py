@@ -204,6 +204,13 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                 long_reads = read_fasta(reads.long_read)
                 rb = aligner.align_seqset_packed(long_reads)
                 n = rb.n
+                st = aligner.stats
+                log("align", "%s: phases device=%.1fs (%d calls) "
+                    "seed=%.1fs dispatch=%.1fs build=%.1fs polish=%.1fs",
+                    sample, st.get("device_wall_s", 0.0),
+                    st.get("device_calls", 0), st.get("seed_s", 0.0),
+                    st.get("dispatch_s", 0.0), st.get("build_s", 0.0),
+                    st.get("polish_s", 0.0))
                 from ..io.sam import sam_header
                 with open(sam_path + ".tmp", "wb") as f:
                     f.write(sam_header(aligner.refs).encode())

@@ -143,3 +143,45 @@ def test_big_qpos_rows_fall_back_to_host():
     recs = al.align_batch(["big"], [read])
     prim = [r for r in recs if not (r.flag & 0x100)]
     assert prim and prim[0].pos <= 100_000 <= prim[0].pos + 1
+
+
+def test_native_small_chain_matches_reference():
+    """chain_small_batch_c (host path for <=8-anchor rows) must reproduce
+    align.chain.chain_anchors + backtrack exactly."""
+    from lr2rmats_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    p = ChainParams()
+    rng = np.random.default_rng(12)
+    m, cap = 300, 8
+    qp = np.zeros((m, cap), np.int32)
+    gp = np.zeros((m, cap), np.int32)
+    nn = np.zeros(m, np.int32)
+    for i in range(m):
+        n = int(rng.integers(2, cap + 1))
+        nn[i] = n
+        q = np.sort(rng.integers(0, 3000, n))
+        g = np.sort(q + rng.integers(0, 60000) +
+                    np.where(rng.random(n) < 0.4,
+                             rng.integers(0, 25000, n), 0))
+        order = np.lexsort((q, g))
+        qp[i, :n] = q[order]
+        gp[i, :n] = g[order]
+    mask = np.zeros((m, cap), np.uint8)
+    ps = np.zeros(m, np.float32)
+    ss = np.zeros(m, np.float32)
+    lib.chain_small_batch_c(qp, gp, nn, m, cap, p.k, p.window,
+                            p.max_intron, p.max_qgap, p.gap_open,
+                            p.gap_scale, p.intron_scale, p.min_intron_gap,
+                            20.0, mask.reshape(-1), ps, ss)
+    for i in range(m):
+        n = int(nn[i])
+        f, parent = chain_anchors(qp[i, :n].astype(np.int64),
+                                  gp[i, :n].astype(np.int64), p)
+        pri, hps, sec, hss = backtrack(f, parent, 20.0)
+        np.testing.assert_array_equal(np.nonzero(mask[i, :n] & 1)[0], pri)
+        np.testing.assert_array_equal(np.nonzero(mask[i, :n] & 2)[0], sec)
+        assert abs(float(ps[i]) - hps) < 1e-3
+        assert abs(float(ss[i]) - hss) < 1e-3
