@@ -991,25 +991,52 @@ class BatchAligner:
 
         `polish` (default on; env kill-switch LR2RMATS_NO_POLISH=1) runs
         the cross-read junction consensus pass (align/polish.py) over the
-        whole seqset — the STAR-2-pass/`--junc-bed` analog.  Pipelined:
-        up to `pipeline_depth` batches of device chain work stay in flight
-        while the host extends the oldest."""
+        whole seqset — the STAR-2-pass/`--junc-bed` analog.
+
+        Pipelining: SEEDING of the next batch runs on a worker thread
+        (host-only numpy/native work) while the main thread — the only
+        thread allowed to touch the device; the relay client deadlocks
+        otherwise — dispatches, blocks on the link, and extends.  Up to
+        `pipeline_depth` dispatched batches stay in flight."""
         import os
+        import time as _time
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
         from .records import RecordBatch
         if polish is None:
             polish = not os.environ.get("LR2RMATS_NO_POLISH")
+
+        def _seed(lo: int, hi: int):
+            names = [reads.names[i] for i in range(lo, hi)]
+            codes = [reads.get(i) for i in range(lo, hi)]
+            t0 = _time.perf_counter()
+            rows = self._batch_anchors(codes)
+            st = self.stats
+            st["seed_s"] = st.get("seed_s", 0.0) + _time.perf_counter() - t0
+            return names, codes, rows
+
+        spans = [(off, min(off + batch_size, reads.n))
+                 for off in range(0, reads.n, batch_size)]
         inflight = deque()
         chunks = []
-        for off in range(0, reads.n, batch_size):
-            hi = min(off + batch_size, reads.n)
-            names = [reads.names[i] for i in range(off, hi)]
-            codes = [reads.get(i) for i in range(off, hi)]
-            inflight.append(self.dispatch_batch(names, codes))
-            if len(inflight) > pipeline_depth:
-                chunks.append(self.finish_batch_packed(inflight.popleft()))
-        while inflight:
-            chunks.append(self.finish_batch_packed(inflight.popleft()))
+        if spans:
+            with ThreadPoolExecutor(1) as pool:
+                fut = pool.submit(_seed, *spans[0])
+                for si in range(len(spans)):
+                    names, codes, rows = fut.result()
+                    if si + 1 < len(spans):
+                        fut = pool.submit(_seed, *spans[si + 1])
+                    t1 = _time.perf_counter()
+                    pending = self._chain_rows_async(rows)
+                    st = self.stats
+                    st["dispatch_s"] = (st.get("dispatch_s", 0.0) +
+                                        _time.perf_counter() - t1)
+                    inflight.append((names, codes, rows, pending))
+                    if len(inflight) > pipeline_depth:
+                        chunks.append(
+                            self.finish_batch_packed(inflight.popleft()))
+                while inflight:
+                    chunks.append(self.finish_batch_packed(inflight.popleft()))
         rb = RecordBatch.concat(chunks) if chunks else \
             RecordBatch.from_alnrecs([])
         if polish:
