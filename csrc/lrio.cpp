@@ -2514,6 +2514,70 @@ int64_t format_detail_c(
     return o;
 }
 
+// BED12 line formatter (pipeline/stages.py bed12 export, the bedtools
+// `bamtobed -bed12` role at reference Snakefile:63).  Exon size/start
+// lists arrive as ragged int64 arrays; strings as blobs + offsets.
+int64_t format_bed12_c(
+    const uint8_t* name_buf, const int64_t* name_off,
+    const uint8_t* chrom_buf, const int64_t* chrom_off,
+    const int32_t* tid, const uint8_t* is_rev, const int32_t* mapq,
+    const int64_t* start0, const int64_t* end,
+    const int64_t* sizes, const int64_t* rel_starts,
+    const int64_t* exon_off,
+    int64_t n, uint8_t* out, int64_t out_cap) {
+    int64_t o = 0;
+    auto put = [&](const uint8_t* p, int64_t l) {
+        std::memcpy(out + o, p, (size_t)l);
+        o += l;
+    };
+    auto put_int = [&](int64_t v) {
+        char tmp[24];
+        int l = 0;
+        if (v == 0) tmp[l++] = '0';
+        bool neg = v < 0;
+        if (neg) v = -v;
+        while (v) { tmp[l++] = (char)('0' + v % 10); v /= 10; }
+        if (neg) tmp[l++] = '-';
+        for (int i = l - 1; i >= 0; --i) out[o++] = tmp[i];
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t ne = exon_off[i + 1] - exon_off[i];
+        int64_t name_l = name_off[i + 1] - name_off[i];
+        int64_t chrom_l = chrom_off[tid[i] + 1] - chrom_off[tid[i]];
+        if (o + name_l + chrom_l + 120 + ne * 26 > out_cap) return -1;
+        put(chrom_buf + chrom_off[tid[i]], chrom_l);
+        out[o++] = '\t';
+        put_int(start0[i]);
+        out[o++] = '\t';
+        put_int(end[i]);
+        out[o++] = '\t';
+        put(name_buf + name_off[i], name_l);
+        out[o++] = '\t';
+        put_int(mapq[i]);
+        out[o++] = '\t';
+        out[o++] = is_rev[i] ? '-' : '+';
+        out[o++] = '\t';
+        put_int(start0[i]);
+        out[o++] = '\t';
+        put_int(end[i]);
+        const char* z = "\t0\t";
+        put((const uint8_t*)z, 3);
+        put_int(ne);
+        out[o++] = '\t';
+        for (int64_t j = exon_off[i]; j < exon_off[i + 1]; ++j) {
+            put_int(sizes[j]);
+            out[o++] = ',';
+        }
+        out[o++] = '\t';
+        for (int64_t j = exon_off[i]; j < exon_off[i + 1]; ++j) {
+            put_int(rel_starts[j]);
+            out[o++] = ',';
+        }
+        out[o++] = '\n';
+    }
+    return o;
+}
+
 // Chain DP + backtrack for SMALL anchor rows (align/chain.py semantics,
 // float64).  Spurious secondary clusters carry 2-8 anchors and made up
 // ~75% of device rows at 500k scale — each wave of them cost extra

@@ -78,6 +78,85 @@ def _ensure_dirs(out_dir: str) -> None:
         os.makedirs(os.path.join(out_dir, d), exist_ok=True)
 
 
+def write_bed12_batch(rb, refs, bed_path: str) -> bool:
+    """BED12 export straight from the packed RecordBatch — no SAM re-parse
+    (that cost ~16 s at 500k reads).  Exon segmentation is the gen_exons
+    (min_exon=1, min_intron=1, max_delet=inf) case: only N ops split.
+    Returns False (caller falls back to the SAM path) when the native
+    formatter is unavailable or a zero-length exon edge case appears."""
+    import numpy as np
+    from ..native import get_lib
+    from ..report.summary import _str_blob
+    lib = get_lib()
+    if lib is None or rb.n == 0:
+        return False
+    keep = np.nonzero((rb.flag & 0x4) == 0)[0]
+    if not len(keep):
+        open(bed_path, "w").close()
+        return True
+    n_all = rb.n
+    counts_all = np.diff(rb.cig_offs)
+    rep = np.repeat(np.arange(n_all), counts_all)
+    op = (rb.cig_buf & 0xF).astype(np.int64)
+    ln = (rb.cig_buf >> 4).astype(np.int64)
+    refc = np.where((op == 0) | (op == 2) | (op == 3) | (op == 7) |
+                    (op == 8), ln, 0)
+    cs = np.cumsum(refc)
+    base = np.concatenate([[0], cs])[rb.cig_offs[:-1]]
+    within_after = cs - base[rep]
+    within_before = within_after - refc
+    is_n = op == 3
+    nN = np.bincount(rep[is_n], minlength=n_all).astype(np.int64)
+    # restrict to kept (mapped) rows
+    nNk = nN[keep]
+    ne = nNk + 1
+    eoff = np.zeros(len(keep) + 1, np.int64)
+    np.cumsum(ne, out=eoff[1:])
+    tot = int(eoff[-1])
+    starts_rel = np.zeros(tot, np.int64)
+    ends_rel = np.zeros(tot, np.int64)
+    # ragged scatter of N-op boundaries (N ops are in record order)
+    kept_mask = np.zeros(n_all, bool)
+    kept_mask[keep] = True
+    kept_row = np.full(n_all, -1, np.int64)
+    kept_row[keep] = np.arange(len(keep))
+    idxN = np.nonzero(is_n & kept_mask[rep])[0]
+    rN_rec = kept_row[rep[idxN]]
+    cumN = np.zeros(len(keep), np.int64)
+    np.cumsum(nNk, out=cumN[0:])  # cumN[i] = #N in rows 0..i
+    startN = cumN - nNk
+    rank = np.arange(len(idxN)) - startN[rN_rec]
+    starts_rel[eoff[rN_rec] + rank + 1] = within_after[idxN]
+    ends_rel[eoff[rN_rec] + rank] = within_before[idxN]
+    last_op = rb.cig_offs[1:] - 1
+    tot_ref = np.where(counts_all > 0, within_after[np.maximum(last_op, 0)],
+                       0)
+    ends_rel[eoff[1:] - 1] = tot_ref[keep]
+    sizes = ends_rel - starts_rel
+    if (sizes <= 0).any():
+        return False     # zero-length exon quirk: use the reference path
+    nb = _str_blob([rb.qname[i] for i in keep], len(keep))
+    cb = _str_blob([r[0] for r in refs], len(refs))
+    if nb is None or cb is None:
+        return False
+    start0 = rb.pos[keep].astype(np.int64)
+    end = start0 + tot_ref[keep]
+    cap = int(nb[1][-1] + len(keep) * 140 + tot * 26) + 64
+    out = np.empty(cap, np.uint8)
+    wrote = int(lib.format_bed12_c(
+        nb[0], nb[1], cb[0], cb[1],
+        np.ascontiguousarray(rb.tid[keep], np.int32),
+        np.ascontiguousarray((rb.flag[keep] & 0x10) != 0).view(np.uint8),
+        np.ascontiguousarray(rb.mapq[keep], np.int32),
+        start0, end, sizes, starts_rel, eoff,
+        len(keep), out, cap))
+    if wrote < 0:
+        return False
+    with open(bed_path, "wb") as f:
+        f.write(out[:wrote].tobytes())
+    return True
+
+
 def write_bed12(sam_path: str, bed_path: str) -> None:
     """BED12 export of spliced alignments (the `bedtools bamtobed -bed12`
     role, reference Snakefile:63)."""
@@ -218,7 +297,8 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                 os.replace(sam_path + ".tmp", sam_path)
                 _done(sam_path, cfg.genome_fasta, reads.long_read)
                 log("align", "%s: %d alignment records", sample, n)
-            write_bed12(sam_path, bed_path)
+                if not write_bed12_batch(rb, aligner.refs, bed_path):
+                    write_bed12(sam_path, bed_path)
 
     # ---- phase 2: per-sample host stages, parallel over samples (the
     # Snakemake job-parallelism role, reference Snakefile wildcards +

@@ -58,3 +58,48 @@ def test_native_detail_nonascii_falls_back():
     T.gene_name[0] = "gène"
     cname = ChrNames(["chr1", "chr2", "chrX"])
     assert not _write_bam_detail_native(T, cname, io.StringIO())
+
+
+def test_bed12_batch_matches_sam_path(tmp_path):
+    """write_bed12_batch (RecordBatch-direct, native formatter) must be
+    byte-identical to the SAM-reparse path."""
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.io.fasta import Genome
+    from lr2rmats_tpu.io.sam import sam_header
+    from lr2rmats_tpu.pipeline.stages import write_bed12, write_bed12_batch
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, 400_000).astype(np.uint8)
+    # plant a couple of spliced genes
+    reads = []
+    for g in range(12):
+        p = 10_000 + g * 30_000
+        e1 = codes[p: p + 300]
+        codes[p + 300], codes[p + 301] = 2, 3
+        q = p + 300 + int(rng.integers(200, 3000))
+        codes[q - 2], codes[q - 1] = 0, 2
+        e2 = codes[q: q + 300]
+        r = np.concatenate([e1, e2]).copy()
+        m = rng.random(len(r)) < 0.02
+        r[m] = (r[m] + 1) % 4
+        reads.append(r)
+    for i in range(12):   # plain contiguous reads too
+        p = int(rng.integers(0, 390_000))
+        reads.append(codes[p: p + 500].copy())
+    g = Genome(["chrZ"], codes, np.array([0, len(codes)], np.int64))
+    al = BatchAligner(g)
+    names = [f"r{i}" for i in range(len(reads))]
+    from lr2rmats_tpu.io.fasta import SeqSet
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    rb = al.align_seqset_packed(SeqSet(names, np.concatenate(reads), offs))
+    sam = tmp_path / "a.sam"
+    with open(sam, "wb") as f:
+        f.write(sam_header(al.refs).encode())
+        f.write(rb.emit_sam(al.refs))
+    bed_sam = tmp_path / "sam.bed"
+    bed_rb = tmp_path / "rb.bed"
+    write_bed12(str(sam), str(bed_sam))
+    assert write_bed12_batch(rb, al.refs, str(bed_rb))
+    assert bed_rb.read_bytes() == bed_sam.read_bytes()
