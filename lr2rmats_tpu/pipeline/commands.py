@@ -187,11 +187,23 @@ def cmd_update_gtf(in_path: str, anno_path: str, ugp: UpdateGtfParams,
                    known_gtf: Optional[str] = None,
                    novel_gtf: Optional[str] = None,
                    unrecog_gtf: Optional[str] = None,
-                   summary: Optional[str] = None) -> dict:
-    """`update-gtf` (reference update_gtf.c:995-1117)."""
-    cname, bam_T = _load_input_trans(
-        in_path, ugp.input_mode, hdr_bam, ugp.min_exon, ugp.min_intron,
-        ugp.max_delet)
+                   summary: Optional[str] = None,
+                   input_cache: Optional[dict] = None) -> dict:
+    """`update-gtf` (reference update_gtf.c:995-1117).
+
+    `input_cache`: optional dict shared by the caller across the two
+    pipeline passes — the (large) input ingests once and each pass gets an
+    independent copy (classification mutates flags in place)."""
+    key = (in_path, ugp.input_mode, hdr_bam, ugp.min_exon, ugp.min_intron,
+           ugp.max_delet)
+    if input_cache is not None and input_cache.get("key") == key:
+        cname, bam_T = input_cache["cname"], input_cache["bam_T"].copy()
+    else:
+        cname, bam_T = _load_input_trans(
+            in_path, ugp.input_mode, hdr_bam, ugp.min_exon, ugp.min_intron,
+            ugp.max_delet)
+        if input_cache is not None:
+            input_cache.update(key=key, cname=cname, bam_T=bam_T.copy())
     anno_T = read_anno_trans(anno_path, cname)
     sj = read_sj_group(sj_path, cname)
 

@@ -317,10 +317,14 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                                         cfg.sec_rat),
                            rm_gtf=cfg.rm_gtf or None, out_format="sam")
                 _done(filtered_bam, sam_path)
+        # one ingestion of the (large) filtered SAM feeds both update-gtf
+        # passes; each pass classifies an independent copy
+        input_cache: dict = {}
         if not _fresh(sam_novel, filtered_bam, cfg.gtf):
             with Timer(f"stage/update_gtf_pass1[{sample}]", benchmark_file=A("benchmark", f"{sample}_new_gtf.benchmark.txt")):
                 ugp = UpdateGtfParams(full_level=cfg.full_level)
-                cmd_update_gtf(filtered_bam, cfg.gtf, ugp, out_path=sam_novel)
+                cmd_update_gtf(filtered_bam, cfg.gtf, ugp, out_path=sam_novel,
+                               input_cache=input_cache)
                 _done(sam_novel, filtered_bam, cfg.gtf)
 
         # ---- stage: new_gtf (merge + sort, Snakefile:96-112)
@@ -372,9 +376,11 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                     known_gtf=A("output", f"{sample}.known.gtf"),
                     novel_gtf=A("output", f"{sample}.novel.gtf"),
                     unrecog_gtf=A("output", f"{sample}.unrecog.gtf"),
-                    exon_bed=A("output", f"{sample}.novel_exon.bed"))
+                    exon_bed=A("output", f"{sample}.novel_exon.bed"),
+                    input_cache=input_cache)
                 _done(gtf_novel, filtered_bam, cfg.gtf,
                       *([sj_tab] if short_inputs else []))
+        input_cache.clear()
         return gtf_novel
 
     if len(items) > 1 and (cfg.jobs or 0) != 1:

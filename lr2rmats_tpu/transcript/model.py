@@ -109,6 +109,28 @@ class Transcripts:
         self.trans_name: List[str] = []
 
     # ------------------------------------------------------------------ util
+    def copy(self) -> "Transcripts":
+        """Independent deep copy of the tensor columns (string lists copy
+        shallowly — strings are immutable).  Used to reuse one ingestion of
+        a large input across the two update-gtf passes, both of which
+        mutate flags in place."""
+        T = Transcripts.__new__(Transcripts)
+        T.n = self.n
+        T.gene_n = self.gene_n
+        T._cap = self._cap
+        T._ecap = self._ecap
+        for a in ("exon_start", "exon_end", "exon_n", "tid", "is_rev",
+                  "start", "end", "cov", "novel_exon_flag",
+                  "novel_site_flag", "novel_junction_flag",
+                  "unreliable_junction_flag"):
+            setattr(T, a, getattr(self, a).copy())
+        T.flags = {k: v.copy() for k, v in self.flags.items()}
+        T.gene_id = list(self.gene_id)
+        T.gene_name = list(self.gene_name)
+        T.trans_id = list(self.trans_id)
+        T.trans_name = list(self.trans_name)
+        return T
+
     @property
     def max_exons(self) -> int:
         return self._ecap
