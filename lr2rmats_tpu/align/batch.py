@@ -153,33 +153,56 @@ class BatchAligner:
             return []
         lo, cnt = lo[keep], cnt[keep]
         qp, qs, rid = qp[keep], qs[keep], rid[keep]
-        # expand hit ranges vectorized
+        # expand hit ranges + build the composite sort key.  The key fits
+        # one uint64 (radix argsort ~3x faster than the 4-key lexsort)
+        # when genome < 4 Gbp, batch <= 2048 reads, reads < 512 kb — all
+        # production cases; otherwise lexsort on the columns.
+        L = np.asarray(lens, np.int64)
         total = int(cnt.sum())
         starts = np.zeros(len(cnt) + 1, np.int64)
         np.cumsum(cnt, out=starts[1:])
-        flat = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(starts[:-1], cnt))
-        gp = idx.pos[flat]
-        gs = idx.strand[flat]
-        qpx = np.repeat(qp, cnt)
-        qsx = np.repeat(qs, cnt)
-        ridx = np.repeat(rid, cnt)
-        strand = (qsx ^ gs).astype(np.int8)
-        L = np.asarray(lens, np.int64)
-        qfinal = np.where(strand == 1, L[ridx] - p.k - qpx, qpx)
+        key_ok = (int(idx.chrom_offsets[-1]) < (1 << 32)
+                  and len(reads) <= (1 << 11)
+                  and int(L.max(initial=0)) < (1 << 19))
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and total:
+            # one threaded native pass (the numpy repeat/gather/where
+            # chain cost ~70 ms per 1500-read batch)
+            gp = np.empty(total, np.int64)
+            strand = np.empty(total, np.int8)
+            ridx = np.empty(total, np.int32)
+            qfinal = np.empty(total, np.int64)
+            key = np.empty(total if key_ok else 1, np.uint64)
+            lib.expand_anchors_c(
+                np.ascontiguousarray(lo), np.ascontiguousarray(lo + cnt),
+                starts, len(cnt),
+                idx.pos, idx.strand.view(np.int8),
+                np.ascontiguousarray(qp), np.ascontiguousarray(
+                    qs).view(np.int8),
+                np.ascontiguousarray(rid), L, p.k,
+                gp, strand, ridx, qfinal, key, int(key_ok),
+                self.n_threads)
+        else:
+            flat = np.repeat(lo, cnt) + (np.arange(total) -
+                                         np.repeat(starts[:-1], cnt))
+            gp = idx.pos[flat]
+            gs = idx.strand[flat]
+            qpx = np.repeat(qp, cnt)
+            qsx = np.repeat(qs, cnt)
+            ridx = np.repeat(rid, cnt)
+            strand = (qsx ^ gs).astype(np.int8)
+            qfinal = np.where(strand == 1, L[ridx] - p.k - qpx, qpx)
+            key = None
+            if key_ok and total:
+                key = ((ridx.astype(np.uint64) << np.uint64(52)) |
+                       (strand.astype(np.uint64) << np.uint64(51)) |
+                       (gp.astype(np.uint64) << np.uint64(19)) |
+                       qfinal.astype(np.uint64))
 
         # cluster per (read, strand) by sorted gpos gaps — fully vectorized
-        # (the round-1 python group loop cost ~0.06 s per 512-read batch).
-        # The 4-key lexsort costs 4 stable argsort+gather passes; when the
-        # keys fit one uint64 (genome < 4 Gbp, batch <= 2048 reads, reads
-        # < 512 kb — all production cases) a single radix argsort on the
-        # composite key gives the identical permutation ~3x faster.
-        if (len(gp) and int(gp.max()) < (1 << 32)
-                and len(reads) <= (1 << 11)
-                and int(qfinal.max(initial=0)) < (1 << 19)):
-            key = ((ridx.astype(np.uint64) << np.uint64(52)) |
-                   (strand.astype(np.uint64) << np.uint64(51)) |
-                   (gp.astype(np.uint64) << np.uint64(19)) |
-                   qfinal.astype(np.uint64))
+        # (the round-1 python group loop cost ~0.06 s per 512-read batch)
+        if key_ok and total:
             order = np.argsort(key, kind="stable")
         else:
             order = np.lexsort((qfinal, gp, strand, ridx))

@@ -216,6 +216,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_i32p, c_i32p, ctypes.c_int64, c_i32p,
             c_u8p, c_i64p, ctypes.c_int64, c_u8p, ctypes.c_int64]
 
+        lib.expand_anchors_c.restype = None
+        lib.expand_anchors_c.argtypes = [
+            c_i64p, c_i64p, c_i64p, ctypes.c_int64,
+            c_i64p, c_i8p, c_i64p, c_i8p, c_i32p, c_i64p, ctypes.c_int32,
+            c_i64p, c_i8p, c_i32p, c_i64p, c_u64p, ctypes.c_int32,
+            ctypes.c_int32]
+
         lib.format_bed12_c.restype = ctypes.c_int64
         lib.format_bed12_c.argtypes = [
             c_u8p, c_i64p, c_u8p, c_i64p,
