@@ -149,6 +149,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--process-id", type=int, default=None,
                     help="this process's rank in the multi-host group")
 
+    sp = sub.add_parser("sort-gtf",
+                        help="sort GTF transcript blocks (sort_gtf.sh role)")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--output", default=None)
+
+    sp = sub.add_parser("gtf2bed",
+                        help="BED12 per transcript (the UCSC "
+                             "gtfToGenePred|genePredToBed convenience role)")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--output", default=None)
+
     sp = sub.add_parser("version", help="print version")
     return ap
 
@@ -186,6 +197,37 @@ def _main(argv=None) -> int:
 
     if args.cmd == "version":
         print(f"{PROG} {__version__}")
+        return 0
+    if args.cmd == "sort-gtf":
+        import sys as _sys
+        from ..report.sortgtf import sort_gtf_lines
+        with open(args.input) as f:
+            lines = sort_gtf_lines(f)
+        out = open(args.output, "w") if args.output else _sys.stdout
+        out.writelines(lines)
+        if args.output:
+            out.close()
+        return 0
+    if args.cmd == "gtf2bed":
+        import sys as _sys
+        from ..io.gtf import ChrNames, read_gtf_trans
+        cname = ChrNames([])
+        T = read_gtf_trans(args.input, cname)
+        out = open(args.output, "w") if args.output else _sys.stdout
+        for i in range(T.n):
+            en = int(T.exon_n[i])
+            es = T.exon_start[i, :en].astype(int)
+            ee = T.exon_end[i, :en].astype(int)
+            start0 = int(es[0]) - 1
+            end = int(ee[-1])
+            sizes = ",".join(str(b - a + 1) for a, b in zip(es, ee)) + ","
+            starts = ",".join(str(a - 1 - start0) for a in es) + ","
+            strand = "-" if T.is_rev[i] else "+"
+            out.write(f"{cname[int(T.tid[i])]}\t{start0}\t{end}\t"
+                      f"{T.trans_id[i]}\t0\t{strand}\t{start0}\t{end}\t0\t"
+                      f"{en}\t{sizes}\t{starts}\n")
+        if args.output:
+            out.close()
         return 0
     if args.cmd == "filter":
         C.cmd_filter(args.input, args.output,

@@ -356,3 +356,39 @@ def test_native_and_fallback_outputs_identical(world, tmp_path):
     assert set(outs["native"]) == set(outs["fallback"])
     for name in outs["native"]:
         assert outs["native"][name] == outs["fallback"][name], name
+
+
+def test_sort_gtf_cli(tmp_path, ref_data):
+    """sort-gtf subcommand (sort_gtf.sh role, reference sort_gtf.sh:11-29)."""
+    out = tmp_path / "sorted.gtf"
+    r = subprocess.run(
+        [sys.executable, "-m", "lr2rmats_tpu", "sort-gtf",
+         str(ref_data / "gtf" / "original.gtf"), "-o", str(out)],
+        capture_output=True, text=True, cwd=REPO_ROOT,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ""})
+    assert r.returncode == 0, r.stderr
+    lines = out.read_text().splitlines()
+    assert lines and all("\t" in l for l in lines)
+    # transcript lines must be start-sorted within a chromosome
+    tr = [l.split("\t") for l in lines if l.split("\t")[2] == "transcript"]
+    starts = [int(f[3]) for f in tr]
+    assert starts == sorted(starts)
+
+
+def test_gtf2bed_cli(tmp_path, ref_data):
+    """gtf2bed subcommand (UCSC gtfToGenePred|genePredToBed role)."""
+    out = tmp_path / "t.bed"
+    r = subprocess.run(
+        [sys.executable, "-m", "lr2rmats_tpu", "gtf2bed",
+         str(ref_data / "gtf" / "original.gtf"), "-o", str(out)],
+        capture_output=True, text=True, cwd=REPO_ROOT,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ""})
+    assert r.returncode == 0, r.stderr
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    assert rows and all(len(f) == 12 for f in rows)
+    for f in rows:
+        sizes = [int(x) for x in f[10].rstrip(",").split(",")]
+        starts = [int(x) for x in f[11].rstrip(",").split(",")]
+        assert len(sizes) == int(f[9]) == len(starts)
+        assert starts[0] == 0
+        assert int(f[1]) + starts[-1] + sizes[-1] == int(f[2])
