@@ -429,3 +429,53 @@ def test_lookup_range_mt_match():
     lo, hi = idx.lookup(q, n_threads=4)
     np.testing.assert_array_equal(lo, np.searchsorted(hashes, q, "left"))
     np.testing.assert_array_equal(hi, np.searchsorted(hashes, q, "right"))
+
+
+def test_expand_anchors_matches_numpy():
+    """expand_anchors_c (seeding hit expansion + composite key) must match
+    the numpy repeat/gather/where chain exactly."""
+    from lr2rmats_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(9)
+    n_idx, n_seeds, n_reads, k = 5000, 800, 40, 15
+    idx_pos = np.sort(rng.integers(0, 1 << 30, n_idx)).astype(np.int64)
+    idx_strand = rng.integers(0, 2, n_idx).astype(np.int8)
+    lo = rng.integers(0, n_idx - 6, n_seeds).astype(np.int64)
+    hi = lo + rng.integers(0, 6, n_seeds)
+    qp = rng.integers(0, 3000, n_seeds).astype(np.int64)
+    qs = rng.integers(0, 2, n_seeds).astype(np.int8)
+    rid = rng.integers(0, n_reads, n_seeds).astype(np.int32)
+    lens = rng.integers(100, 4000, n_reads).astype(np.int64)
+    cnt = (hi - lo).astype(np.int64)
+    starts = np.zeros(n_seeds + 1, np.int64)
+    np.cumsum(cnt, out=starts[1:])
+    total = int(cnt.sum())
+    # numpy reference
+    flat = np.repeat(lo, cnt) + (np.arange(total) -
+                                 np.repeat(starts[:-1], cnt))
+    gp_ref = idx_pos[flat]
+    gs = idx_strand[flat]
+    strand_ref = (np.repeat(qs, cnt) ^ gs).astype(np.int8)
+    ridx_ref = np.repeat(rid, cnt)
+    qpx = np.repeat(qp, cnt)
+    qf_ref = np.where(strand_ref == 1, lens[ridx_ref] - k - qpx, qpx)
+    key_ref = ((ridx_ref.astype(np.uint64) << np.uint64(52)) |
+               (strand_ref.astype(np.uint64) << np.uint64(51)) |
+               (gp_ref.astype(np.uint64) << np.uint64(19)) |
+               qf_ref.astype(np.uint64))
+    gp = np.empty(total, np.int64)
+    strand = np.empty(total, np.int8)
+    ridx = np.empty(total, np.int32)
+    qf = np.empty(total, np.int64)
+    key = np.empty(total, np.uint64)
+    lib.expand_anchors_c(lo, np.ascontiguousarray(hi), starts, n_seeds,
+                         idx_pos, idx_strand, qp, qs, rid, lens, k,
+                         gp, strand, ridx, qf, key, 1, 4)
+    np.testing.assert_array_equal(gp, gp_ref)
+    np.testing.assert_array_equal(strand, strand_ref)
+    np.testing.assert_array_equal(ridx, ridx_ref)
+    np.testing.assert_array_equal(qf, qf_ref)
+    np.testing.assert_array_equal(key, key_ref)
