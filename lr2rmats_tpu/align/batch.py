@@ -35,7 +35,7 @@ from ..utils import log
 # rows cuts the H2D volume ~2.5x (the relay link at ~20-90 MB/s is the
 # device-path bottleneck; measured round 3, /tmp padding study: 9.5 MB
 # shipped for 2.7 MB of real anchors under the old (64, 256) buckets).
-A_BUCKETS = (8, 64, 256)
+A_BUCKETS = (8, 64, 128)
 # Production read-batch size.  The relay link serializes all device
 # traffic with a ~36 ms per-call roundtrip (scripts/bench_device_link.py)
 # and host/device overlap is impossible (async D2H deadlocks the relay
@@ -47,7 +47,11 @@ DEFAULT_BATCH = 1536
 # slow/flaky over the remote relay); sized so one DEFAULT_BATCH-read batch
 # fills ~one fused call (~1.2 rows/read land in the 8-bucket, ~1.0 in the
 # 256-bucket on the bench workload; overflow spills into extra calls)
-CHAIN_CHUNK = {8: 2048, 64: 128, 256: 1536}
+# the top bucket doubles as the per-cluster anchor subsample cap (A_MAX):
+# 128 gives an anchor every ~25 bp on a 3 kb read — measured accuracy is
+# identical to cap 256 on the clean and both ONT seeds while halving both
+# the device payload height and the scan's sequential step count
+CHAIN_CHUNK = {8: 2048, 64: 128, 128: 1536}
 MAX_CLUSTERS_PER_STRAND = 4
 
 
@@ -247,8 +251,17 @@ class BatchAligner:
             return []
         A_MAX = A_BUCKETS[-1]
         n_i = counts[sel]
-        m_i = np.minimum(n_i, A_MAX)
+        # subsample cap, scaled up for long clusters so the surviving
+        # anchor spacing stays well inside max_qgap (a flat cap broke
+        # >=64 kb reads: 128 anchors over 80 kb = 625 bp spacing > 500);
+        # rows beyond A_MAX route to the host chain in _chain_rows_async
         starts = gstart[sel]
+        # clusters are contiguous ranges of the sorted arrays, so one
+        # reduceat over the full partition gives every cluster's q-span
+        qspan = (np.maximum.reduceat(qfinal, gstart[:-1]) -
+                 np.minimum.reduceat(qfinal, gstart[:-1]))[sel]
+        need = np.maximum(A_MAX, qspan // max(p.chain.max_qgap // 2, 1) + 2)
+        m_i = np.minimum(n_i, need)
         cum = np.zeros(len(sel) + 1, np.int64)
         np.cumsum(m_i, out=cum[1:])
         rowrep = np.repeat(np.arange(len(sel)), m_i)
@@ -273,11 +286,15 @@ class BatchAligner:
         from ..ops.chain_jax import (chain_backtrack_batch_async,
                                      chain_backtrack_multi_async)
         # bucket rows by padded anchor count; query positions ride the link
-        # as u16 pairs, so the rare >=64 kb read chains on the host instead
+        # as u16 pairs and buckets top out at A_BUCKETS[-1], so the rare
+        # >=64 kb read (oversized positions AND an enlarged spacing-aware
+        # subsample) chains on the host instead
         buckets: Dict[int, List[int]] = {}
         host_rows: List[int] = []
+        a_cap = A_BUCKETS[-1]
         for i, r in enumerate(rows):
-            if len(r.qpos) and int(r.qpos.max()) >= (1 << 16):
+            if len(r.qpos) > a_cap or (
+                    len(r.qpos) and int(r.qpos.max()) >= (1 << 16)):
                 host_rows.append(i)
                 continue
             A = next(b for b in A_BUCKETS if len(r.qpos) <= b)
