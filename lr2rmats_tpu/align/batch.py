@@ -31,7 +31,7 @@ from ..utils import log
 
 # Padded-anchor buckets for the device chain dispatch.  The per-row anchor
 # count is strongly bimodal — spurious secondary clusters carry 2-3 anchors
-# while true placements fill the 256 cap — so an 8-wide bucket for the junk
+# while true placements fill the top-bucket cap — so an 8-wide bucket for the junk
 # rows cuts the H2D volume ~2.5x (the relay link at ~20-90 MB/s is the
 # device-path bottleneck; measured round 3, /tmp padding study: 9.5 MB
 # shipped for 2.7 MB of real anchors under the old (64, 256) buckets).
@@ -45,8 +45,8 @@ DEFAULT_BATCH = 1536
 # fixed row-chunk per bucket => exactly one compiled shape per bucket for
 # the whole run (variable shapes trigger fresh device compiles, which are
 # slow/flaky over the remote relay); sized so one DEFAULT_BATCH-read batch
-# fills ~one fused call (~1.2 rows/read land in the 8-bucket, ~1.0 in the
-# 256-bucket on the bench workload; overflow spills into extra calls)
+# fills ~one fused call (~1.2-3 rows/read land in the 8-bucket, ~1.0 in the
+# top bucket on the bench workload; overflow spills into extra calls)
 # the top bucket doubles as the per-cluster anchor subsample cap (A_MAX):
 # 128 gives an anchor every ~25 bp on a 3 kb read — measured accuracy is
 # identical to cap 256 on the clean and both ONT seeds while halving both
