@@ -2514,6 +2514,38 @@ int64_t format_detail_c(
     return o;
 }
 
+// Compact the ragged per-read minimizer regions written by
+// extract_minimizers_batch_c into dense arrays + a read-id column
+// (align/batch.py::_batch_minimizers; the numpy repeat + triple gather
+// cost ~20 ms per 1500-read batch).  out_off = exclusive prefix of
+// per-read counts.
+void compact_minimizers_c(
+    const uint64_t* oh, const int64_t* op, const int8_t* os,
+    const int64_t* read_offs, const int64_t* counts,
+    const int64_t* out_off, int64_t n_reads,
+    uint64_t* h_out, int64_t* p_out, int8_t* s_out, int32_t* rid_out,
+    int n_threads) {
+    int nt = std::max(1, std::min(n_threads, 16));
+    int64_t per = (n_reads + nt - 1) / nt;
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; ++t) {
+        int64_t r0 = t * per, r1 = std::min(n_reads, r0 + per);
+        if (r0 >= r1) continue;
+        ts.emplace_back([&, r0, r1]() {
+            for (int64_t r = r0; r < r1; ++r) {
+                int64_t src = read_offs[r];
+                int64_t dst = out_off[r];
+                int64_t c = counts[r];
+                std::memcpy(h_out + dst, oh + src, c * sizeof(uint64_t));
+                std::memcpy(p_out + dst, op + src, c * sizeof(int64_t));
+                std::memcpy(s_out + dst, os + src, c * sizeof(int8_t));
+                for (int64_t i = 0; i < c; ++i) rid_out[dst + i] = (int32_t)r;
+            }
+        });
+    }
+    for (auto& th : ts) th.join();
+}
+
 // Anchor expansion + composite sort key (align/batch.py::_batch_anchors):
 // for each surviving seed s with index-hit range [lo[s], hi[s]), emit one
 // anchor per hit carrying (gpos, xor-strand, read id, strand-adjusted

@@ -125,12 +125,17 @@ class BatchAligner:
             total = int(on.sum())
             if not total:
                 return None, None, None, None, None
-            # compact the ragged per-read regions
-            starts = np.cumsum(on) - on
-            src = (np.repeat(read_offs[:-1], on) +
-                   (np.arange(total) - np.repeat(starts, on)))
-            rid = np.repeat(np.arange(len(reads), dtype=np.int32), on)
-            return oh[src], op[src], os_[src], rid, [len(r) for r in reads]
+            # compact the ragged per-read regions (one threaded C pass)
+            out_off = np.cumsum(on) - on
+            h = np.empty(total, np.uint64)
+            qpos = np.empty(total, np.int64)
+            qstr = np.empty(total, np.int8)
+            rid = np.empty(total, np.int32)
+            lib.compact_minimizers_c(oh, op, os_, read_offs, on,
+                                     np.ascontiguousarray(out_off),
+                                     len(reads), h, qpos, qstr, rid,
+                                     self.n_threads)
+            return h, qpos, qstr, rid, [len(r) for r in reads]
         all_h, all_q, all_s, all_rid = [], [], [], []
         for ri, codes in enumerate(reads):
             h, qp, qs = extract_minimizers(codes, p.k, p.w)

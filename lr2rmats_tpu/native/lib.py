@@ -216,6 +216,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_i32p, c_i32p, ctypes.c_int64, c_i32p,
             c_u8p, c_i64p, ctypes.c_int64, c_u8p, ctypes.c_int64]
 
+        lib.compact_minimizers_c.restype = None
+        lib.compact_minimizers_c.argtypes = [
+            c_u64p, c_i64p, c_i8p, c_i64p, c_i64p, c_i64p, ctypes.c_int64,
+            c_u64p, c_i64p, c_i8p, c_i32p, ctypes.c_int32]
+
         lib.expand_anchors_c.restype = None
         lib.expand_anchors_c.argtypes = [
             c_i64p, c_i64p, c_i64p, ctypes.c_int64,
