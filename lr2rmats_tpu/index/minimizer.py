@@ -203,7 +203,11 @@ class MinimizerIndex:
         ~a dozen entries."""
         if getattr(self, "_bshift", None) is not None:
             return
-        nbits = 18
+        # bucket count ~4x the table size caps the per-query binary search
+        # at ~1 step (22 bits = 33 MB of starts — noise next to the table);
+        # smaller tables get proportionally fewer buckets
+        nbits = min(22, max(12, int(np.ceil(np.log2(max(len(self.hashes),
+                                                        2)))) + 2))
         self._bshift = max(0, 2 * self.k - nbits)
         nb = 1 << min(nbits, 2 * self.k)
         edges = (np.arange(nb, dtype=np.uint64) << np.uint64(self._bshift))
