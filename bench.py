@@ -1,13 +1,29 @@
 """Throughput benchmark: long reads aligned per second per chip.
 
-Synthetic workload (the reference publishes no numbers — BASELINE.md):
-a random 20 Mbp genome with GT..AG introns planted, ONT-like multi-exon
-cDNA reads with 3% error.  Measures the end-to-end batched alignment path
-(seed -> device chain DP -> splice-aware extension -> SAM records).
+Synthetic workload (the reference publishes no numbers — BASELINE.md).
+HEADLINE ARM (round 3+): the ONT-like realistic error profile — 2.5% sub
++ 1.5% del + 1% ins, minor splice motif classes, repeat content — on the
+production device backend.  A clean-profile secondary arm keeps the
+round-1/2 numbers comparable.  Measures the end-to-end batched alignment
+path (seed -> device chain DP -> splice-aware extension -> SAM records).
 
 Prints ONE JSON line:
   {"metric": "long_reads_aligned_per_sec_per_chip", "value": N,
-   "unit": "reads/s", "vs_baseline": N / BASELINE}
+   "unit": "reads/s", "vs_baseline": N / BASELINE, "detail": {...}}
+
+detail.platform is ALWAYS present (the jax backend that actually ran).
+If the TPU relay is down and the supervisor falls back to CPU, the
+headline value is EXCLUDED: value=0.0, vs_baseline=0.0, and the CPU
+number moves to detail.cpu_fallback_value — a CPU number must never be
+mistaken for the per-chip number (VERDICT r2 weak #1).
+
+Weather-proofing (the relay hangs for minutes at a time):
+  * persistent JAX compilation cache under .jax_cache/ — a recovered
+    relay window costs seconds of warmup, not minutes of remote compiles
+  * heartbeat lines on stderr before/after every phase, so the
+    supervisor can tell a long compile from a hang
+  * the supervisor kills an attempt on heartbeat STALL (no line for
+    stall_s), not on a fixed wall budget — progress buys time
 
 BASELINE is read from BENCH_BASELINE.json if present (set from the first
 recorded TPU run) so later rounds report relative progress.
@@ -28,6 +44,29 @@ GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", "20"))
 # the regime every real run (500k reads) lives in
 N_READS = int(os.environ.get("BENCH_READS", "6144"))
 SEED = 123
+_T0 = time.perf_counter()
+
+
+def hb(msg: str) -> None:
+    """Heartbeat: timestamped progress line on stderr (supervisor resets
+    its stall timer on every line; a silent gap of stall_s = hang)."""
+    print(f"[hb {time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent compilation cache keyed under the repo: after a relay
+    recovery, warmup replays cached executables in seconds instead of
+    re-running ~10-40 s remote compiles per kernel shape."""
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:          # cache is best-effort on exotic backends
+        hb(f"compile cache unavailable: {e}")
 
 
 def build_genome(n_bases: int, rng):
@@ -145,85 +184,92 @@ def accuracy_vs_truth(truths, names, primary):
     return exact, site_tp, site_n
 
 
-def ont_accuracy(n_reads: int):
-    """Exact-exon-chain fraction on the ONT-like realistic error profile
-    (indels, minor splice classes, repeat content).  Runs the HOST backend
-    — accuracy is bit-identical to the device path (tested) and this keeps
-    the extra measurement off the (occasionally hanging) relay link."""
-    rng = np.random.default_rng(SEED + 1)
-    genome = build_genome(int(GENOME_MB * 1e6), rng)
-    reads, truths = simulate_reads(genome, n_reads, rng, profile="ont")
-    names = [f"ont{i}" for i in range(len(reads))]
-    from lr2rmats_tpu.align.batch import BatchAligner
-    from lr2rmats_tpu.io.fasta import SeqSet
-    al = BatchAligner(genome, backend="host")
-    offs = np.zeros(len(reads) + 1, np.int64)
-    np.cumsum([len(r) for r in reads], out=offs[1:])
-    rb = al.align_seqset_packed(SeqSet(names, np.concatenate(reads), offs),
-                                batch_size=512)
-    primary = {r.qname: r for r in rb.to_alnrecs() if not (r.flag & 0x100)}
-    exact, _, _ = accuracy_vs_truth(truths, names, primary)
-    return exact / max(len(reads), 1)
-
-
-def main():
-    rng = np.random.default_rng(SEED)
-    profile = os.environ.get("BENCH_ERR_PROFILE") or None
-    t0 = time.perf_counter()
-    genome = build_genome(int(GENOME_MB * 1e6), rng)
-    reads, truths = simulate_reads(genome, N_READS, rng, profile=profile)
-    names = [f"read{i}" for i in range(len(reads))]
-
-    from lr2rmats_tpu.align.batch import BatchAligner
-    aligner = BatchAligner(genome)
-    setup_s = time.perf_counter() - t0
-
-    # warmup: compile every chain-kernel shape, then one small batch
-    aligner.warmup_chain_shapes()
-    aligner.align_batch(names[:64], reads[:64])
-    aligner.stats = {"device_wall_s": 0.0, "anchors": 0, "device_calls": 0}
-
-    from lr2rmats_tpu.io.fasta import SeqSet
-    offs = np.zeros(len(reads) + 1, np.int64)
-    np.cumsum([len(r) for r in reads], out=offs[1:])
-    seqset = SeqSet(names, np.concatenate(reads), offs)
-    profile_dir = os.environ.get("BENCH_PROFILE")
-    if profile_dir:
-        import jax
-        jax.profiler.start_trace(profile_dir)
-    # best-of-N: this VM's wall-clock varies ~1.7x run-to-run (host
-    # throttling + relay weather), so one sample under-reports capability;
-    # every repeat runs the full production path end-to-end
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+def _measure(aligner, seqset, names, truths, repeats: int, tag: str):
+    """Best-of-N timed passes over the production packed path.  Returns
+    (reads/s, best stats, detail dict for this arm)."""
+    import time as _time
     dt = float("inf")
-    for _ in range(max(repeats, 1)):
+    for k in range(max(repeats, 1)):
+        hb(f"{tag}: repeat {k + 1}/{repeats} start "
+           f"({seqset.n} reads)")
         aligner.stats = {"device_wall_s": 0.0, "anchors": 0,
                          "device_calls": 0}
-        t1 = time.perf_counter()
-        # records stay packed (RecordBatch) through polish and SAM emit —
-        # the exact production path of pipeline/stages.py
+        t1 = _time.perf_counter()
         rb_i = aligner.align_seqset_packed(seqset)
-        t_emit = time.perf_counter()
+        t_emit = _time.perf_counter()
         sam_body = rb_i.emit_sam(aligner.refs)
-        emit_i = time.perf_counter() - t_emit
-        dt_i = time.perf_counter() - t1
+        emit_i = _time.perf_counter() - t_emit
+        dt_i = _time.perf_counter() - t1
         assert sam_body
+        hb(f"{tag}: repeat {k + 1}/{repeats} done in {dt_i:.2f}s")
         if dt_i < dt:
             dt, rb, emit_s, best_stats = dt_i, rb_i, emit_i, aligner.stats
-    aligner.stats = best_stats
     n_aligned = 0
     primary = {}
     for r in rb.to_alnrecs():
         if not (r.flag & 0x100):
             n_aligned += 1
             primary[r.qname] = r
+    exact, site_tp, site_n = accuracy_vs_truth(truths, names, primary)
+    n = seqset.n
+    detail = {
+        "align_wall_s": round(dt, 2),
+        "aligned_frac": round(n_aligned / n, 4),
+        "exact_exon_chain_frac": round(exact / n, 4),
+        "splice_site_recall": round(site_tp / max(site_n, 1), 4),
+        "emit_s": round(emit_s, 3),
+    }
+    return n / dt, best_stats, detail
+
+
+def _pack(reads, names):
+    from lr2rmats_tpu.io.fasta import SeqSet
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    return SeqSet(names, np.concatenate(reads), offs)
+
+
+def main():
+    _enable_compile_cache()
+    rng = np.random.default_rng(SEED)
+    # headline = ONT-like realistic profile (reference workload is real
+    # noisy long reads, reference README.md:5-7); BENCH_ERR_PROFILE=clean
+    # restores the old clean-profile headline
+    profile = os.environ.get("BENCH_ERR_PROFILE", "ont")
+    if profile in ("clean", "none", ""):
+        profile = None
+    t0 = time.perf_counter()
+    hb(f"setup: genome {GENOME_MB} Mb + {N_READS} reads "
+       f"(profile={profile or 'clean'})")
+    genome = build_genome(int(GENOME_MB * 1e6), rng)
+    reads, truths = simulate_reads(genome, N_READS, rng, profile=profile)
+    names = [f"read{i}" for i in range(len(reads))]
+
+    hb("setup: building minimizer index")
+    from lr2rmats_tpu.align.batch import BatchAligner
+    aligner = BatchAligner(genome)
+    setup_s = time.perf_counter() - t0
+
+    import jax
+    platform = jax.devices()[0].platform
+    hb(f"platform={platform}; warmup: compiling chain kernel shapes")
+    aligner.warmup_chain_shapes()
+    hb("warmup: small batch")
+    aligner.align_batch(names[:64], reads[:64])
+    hb("warmup done")
+
+    seqset = _pack(reads, names)
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    # best-of-N: this VM's wall-clock varies ~1.7x run-to-run (host
+    # throttling + relay weather), so one sample under-reports capability;
+    # every repeat runs the full production path end-to-end
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    tag = "ont" if profile == "ont" else "clean"
+    rps, st, arm = _measure(aligner, seqset, names, truths, repeats, tag)
     if profile_dir:
         jax.profiler.stop_trace()
-    rps = len(reads) / dt
-
-    # exon-chain accuracy vs simulation truth: every splice site must land
-    # exactly on the planted coordinates (the judge metric's correctness arm)
-    exact, site_tp, site_n = accuracy_vs_truth(truths, names, primary)
 
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -241,18 +287,16 @@ def main():
     # against a nominal 4 TFLOP/s f32 VPU (v5e; the kernel has no matmuls,
     # so the MXU peak is not the relevant roof) and is expectedly low: a
     # windowed DP is sequential-latency/transfer-bound, not FLOP-bound.
-    st = aligner.stats
+    dt = arm["align_wall_s"]
     dev_s = st["device_wall_s"]
     W = aligner.p.chain.window
     est_flops = st["anchors"] * W * 4 * 12
     detail = {
+        "platform": platform,
+        "err_profile": tag,
         "n_reads": len(reads),
-        "aligned_frac": round(n_aligned / len(reads), 4),
         "genome_mb": GENOME_MB,
-        "align_wall_s": round(dt, 2),
         "setup_wall_s": round(setup_s, 2),
-        "exact_exon_chain_frac": round(exact / len(reads), 4),
-        "splice_site_recall": round(site_tp / max(site_n, 1), 4),
         "device_wall_s": round(dev_s, 3),
         "device_fraction": round(dev_s / dt, 3) if dt else 0.0,
         "device_calls": st["device_calls"],
@@ -261,16 +305,39 @@ def main():
         "vpu_util_est": round(est_flops / max(dev_s, 1e-9) / 4e12, 4),
         "host_phases_s": {k[:-2]: round(st.get(k, 0.0), 3)
                           for k in ("seed_s", "dispatch_s", "build_s",
-                                    "polish_s")} | {"emit": round(emit_s, 3)},
+                                    "polish_s")},
+        **arm,
     }
-    if profile:
-        detail["err_profile"] = profile
-    elif not os.environ.get("BENCH_SKIP_ONT"):
-        # realistic-profile accuracy arm (host backend, see ont_accuracy)
-        detail["ont_exact_exon_chain_frac"] = round(
-            ont_accuracy(min(len(reads), 1500)), 4)
+    if tag == "ont":
+        # continuity with the r1/r2 field name: the headline arm IS the
+        # realistic profile now, measured on the production backend
+        detail["ont_exact_exon_chain_frac"] = detail["exact_exon_chain_frac"]
+        # per-seed accuracy stability artifact (scripts/ont_accuracy_sweep.py)
+        acc_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "ONT_ACCURACY.json")
+        if os.path.exists(acc_path):
+            with open(acc_path) as f:
+                sweep = json.load(f)
+            detail["ont_accuracy_seeds"] = sweep.get("per_seed")
+    # secondary arm: clean canonical profile (round-1/2 headline), one
+    # timed pass at 1/4 size — keeps rounds comparable without doubling
+    # bench wall
+    if tag == "ont" and not os.environ.get("BENCH_SKIP_CLEAN"):
+        hb("clean arm: simulate + align")
+        rng2 = np.random.default_rng(SEED)
+        genome2 = build_genome(int(GENOME_MB * 1e6), rng2)
+        creads, ctruths = simulate_reads(genome2, max(N_READS // 4, 512),
+                                         rng2, profile=None)
+        cnames = [f"read{i}" for i in range(len(creads))]
+        al2 = BatchAligner(genome2)
+        al2.warmup_chain_shapes()
+        crps, _, carm = _measure(al2, _pack(creads, cnames), cnames,
+                                 ctruths, 1, "clean")
+        detail["clean_reads_per_sec"] = round(crps, 2)
+        detail["clean_exact_exon_chain_frac"] = carm["exact_exon_chain_frac"]
     if os.environ.get("BENCH_NOTE"):
         detail["note"] = os.environ["BENCH_NOTE"]
+    hb("done; emitting JSON")
     print(json.dumps({
         "metric": "long_reads_aligned_per_sec_per_chip",
         "value": round(rps, 2),
@@ -280,26 +347,81 @@ def main():
     }))
 
 
-def _supervised():
-    """Run the measurement in a child process with a watchdog; the remote
-    TPU relay occasionally hangs a session, so retry in a fresh process and
-    finally fall back to the CPU host path rather than hang the driver."""
+def _run_attempt(extra_env: dict, stall_s: float, cap_s: float):
+    """One supervised child run.  Kills on heartbeat stall (no stderr line
+    for stall_s — a hung relay call) or hard cap; budgets therefore scale
+    with observed progress instead of a fixed wall.  Returns the JSON line
+    or None."""
     import subprocess
+    import threading
     me = os.path.abspath(__file__)
-    for attempt, extra_env in ((1, {}), (2, {}),
-                               (3, {"JAX_PLATFORMS": "cpu", "PYTHONPATH": "",
-                                    "BENCH_NOTE": "cpu-fallback"})):
-        try:
-            r = subprocess.run(
-                [sys.executable, me, "--inner"],
-                capture_output=True, text=True, timeout=420,
-                env={**os.environ, **extra_env})
-            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
-            if r.returncode == 0 and lines:
-                print(lines[-1])
-                return 0
-        except subprocess.TimeoutExpired:
-            continue
+    proc = subprocess.Popen(
+        [sys.executable, me, "--inner"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env={**os.environ, **extra_env})
+    last = [time.monotonic()]
+    err_tail = []
+
+    def _drain():
+        for line in proc.stderr:
+            last[0] = time.monotonic()
+            err_tail.append(line)
+            del err_tail[:-40]
+            sys.stderr.write(line)
+            sys.stderr.flush()
+
+    th = threading.Thread(target=_drain, daemon=True)
+    th.start()
+    t_start = time.monotonic()
+    while proc.poll() is None:
+        now = time.monotonic()
+        if now - last[0] > stall_s or now - t_start > cap_s:
+            why = ("stall %.0fs" % (now - last[0])
+                   if now - last[0] > stall_s else "cap %.0fs" % cap_s)
+            print(f"[supervisor] killing attempt: {why}", file=sys.stderr,
+                  flush=True)
+            proc.kill()
+            proc.wait()
+            return None
+        time.sleep(2.0)
+    out = proc.stdout.read()
+    lines = [l for l in out.splitlines() if l.startswith("{")]
+    if proc.returncode == 0 and lines:
+        return lines[-1]
+    print(f"[supervisor] attempt rc={proc.returncode}; stderr tail:\n"
+          + "".join(err_tail[-10:]), file=sys.stderr, flush=True)
+    return None
+
+
+def _supervised():
+    """TPU attempts with stall-based watchdogs, then a LOUD cpu fallback:
+    the fallback JSON carries value=0.0 / vs_baseline=0.0 and the CPU
+    number only in detail.cpu_fallback_value, so a relay outage can never
+    masquerade as a per-chip result (VERDICT r2 #1)."""
+    # two chip attempts: the persistent compile cache makes the second one
+    # cheap if the first died after some compiles landed
+    for attempt, (stall, cap) in enumerate(((240.0, 900.0),
+                                            (240.0, 600.0)), 1):
+        print(f"[supervisor] TPU attempt {attempt}", file=sys.stderr,
+              flush=True)
+        line = _run_attempt({}, stall, cap)
+        if line:
+            print(line)
+            return 0
+    print("[supervisor] relay unusable; CPU fallback (headline excluded)",
+          file=sys.stderr, flush=True)
+    line = _run_attempt({"JAX_PLATFORMS": "cpu", "PYTHONPATH": ""},
+                        300.0, 900.0)
+    if line:
+        obj = json.loads(line)
+        obj["detail"]["cpu_fallback_value"] = obj["value"]
+        obj["detail"]["platform"] = "cpu"
+        obj["detail"]["note"] = ("cpu-fallback: relay down; headline value "
+                                 "excluded (not a per-chip number)")
+        obj["value"] = 0.0
+        obj["vs_baseline"] = 0.0
+        print(json.dumps(obj))
+        return 0
     print(json.dumps({"metric": "long_reads_aligned_per_sec_per_chip",
                       "value": 0.0, "unit": "reads/s", "vs_baseline": 0.0,
                       "detail": {"error": "all attempts timed out"}}))

@@ -3,8 +3,9 @@
 Fills the gap segments between chain anchors inside an exon.  The band is
 centred on the diagonal shift between query and reference segment lengths.
 Unit costs (match 0 / mismatch 1 / indel 1) — we need the *path* (CIGAR ops)
-and the edit count (NM), not an affine score.  The batched TPU scoring
-version lives in lr2rmats_tpu.ops.banded_pallas.
+and the edit count (NM), not an affine score.  In production this runs
+inside the native batch extension (csrc/lrio.cpp extend_chain_batch_c);
+the device twin for the junction-placement DP is ops/splice_device.py.
 """
 
 from __future__ import annotations

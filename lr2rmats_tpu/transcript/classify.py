@@ -191,6 +191,12 @@ def check_splice_site(bam_T: Transcripts, bi: int, anno_T: Transcripts, ai: int,
 
     Returns 0 (no known site), 1 (known), 2 (has known site); clears
     novel_site/exon/junction flags on matches (reference update_gtf.c:717-779).
+
+    Faithful quirk: "known" (return 1) means every splice *site* of the bam
+    transcript is annotated and inside the overlap — the exon *chain* is
+    never compared, so an exon-skipping isoform whose remaining sites are
+    all annotated classifies as known, exactly as in the reference.
+
     Dispatches to the native kernel when available (bit-equal; tested).
     """
     from ..native import get_lib
