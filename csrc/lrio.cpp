@@ -2716,3 +2716,129 @@ void chain_small_batch_c(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// check_with_short_sj over the has_known_site reads, IN ORDER, sharing the
+// last_sj_i cursor exactly like the reference sweep (transcript/classify.py::
+// check_with_short_sj; reference update_gtf.c:589-709 + the c:947 call
+// site).  Reads arrive as idx[] rows of the bam SoA; supported_out[t]=1
+// when every novel junction of read idx[t] has short-read support.
+// unreliable_junction_flag rows and the has_unreliable_junction flag are
+// written in place.  Replaces the last per-read python loop of pass 2.
+int sj_check_batch_c(
+    const int32_t* b_es, const int32_t* b_ee, int64_t b_w,
+    const int32_t* b_en, const int32_t* b_tid,
+    const int32_t* b_start, const int32_t* b_end,
+    const uint8_t* njf, int64_t njf_w,
+    uint8_t* urj, int64_t urj_w,
+    uint8_t* f_has_urj,
+    const int64_t* idx, int64_t m,
+    const int32_t* sj_tid, const int32_t* sj_don, const int32_t* sj_acc,
+    const int32_t* sj_uniq, const int32_t* sj_multi, int64_t sj_n,
+    int ss_dis, int min_sj_cnt, int use_multi,
+    uint8_t* supported_out) {
+    // check_short_sj1 (update_gtf.c:589-603): scan forward from i_start
+    // until a junction matches within ss_dis with enough support, or the
+    // table passes the intron end.
+    auto sj1 = [&](int32_t tid, int64_t start, int64_t end,
+                   int64_t i_start) -> bool {
+        for (int64_t i = i_start; i < sj_n; ++i) {
+            if (sj_tid[i] > tid || (sj_tid[i] == tid && sj_don[i] >= end))
+                return false;
+            if (std::llabs((int64_t)sj_don[i] - start) <= ss_dis &&
+                std::llabs((int64_t)sj_acc[i] - end) <= ss_dis) {
+                int64_t cnt = sj_uniq[i] + (use_multi ? sj_multi[i] : 0);
+                if (cnt >= min_sj_cnt) return true;
+            }
+        }
+        return false;
+    };
+    int64_t cur = 0;  // last_sj_i
+    for (int64_t t = 0; t < m; ++t) {
+        int64_t bi = idx[t];
+        const int32_t* bs = b_es + bi * b_w;
+        const int32_t* be = b_ee + bi * b_w;
+        int en = b_en[bi];
+        const uint8_t* nj = njf + bi * njf_w;
+        uint8_t* ur = urj + bi * urj_w;
+        bool ret = false;        // reference returns 0 when the loop ends
+        int64_t i = cur;
+        while (i < sj_n) {
+            if (sj_tid[i] < b_tid[bi] ||
+                (sj_tid[i] == b_tid[bi] && sj_acc[i] <= b_start[bi])) {
+                ++i;
+                cur = i;
+            } else if (sj_tid[i] > b_tid[bi] ||
+                       (sj_tid[i] == b_tid[bi] && sj_don[i] >= b_end[bi])) {
+                ret = false;     // window miss: no junction blamed (c:615)
+                break;
+            } else {
+                ret = true;
+                for (int j = 0; j < en - 1; ++j) {
+                    // sj_map[j] = 1 - novel_junction_flag[j] (c:700-703)
+                    if (nj[j] && !sj1(b_tid[bi], (int64_t)be[j] + 1,
+                                      (int64_t)bs[j + 1] - 1, i)) {
+                        ur[j] = 1;
+                        ret = false;
+                    }
+                }
+                break;
+            }
+        }
+        f_has_urj[bi] = ret ? 0 : 1;
+        supported_out[t] = ret ? 1 : 0;
+    }
+    return 0;
+}
+
+// split_trans fragment ranges (reference update_gtf.c:837-913): for each
+// read, cut at unreliable junctions; a fragment [lo, hi] (exon indices,
+// inclusive) survives when it is multi-exon AND saw >=1 novel and >=1
+// known junction — counting the cutting junction's own novelty, exactly
+// like the reference (c:845-846 run before the c:847 cut test).  Writes
+// up to frag_stride (lo, hi) pairs per read; n_frag_out[t] = count.
+// Row assembly (flag copies + ".split.N" ids) stays host-side per
+// FRAGMENT, not per read.
+int split_trans_batch_c(
+    const int32_t* b_en,
+    const uint8_t* njf, int64_t njf_w,
+    const uint8_t* urj, int64_t urj_w,
+    const int64_t* idx, int64_t m,
+    int32_t* frag_lo, int32_t* frag_hi, int64_t frag_stride,
+    int32_t* n_frag_out) {
+    for (int64_t t = 0; t < m; ++t) {
+        int64_t bi = idx[t];
+        int en = b_en[bi];
+        const uint8_t* nj = njf + bi * njf_w;
+        const uint8_t* ur = urj + bi * urj_w;
+        int32_t* lo_out = frag_lo + t * frag_stride;
+        int32_t* hi_out = frag_hi + t * frag_stride;
+        int nf = 0;
+        int last = 0;
+        bool has_novel = false, has_known = false;
+        for (int i = 0; i < en - 1; ++i) {
+            if (nj[i]) has_novel = true; else has_known = true;
+            if (ur[i]) {
+                if (has_novel && has_known && i - last >= 1 &&
+                    nf < frag_stride) {
+                    lo_out[nf] = last;
+                    hi_out[nf] = i;
+                    ++nf;
+                }
+                last = i + 1;
+                has_novel = has_known = false;
+            }
+        }
+        if (has_novel && has_known && (en - 1) - last >= 1 &&
+            nf < frag_stride) {
+            lo_out[nf] = last;
+            hi_out[nf] = en - 1;
+            ++nf;
+        }
+        n_frag_out[t] = nf;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -394,6 +394,86 @@ def check_with_short_sj(bam_T: Transcripts, bi: int, sj: SJTable,
     return ret, last_sj_i
 
 
+def sj_check_batch(bam_T: Transcripts, idx: np.ndarray, sj: SJTable,
+                   ugp: UpdateGtfParams) -> Optional[np.ndarray]:
+    """Batched check_with_short_sj over reads idx (ascending coordinate
+    order, shared SJ cursor — reference check_trans update_gtf.c:947).
+    Mutates unreliable_junction_flag / has_unreliable_junction in place
+    like the scalar path; returns supported[len(idx)] bool, or None when
+    the native lib is unavailable.  Agreement with the scalar path is
+    pinned by tests/test_classify_fixtures.py (both paths) and the
+    randomized sweep in tests/test_classify_batch.py."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, np.int64)
+    supported = np.zeros(len(idx), np.uint8)
+    if not len(idx):
+        return supported.astype(bool)
+    lib.sj_check_batch_c(
+        bam_T.exon_start.ctypes.data, bam_T.exon_end.ctypes.data,
+        bam_T.exon_start.shape[1],
+        bam_T.exon_n.ctypes.data, bam_T.tid.ctypes.data,
+        bam_T.start.ctypes.data, bam_T.end.ctypes.data,
+        bam_T.novel_junction_flag.ctypes.data,
+        bam_T.novel_junction_flag.shape[1],
+        bam_T.unreliable_junction_flag.ctypes.data,
+        bam_T.unreliable_junction_flag.shape[1],
+        bam_T.flags["has_unreliable_junction"].ctypes.data,
+        idx.ctypes.data, len(idx),
+        np.ascontiguousarray(sj.tid, np.int32).ctypes.data,
+        np.ascontiguousarray(sj.don, np.int32).ctypes.data,
+        np.ascontiguousarray(sj.acc, np.int32).ctypes.data,
+        np.ascontiguousarray(sj.uniq_c, np.int32).ctypes.data,
+        np.ascontiguousarray(sj.multi_c, np.int32).ctypes.data, sj.n,
+        ugp.ss_dis, ugp.min_sj_cnt, int(ugp.use_multi),
+        supported.ctypes.data)
+    return supported.astype(bool)
+
+
+def _split_ranges(bam_T: Transcripts, bi: int) -> list:
+    """Fragment (lo, hi) exon ranges for split_trans — native kernel when
+    available, python otherwise (identical semantics; reference
+    update_gtf.c:837-913 loop structure)."""
+    en = int(bam_T.exon_n[bi])
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        idx = np.array([bi], np.int64)
+        stride = max(en, 1)
+        lo = np.zeros(stride, np.int32)
+        hi = np.zeros(stride, np.int32)
+        nf = np.zeros(1, np.int32)
+        lib.split_trans_batch_c(
+            bam_T.exon_n.ctypes.data,
+            bam_T.novel_junction_flag.ctypes.data,
+            bam_T.novel_junction_flag.shape[1],
+            bam_T.unreliable_junction_flag.ctypes.data,
+            bam_T.unreliable_junction_flag.shape[1],
+            idx.ctypes.data, 1,
+            lo.ctypes.data, hi.ctypes.data, stride, nf.ctypes.data)
+        return [(int(lo[t]), int(hi[t])) for t in range(int(nf[0]))]
+    nj = bam_T.novel_junction_flag[bi, : en - 1]
+    urj = bam_T.unreliable_junction_flag[bi, : en - 1]
+    out = []
+    last = 0
+    has_novel = has_known = False
+    for i in range(en - 1):
+        if nj[i]:
+            has_novel = True
+        else:
+            has_known = True
+        if urj[i]:
+            if has_novel and has_known and i - last >= 1:
+                out.append((last, i))
+            last = i + 1
+            has_novel = has_known = False
+    if has_novel and has_known and (en - 1) - last >= 1:
+        out.append((last, en - 1))
+    return out
+
+
 def split_trans(bam_T: Transcripts, bi: int) -> Transcripts:
     """Cut a read at unreliable junctions, keeping multi-exon fragments that
     contain >=1 known and >=1 novel junction (reference update_gtf.c:837-913)."""
@@ -403,11 +483,8 @@ def split_trans(bam_T: Transcripts, bi: int) -> Transcripts:
     nj = bam_T.novel_junction_flag[bi, : en - 1]
     ns = bam_T.novel_site_flag[bi, : 2 * (en - 1)]
     ne = bam_T.novel_exon_flag[bi, : en]
-    urj = bam_T.unreliable_junction_flag[bi, : en - 1]
 
     trans_i = 0
-    last_exon_i = 0
-    has_novel = has_known = False
 
     def _emit(lo: int, hi: int) -> None:
         """copy exons [lo, hi] as a split fragment."""
@@ -434,20 +511,8 @@ def split_trans(bam_T: Transcripts, bi: int) -> Transcripts:
         )
         trans_i += 1
 
-    i = 0
-    for i in range(en - 1):
-        if nj[i]:
-            has_novel = True
-        else:
-            has_known = True
-        if urj[i]:
-            if has_novel and has_known and i - last_exon_i >= 1:
-                _emit(last_exon_i, i)
-            last_exon_i = i + 1
-            has_novel = has_known = False
-    i = en - 1
-    if has_novel and has_known and i - last_exon_i >= 1:
-        _emit(last_exon_i, i)
+    for lo, hi in _split_ranges(bam_T, bi):
+        _emit(lo, hi)
     return out
 
 
@@ -547,20 +612,33 @@ def check_trans(bam_T: Transcripts, anno_T: Transcripts, sj: SJTable,
                                        ugp.single_exon_ovlp_frac):
                         updated_T.append_from(src, i)
 
-        for bi in np.nonzero(has_site)[0].tolist():
-            if sj.n == 0:
-                supported = True
-            else:
-                supported, last_sj_i = check_with_short_sj(
-                    bam_T, bi, sj, last_sj_i, ugp)
-            if supported:
+        has_idx = np.nonzero(has_site)[0]
+        if sj.n == 0:
+            supported = np.ones(len(has_idx), bool)
+        else:
+            # batched native sweep (sj_check_batch_c) — pass 2's last
+            # per-read python loop collapses to one call
+            supported = sj_check_batch(bam_T, has_idx, sj, ugp)
+            if supported is None:          # lib vanished mid-run: scalar
+                supported = np.zeros(len(has_idx), bool)
+                for t, bi in enumerate(has_idx.tolist()):
+                    supported[t], last_sj_i = check_with_short_sj(
+                        bam_T, bi, sj, last_sj_i, ugp)
+        if not ugp.split_trans:
+            run_idx.extend(has_idx[supported].tolist())
+            _flush(bam_T)
+            return
+        # -s: unsupported reads split in place; flushes keep novel_T /
+        # updated_T in exact read order (fragments interleave)
+        for t, bi in enumerate(has_idx.tolist()):
+            if supported[t]:
                 run_idx.append(bi)
-            elif ugp.split_trans:
-                _flush(bam_T)
-                split_T = split_trans(bam_T, bi)
-                if split_T.n:
-                    run_idx.extend(range(split_T.n))
-                    _flush(split_T)
+                continue
+            _flush(bam_T)
+            split_T = split_trans(bam_T, bi)
+            if split_T.n:
+                run_idx.extend(range(split_T.n))
+                _flush(split_T)
         _flush(bam_T)
         return
     last_anno_i = 0

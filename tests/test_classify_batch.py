@@ -104,3 +104,59 @@ def test_native_sweep_matches_python():
     # the mix actually exercised every class
     kn, nv, un = native[2], native[3], native[4]
     assert kn.n > 0 and nv.n > 0 and un.n > 0
+
+
+def test_sj_check_batch_matches_python():
+    """Randomized agreement of the batched SJ sweep (sj_check_batch_c) +
+    native split ranges with the scalar python path: a non-empty SJ table
+    supporting a random ~60% of novel junctions drives supported /
+    unreliable-flagged / window-miss / split interleavings through both
+    paths; outputs and mutated flags must match exactly."""
+    if nl.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    bam, anno = _build(seed=23)
+    rng = np.random.default_rng(5)
+    # SJ table: for every bam junction flip a coin; supported junctions get
+    # uniq_c in {1, 3}, some rows are multi-only (use_multi gate)
+    rows = []
+    for bi in range(bam.n):
+        en = int(bam.exon_n[bi])
+        bs, be = bam.exons(bi)
+        for j in range(en - 1):
+            r = rng.random()
+            if r < 0.55:
+                rows.append((0, int(be[j]) + 1, int(bs[j + 1]) - 1, 3, 0))
+            elif r < 0.65:
+                rows.append((0, int(be[j]) + 1, int(bs[j + 1]) - 1, 0, 2))
+    rows.sort()
+    tid, don, acc, u, m = (np.array(c) for c in zip(*rows))
+    z = np.zeros(len(rows), np.int8)
+    sj = SJTable(tid.astype(np.int32), don.astype(np.int32),
+                 acc.astype(np.int32), z, z.copy(), z.copy(),
+                 u.astype(np.int32), m.astype(np.int32),
+                 np.zeros(len(rows), np.int32))
+    for ugp in (UpdateGtfParams(split_trans=True),
+                UpdateGtfParams(split_trans=False, use_multi=True),
+                UpdateGtfParams(split_trans=True, min_sj_cnt=2)):
+        native = _run(bam, anno, sj, ugp)
+        nl._lib, nl._tried = None, True
+        try:
+            fallback = _run(bam, anno, sj, ugp)
+        finally:
+            nl._tried = False
+        bn, bf = native[0], fallback[0]
+        assert np.array_equal(
+            bn.unreliable_junction_flag[:bn.n],
+            bf.unreliable_junction_flag[:bf.n])
+        assert np.array_equal(
+            bn.flags["has_unreliable_junction"][:bn.n],
+            bf.flags["has_unreliable_junction"][:bf.n])
+        for a, b in zip(native[1:], fallback[1:]):
+            assert a.n == b.n
+            assert a.trans_id[:a.n] == b.trans_id[:b.n]
+            assert np.array_equal(a.exon_start[:a.n], b.exon_start[:b.n])
+            assert np.array_equal(a.exon_end[:a.n], b.exon_end[:b.n])
+            assert np.array_equal(a.cov[:a.n], b.cov[:b.n])
+        # the table actually produced a mix
+        assert native[3].n > 0
