@@ -155,7 +155,9 @@ class BatchAligner:
         h, qp, qs, rid, lens = self._batch_minimizers(reads)
         if h is None:
             return []
-        lo, hi = idx.lookup(h)
+        # sharded indexes expose the batch-level (possibly collective)
+        # lookup separately (parallel/shard_index.py)
+        lo, hi = getattr(idx, "lookup_collective", idx.lookup)(h)
         cnt = (hi - lo).astype(np.int64)
         keep = cnt > 0
         if not keep.any():

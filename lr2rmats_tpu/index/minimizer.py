@@ -144,22 +144,38 @@ class MinimizerIndex:
     max_occ: int = 0        # high-frequency cutoff applied (0 = none)
 
     @classmethod
-    def build(cls, genome: Genome, k: int = K_DEFAULT, w: int = W_DEFAULT,
-              max_occ_frac: float = 2e-4, min_max_occ: int = 50) -> "MinimizerIndex":
-        log("index", "building minimizer index (k=%d, w=%d) ...", k, w)
+    def _extract_sorted(cls, genome: Genome, k: int, w: int,
+                        hash_shard=None):
+        """Hash-sorted (h, p, s) minimizer arrays + the 1025-bucket
+        per-hash occurrence histogram (counts >= 1024 pooled).
+
+        hash_shard=(sid, n) keeps only minimizers with hash % n == sid —
+        the per-chromosome filter runs BEFORE the arrays concatenate, so
+        build-time peak memory scales ~1/n too.  Every hash lives in
+        exactly one shard and the sort is stable, so the stable hash-sort
+        of the concatenated shard tables is bit-identical to the unsharded
+        table (tested, tests/test_shard_index.py)."""
+        # mod-sharding (h % n == sid): every hash lives in exactly one
+        # shard AND shards balance even though minimizer hashes skew low
+        # (window minima) — contiguous hash ranges don't
+        sid = n_shards = None
+        if hash_shard is not None:
+            sid, n_shards = hash_shard
         hs, ps, ss = [], [], []
         for tid in range(genome.n):
             codes = genome.get(tid)
             h, p, s = extract_minimizers(codes, k, w)
+            if sid is not None:
+                keep = (h % np.uint64(n_shards)) == np.uint64(sid)
+                h, p, s = h[keep], p[keep], s[keep]
             hs.append(h)
             ps.append(p + genome.offsets[tid])
             ss.append(s)
         h = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
         p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
         s = np.concatenate(ss) if ss else np.zeros(0, np.int8)
-        # occurrence cap: drop minimizers appearing more often than the
-        # max_occ_frac quantile (minimap2 -f equivalent)
-        max_occ = 0
+        del hs, ps, ss
+        hist = np.zeros(1025, np.int64)
         from ..native import get_lib
         lib = get_lib()
         if lib is not None and len(h):
@@ -169,33 +185,74 @@ class MinimizerIndex:
             h = np.ascontiguousarray(h)
             p = np.ascontiguousarray(p)
             s = np.ascontiguousarray(s)
-            hist = np.zeros(1025, np.int64)
             lib.sort_minimizer_table_c(h, p, s, len(h),
                                        min(8, os.cpu_count() or 1), hist)
-            # quantile of per-hash occurrence counts from the histogram
-            # (counts >= 1024 pooled in the last bucket)
-            total = int(hist.sum())
-            want = (1.0 - max_occ_frac) * total
-            cum = np.cumsum(hist)
-            max_occ = max(int(np.searchsorted(cum, want)), min_max_occ)
-            if hist[min(max_occ + 1, 1024):].sum() > 0 or max_occ >= 1024:
-                n2 = int(lib.cap_occurrences_c(h, p, s, len(h), max_occ))
-                h, p, s = h[:n2].copy(), p[:n2].copy(), s[:n2].copy()
         elif len(h):
             order = np.argsort(h, kind="stable")
             h, p, s = h[order], p[order], s[order]
-            uh, counts = np.unique(h, return_counts=True)
-            if len(uh):
-                max_occ = max(int(np.quantile(counts, 1.0 - max_occ_frac)),
-                              min_max_occ)
-                bad = uh[counts > max_occ]
-                if len(bad):
-                    drop = np.isin(h, bad)
-                    h, p, s = h[~drop], p[~drop], s[~drop]
-        log("index", "minimizer index done: %d minimizers (max_occ=%d)",
-            len(h), max_occ)
-        return cls(k, w, h, p, s, genome.offsets.copy(), list(genome.names),
-                   max_occ)
+            _, counts = np.unique(h, return_counts=True)
+            np.add.at(hist, np.minimum(counts, 1024), 1)
+        return h, p, s, hist
+
+    @staticmethod
+    def occ_cap_from_hist(hist: np.ndarray, max_occ_frac: float,
+                          min_max_occ: int) -> int:
+        """max_occ from a per-hash occurrence histogram (sum the shard
+        histograms first for a cap that is identical at every shard
+        count)."""
+        total = int(hist.sum())
+        if not total:
+            return 0
+        want = (1.0 - max_occ_frac) * total
+        cum = np.cumsum(hist)
+        return max(int(np.searchsorted(cum, want)), min_max_occ)
+
+    @staticmethod
+    def _apply_cap(h, p, s, max_occ: int, hist: np.ndarray):
+        """Drop hashes with more than max_occ occurrences (minimap2 -f)."""
+        if not len(h):
+            return h, p, s
+        if hist[min(max_occ + 1, 1024):].sum() == 0 and max_occ < 1024:
+            return h, p, s
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            n2 = int(lib.cap_occurrences_c(h, p, s, len(h), max_occ))
+            return h[:n2].copy(), p[:n2].copy(), s[:n2].copy()
+        uh, counts = np.unique(h, return_counts=True)
+        bad = uh[counts > max_occ]
+        if len(bad):
+            drop = np.isin(h, bad)
+            h, p, s = h[~drop], p[~drop], s[~drop]
+        return h, p, s
+
+    @classmethod
+    def build(cls, genome: Genome, k: int = K_DEFAULT, w: int = W_DEFAULT,
+              max_occ_frac: float = 2e-4, min_max_occ: int = 50,
+              hash_shard=None, occ_hist=None) -> "MinimizerIndex":
+        """Build the (optionally hash-range-sharded) table.
+
+        hash_shard=(sid, n): keep only the sid-th of n uint64 hash ranges
+        (SURVEY §5 long-genome arm: one shard per host, ~1/n RSS).
+        occ_hist: externally reduced global occurrence histogram — pass the
+        SUM of every shard's `occ_hist` attribute so the high-frequency cap
+        is identical regardless of shard count; without it the cap comes
+        from the local histogram (exact for unsharded builds)."""
+        shard_note = (" [shard %d/%d]" % hash_shard) if hash_shard else ""
+        log("index", "building minimizer index (k=%d, w=%d)%s ...", k, w,
+            shard_note)
+        h, p, s, hist = cls._extract_sorted(genome, k, w, hash_shard)
+        max_occ = cls.occ_cap_from_hist(
+            occ_hist if occ_hist is not None else hist,
+            max_occ_frac, min_max_occ) if len(h) else 0
+        if len(h):
+            h, p, s = cls._apply_cap(h, p, s, max_occ, hist)
+        log("index", "minimizer index done: %d minimizers (max_occ=%d)%s",
+            len(h), max_occ, shard_note)
+        out = cls(k, w, h, p, s, genome.offsets.copy(), list(genome.names),
+                  max_occ)
+        out.occ_hist = hist
+        return out
 
     def _ensure_buckets(self) -> None:
         """Prefix-bucket table over the sorted hashes: bucket b covers

@@ -138,6 +138,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--jobs", type=int, default=None,
                     help="per-sample host-stage parallelism (Snakemake "
                          "--jobs role; default min(4, n_samples), 1=serial)")
+    sp.add_argument("--index-shards", type=int, default=1,
+                    help="minimizer-table hash-range shards (>1 routes seed "
+                         "lookups per shard; byte-identical output)")
     sp.add_argument("--cpu", action="store_true",
                     help="force the CPU host path (no accelerator)")
     sp.add_argument("--coordinator", default=None,
@@ -296,6 +299,7 @@ def _main(argv=None) -> int:
         cfg.full_level = args.full_level
         cfg.out_dir = args.out_dir
         cfg.jobs = args.jobs
+        cfg.index_shards = args.index_shards
         if args.cpu:
             # keep the accelerated (XLA) chain kernels but on the CPU
             # backend — the pure-python "host" fallback is for tests only

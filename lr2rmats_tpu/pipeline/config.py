@@ -42,6 +42,9 @@ class PipelineConfig:
     jobs: Optional[int] = None            # per-sample host-stage parallelism
                                           # (Snakemake --jobs role); None =
                                           # min(4, n_samples), 1 = serial
+    index_shards: int = 1                 # minimizer table hash-range shards
+                                          # (SURVEY §5 long-genome arm); >1
+                                          # routes seed lookups per shard
 
     @classmethod
     def from_yaml(cls, path: str) -> "PipelineConfig":

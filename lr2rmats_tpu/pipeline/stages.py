@@ -274,9 +274,19 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         if not _fresh(sam_path, cfg.genome_fasta, reads.long_read):
             with Timer(f"stage/align[{sample}]", benchmark_file=A("benchmark", f"{sample}.minimap.benchmark.txt")):
                 if aligner is None:
-                    from ..index.minimizer import MinimizerIndex
-                    cache = cfg.index_cache or (cfg.genome_fasta + ".tmmi.npz")
-                    idx = MinimizerIndex.build_or_load(genome, cache)
+                    if getattr(cfg, "index_shards", 1) > 1:
+                        # hash-range-sharded table with routed lookups
+                        # (SURVEY §5; byte-identical to the unsharded path,
+                        # tests/test_shard_index.py)
+                        from ..parallel.shard_index import \
+                            ShardedMinimizerIndex
+                        idx = ShardedMinimizerIndex.build(
+                            genome, cfg.index_shards)
+                    else:
+                        from ..index.minimizer import MinimizerIndex
+                        cache = cfg.index_cache or (cfg.genome_fasta +
+                                                    ".tmmi.npz")
+                        idx = MinimizerIndex.build_or_load(genome, cache)
                     aligner = BatchAligner(genome, align_params, index=idx,
                                            backend=("host" if use_tpu is False
                                                     else "jax"))

@@ -122,5 +122,152 @@ def main():
     print(json.dumps(out))
 
 
+# --------------------------------------------------- sharded-index arm
+def _gen_workload(n_chrom, chrom_mb, n_reads):
+    """Same genome + reads as main() (same seed on every process)."""
+    from lr2rmats_tpu.io.fasta import Genome
+    import bench
+    rng = np.random.default_rng(7)
+    per = int(chrom_mb * 1e6)
+    total = n_chrom * per
+    codes = rng.integers(0, 4, total, dtype=np.int64).astype(np.uint8)
+    offsets = np.arange(n_chrom + 1, dtype=np.int64) * per
+    genome = Genome([f"chr{i+1}" for i in range(n_chrom)], codes, offsets)
+    reads, truths = bench.simulate_reads(genome, n_reads, rng)
+    keep = []
+    for i, parts in enumerate(truths):
+        lo, hi = parts[0][0], parts[-1][1]
+        t0i = np.searchsorted(offsets, lo, side="right") - 1
+        if hi <= offsets[t0i + 1]:
+            keep.append(i)
+    reads = [reads[i] for i in keep]
+    truths = [truths[i] for i in keep]
+    names = [f"read{i}" for i in range(len(reads))]
+    return genome, offsets, reads, truths, names
+
+
+def shard_worker(pid: int, nproc: int):
+    """One host of the sharded-index arm (VERDICT r2 #5): builds ONLY its
+    hash-range shard (~1/n of the table resident), aligns its round-robin
+    read slice with collective batch lookups, reports per-process stats."""
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.parallel.distributed import barrier, init_multihost
+    from lr2rmats_tpu.parallel.shard_index import ShardedMinimizerIndex
+    init_multihost(os.environ.get("DRYRUN_COORD", "127.0.0.1:29891"),
+                   nproc, pid)
+    n_chrom = int(os.environ.get("DRYRUN_CHROMS", "24"))
+    chrom_mb = float(os.environ.get("DRYRUN_CHROM_MB", "129"))
+    n_reads = int(os.environ.get("DRYRUN_READS", "50000"))
+    genome, offsets, reads, truths, names = _gen_workload(
+        n_chrom, chrom_mb, n_reads)
+    print(f"# [{pid}] workload ready rss={rss_gb():.1f}G", file=sys.stderr,
+          flush=True)
+    t0 = time.perf_counter()
+    idx = ShardedMinimizerIndex.build(genome, nproc, local_shard=pid)
+    t_index = time.perf_counter() - t0
+    idx_gb = idx.resident_bytes() / 1e9
+    print(f"# [{pid}] shard built {t_index:.0f}s ({idx_gb:.1f} GB resident) "
+          f"rss={rss_gb():.1f}G", file=sys.stderr, flush=True)
+    aligner = BatchAligner(genome, index=idx, backend="host")
+    my = list(range(pid, len(reads), nproc))
+    B = 1536
+    import math
+    max_slice = math.ceil(len(reads) / nproc)
+    n_batches = math.ceil(max_slice / B)
+    t0 = time.perf_counter()
+    primary = {}
+    for b in range(n_batches):
+        part = my[b * B: (b + 1) * B]
+        if part:
+            h = aligner.dispatch_batch([names[i] for i in part],
+                                       [reads[i] for i in part])
+            for r in aligner.finish_batch(h):
+                if not (r.flag & 0x100):
+                    primary[r.qname] = r
+        else:
+            # lockstep pad: peers may still have batches in flight
+            idx.lookup_collective(np.zeros(0, np.uint64))
+    t_align = time.perf_counter() - t0
+    from lr2rmats_tpu.transcript.exon_chain import gen_exons
+    exact = 0
+    for i in my:
+        parts = truths[i]
+        ts = []
+        for (a1, b1), (a2, b2) in zip(parts[:-1], parts[1:]):
+            ts += [b1, a2 + 1]
+        r = primary.get(names[i])
+        if r is None:
+            continue
+        base = int(offsets[r.tid])
+        es, ee, _ = gen_exons(r, 3, 3, 50)
+        got = []
+        for j in range(len(es) - 1):
+            got += [base + int(ee[j]), base + int(es[j + 1])]
+        if got == ts:
+            exact += 1
+    out = {
+        "process": pid,
+        "n_shards": nproc,
+        "shard_minimizers_m": round(idx.resident_bytes() / 17 / 1e6, 1),
+        "shard_index_gb": round(idx_gb, 2),
+        "index_build_s": round(t_index, 1),
+        "n_reads": len(my),
+        "aligned": len(primary),
+        "exact": exact,
+        "align_wall_s": round(t_align, 1),
+        "peak_rss_gb": round(rss_gb(), 1),
+    }
+    print(json.dumps(out))
+    barrier("dryrun-done")
+
+
+def shard_parent(n_shards: int):
+    """Spawn the worker processes, merge their stats into
+    GRCH38_DRYRUN.json under a 'shards' key."""
+    import subprocess
+    me = os.path.abspath(__file__)
+    procs = [subprocess.Popen(
+        [sys.executable, me, "--shard-worker", str(pid),
+         "--shards", str(n_shards)],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH":
+             os.path.dirname(os.path.dirname(me))})
+        for pid in range(n_shards)]
+    stats = []
+    for p in procs:
+        so, _ = p.communicate()
+        assert p.returncode == 0, f"worker rc={p.returncode}"
+        stats.append(json.loads(
+            [l for l in so.splitlines() if l.startswith("{")][-1]))
+    n_reads = sum(s["n_reads"] for s in stats)
+    merged = {
+        "n_shards": n_shards,
+        "per_process": stats,
+        "peak_rss_gb_max": max(s["peak_rss_gb"] for s in stats),
+        "aligned_frac": round(sum(s["aligned"] for s in stats) / n_reads, 4),
+        "exact_exon_chain_frac": round(
+            sum(s["exact"] for s in stats) / n_reads, 4),
+    }
+    path = os.environ.get("DRYRUN_JSON") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "GRCH38_DRYRUN.json")
+    doc = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+    doc["shards"] = merged
+    with open(path, "w") as f:
+        json.dump(doc, f)
+        f.write("\n")
+    print(json.dumps(merged))
+
+
 if __name__ == "__main__":
-    main()
+    if "--shard-worker" in sys.argv:
+        i = sys.argv.index("--shard-worker")
+        n = int(sys.argv[sys.argv.index("--shards") + 1])
+        shard_worker(int(sys.argv[i + 1]), n)
+    elif "--shards" in sys.argv:
+        shard_parent(int(sys.argv[sys.argv.index("--shards") + 1]))
+    else:
+        main()
