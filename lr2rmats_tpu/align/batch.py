@@ -290,18 +290,21 @@ class BatchAligner:
         pending list (device arrays not yet materialized)."""
         if self.backend in ("host", "pallas"):
             return self.backend
-        from ..ops.chain_jax import (chain_backtrack_batch_async,
-                                     chain_backtrack_multi_async)
-        # bucket rows by padded anchor count; query positions ride the link
-        # as u16 pairs and buckets top out at A_BUCKETS[-1], so the rare
-        # >=64 kb read (oversized positions AND an enlarged spacing-aware
-        # subsample) chains on the host instead
+        from ..ops.chain_jax import (EXC_ROWS, chain_backtrack_batch_async,
+                                     chain_backtrack_multi_async,
+                                     count_delta_overflows)
+        # bucket rows by padded anchor count; query positions AND ref
+        # deltas ride the link as u16 pairs, buckets top out at
+        # A_BUCKETS[-1], so the rare >=64 kb read (oversized positions and
+        # an enlarged spacing-aware subsample) and the rare row with more
+        # than EXC_ROWS introns over 65 kb chain on the host instead
         buckets: Dict[int, List[int]] = {}
         host_rows: List[int] = []
         a_cap = A_BUCKETS[-1]
         for i, r in enumerate(rows):
-            if len(r.qpos) > a_cap or (
-                    len(r.qpos) and int(r.qpos.max()) >= (1 << 16)):
+            if (len(r.qpos) > a_cap or
+                    (len(r.qpos) and int(r.qpos.max()) >= (1 << 16)) or
+                    count_delta_overflows(r.gpos) > EXC_ROWS):
                 host_rows.append(i)
                 continue
             A = next(b for b in A_BUCKETS if len(r.qpos) <= b)
@@ -1040,11 +1043,17 @@ class BatchAligner:
         the cross-read junction consensus pass (align/polish.py) over the
         whole seqset — the STAR-2-pass/`--junc-bed` analog.
 
-        Pipelining: SEEDING of the next batch runs on a worker thread
-        (host-only numpy/native work) while the main thread — the only
-        thread allowed to touch the device; the relay client deadlocks
-        otherwise — dispatches, blocks on the link, and extends.  Up to
-        `pipeline_depth` dispatched batches stay in flight."""
+        Pipelining (two worker threads; the main thread is the only one
+        allowed to touch the device — the relay client deadlocks
+        otherwise):
+          * SEEDING of batch N+1 runs on a seed worker (host-only
+            numpy/native work) while the main thread dispatches and
+            blocks on the link;
+          * RECORD BUILD (native extension + RecordBatch assembly) of
+            batch N runs on a build worker while the main thread waits on
+            batch N+1's device result — the build phase hides entirely
+            under the link wait instead of serializing after it.
+        Up to `pipeline_depth` dispatched batches stay in flight."""
         import os
         import time as _time
         from collections import deque
@@ -1062,17 +1071,34 @@ class BatchAligner:
             st["seed_s"] = st.get("seed_s", 0.0) + _time.perf_counter() - t0
             return names, codes, rows
 
+        def _build(names, codes, rows, chained):
+            t0 = _time.perf_counter()
+            out = self._build_packed(names, codes, rows, chained)
+            self.stats["build_s"] = (self.stats.get("build_s", 0.0) +
+                                     _time.perf_counter() - t0)
+            return out
+
         spans = [(off, min(off + batch_size, reads.n))
                  for off in range(0, reads.n, batch_size)]
         inflight = deque()
-        chunks = []
+        build_futs = []
         if spans:
-            with ThreadPoolExecutor(1) as pool:
-                fut = pool.submit(_seed, *spans[0])
+            with ThreadPoolExecutor(1) as seed_pool, \
+                    ThreadPoolExecutor(1) as build_pool:
+                fut = seed_pool.submit(_seed, *spans[0])
+
+                def _finish_one():
+                    names, codes, rows, pending = inflight.popleft()
+                    # device_get stays on the MAIN thread; only the host
+                    # build moves to the worker
+                    chained = self._materialize_chains(rows, pending)
+                    build_futs.append(build_pool.submit(
+                        _build, names, codes, rows, chained))
+
                 for si in range(len(spans)):
                     names, codes, rows = fut.result()
                     if si + 1 < len(spans):
-                        fut = pool.submit(_seed, *spans[si + 1])
+                        fut = seed_pool.submit(_seed, *spans[si + 1])
                     t1 = _time.perf_counter()
                     pending = self._chain_rows_async(rows)
                     st = self.stats
@@ -1080,10 +1106,12 @@ class BatchAligner:
                                         _time.perf_counter() - t1)
                     inflight.append((names, codes, rows, pending))
                     if len(inflight) > pipeline_depth:
-                        chunks.append(
-                            self.finish_batch_packed(inflight.popleft()))
+                        _finish_one()
                 while inflight:
-                    chunks.append(self.finish_batch_packed(inflight.popleft()))
+                    _finish_one()
+                chunks = [f.result() for f in build_futs]
+        else:
+            chunks = []
         rb = RecordBatch.concat(chunks) if chunks else \
             RecordBatch.from_alnrecs([])
         if polish:

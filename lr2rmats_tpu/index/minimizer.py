@@ -258,7 +258,10 @@ class MinimizerIndex:
         """Prefix-bucket table over the sorted hashes: bucket b covers
         hashes with (h >> shift) == b, so per-query binary search narrows to
         ~a dozen entries."""
-        if getattr(self, "_bshift", None) is not None:
+        # guard on the LAST attribute assigned so a concurrent reader
+        # (seed worker vs build worker's rescue lookups) never sees a
+        # half-initialized bucket table
+        if getattr(self, "_nbuckets", None) is not None:
             return
         # bucket count ~4x the table size caps the per-query binary search
         # at ~1 step (22 bits = 33 MB of starts — noise next to the table);

@@ -119,16 +119,31 @@ def _chain_scan_T(qT, rT, n_anchor, window: int, k: int,
     return f, parents
 
 
+EXC_ROWS = 8  # delta-overflow exception slots per lane (see pack_chain_buf)
+
+
 def _backtrack_core(buf, window: int, k: int,
                     max_qgap, max_intron, gap_open, gap_scale, intron_scale,
                     min_intron_gap, min_score):
     """Fused chain DP + backtrack; see module docstring.  buf is one packed
-    [A/2+A+1, B] int32 H2D array: rows [0, A/2) hold query positions as
-    u16 PAIRS (anchor 2i in the low half-word, 2i+1 high — query positions
-    fit 16 bits for any cDNA read; >=64 kb rows fall back to the host
-    chain), rows [A/2, A/2+A) = rT int32, last row = n_anchor.  One array,
-    half-width q: every separate transfer pays ~36 ms of relay overhead
-    and ~35 ms/MB (measured, scripts/bench_device_link.py).
+    [A/2 + A/2 + EXC_ROWS + 1, B] int32 H2D array:
+      rows [0, A/2)        query positions as u16 PAIRS (anchor 2i low
+                           half-word, 2i+1 high — query positions fit 16
+                           bits for any cDNA read; >=64 kb rows fall back
+                           to the host chain)
+      rows [A/2, A)        rT CONSECUTIVE DELTAS as u16 pairs (anchors are
+                           ref-sorted so deltas are non-negative; rT[0]=0
+                           cluster-relative); rT rebuilds on device as a
+                           cumsum — this halves the dominant payload block
+                           (rT was ~2/3 of every transfer)
+      rows [A, A+EXC_ROWS) delta-overflow exceptions, one slot per row per
+                           lane: (hi_bits << 16) | anchor_idx for deltas
+                           >= 2^16 (introns over 65 kb); slot 0/0 is a
+                           no-op pad.  Rows with more than EXC_ROWS
+                           oversized deltas chain on the host instead.
+      last row             n_anchor
+    One array, half-width q and rT: every separate transfer pays ~36 ms of
+    relay overhead and ~35 ms/MB (measured, scripts/bench_device_link.py).
 
     Every backtrack pass exploits the window invariant parent[i] ∈ [i-W, i)
     (both the device scan and the host DP only ever link within the
@@ -142,12 +157,27 @@ def _backtrack_core(buf, window: int, k: int,
     shift 2*(a%16); K=ceil(A/16)) ++ [B] pscore (f32 bitcast) ++ [B] sscore
     (f32 bitcast)."""
     AB1, B = buf.shape
-    A = (AB1 - 1) * 2 // 3
-    qpk = jax.lax.bitcast_convert_type(buf[: A // 2], jnp.uint32)
-    lo = (qpk & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    hi = (qpk >> jnp.uint32(16)).astype(jnp.int32)
-    qT = jnp.stack([lo, hi], axis=1).reshape(A, B)
-    rT = buf[A // 2: A // 2 + A]
+    A = AB1 - EXC_ROWS - 1
+
+    def unpack_u16(rows):
+        pk = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+        lo = (pk & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        hi = (pk >> jnp.uint32(16)).astype(jnp.int32)
+        return jnp.stack([lo, hi], axis=1).reshape(A, B)
+
+    qT = unpack_u16(buf[: A // 2])
+    d = unpack_u16(buf[A // 2: A])
+    # apply the oversized-delta exceptions (one [A, B] select per slot —
+    # EXC_ROWS broadcasts beat any per-lane scatter on sublanes)
+    iota_a = jnp.arange(A, dtype=jnp.int32)[:, None]
+    for e in range(EXC_ROWS):
+        slot = buf[A + e]                              # [B]
+        at = slot & jnp.int32(0xFFFF)
+        hi_bits = jax.lax.shift_right_logical(
+            jax.lax.bitcast_convert_type(slot, jnp.uint32),
+            jnp.uint32(16)).astype(jnp.int32)
+        d = d + jnp.where(iota_a == at[None, :], (hi_bits << 16)[None, :], 0)
+    rT = jnp.cumsum(d, axis=0)
     n_anchor = buf[AB1 - 1]
     W = window
     fT, pT = _scan_core(_pad_top(qT, W), _pad_top(rT, W), n_anchor,
@@ -294,17 +324,52 @@ def chain_backtrack_batch_async(qpos: np.ndarray, rpos: np.ndarray,
         jnp.float32(min_score))
 
 
+def count_delta_overflows(gpos: np.ndarray) -> int:
+    """Number of consecutive ref-position deltas >= 2^16 in one row —
+    rows exceeding EXC_ROWS must chain on the host (align.batch routes
+    them before packing)."""
+    if len(gpos) < 2:
+        return 0
+    return int(np.sum(np.diff(gpos) >= (1 << 16)))
+
+
 def pack_chain_buf(qpos: np.ndarray, rpos: np.ndarray, n_anchor: np.ndarray
                    ) -> np.ndarray:
-    """Host-pack the fused kernel's [A/2+A+1, B] int32 buffer: q positions
-    as u16 pairs (see _backtrack_core), rT int32, n_anchor row."""
+    """Host-pack the fused kernel's [A/2 + A/2 + EXC_ROWS + 1, B] int32
+    buffer: q positions and rT deltas as u16 pairs, overflow exception
+    slots, n_anchor row (layout: _backtrack_core docstring).  Callers must
+    pre-route rows with more than EXC_ROWS oversized deltas to the host
+    chain."""
     B, A = qpos.shape
-    assert A % 2 == 0, "anchor buckets must be even for u16 q-packing"
+    assert A % 2 == 0, "anchor buckets must be even for u16 packing"
     q = qpos.T.astype(np.uint32)                     # [A, B]
-    buf = np.empty((A // 2 + A + 1, B), np.int32)
+    r = rpos.T.astype(np.int64)
+    d = np.empty((A, B), np.int64)
+    d[0] = r[0]                                       # cluster-relative (=0)
+    np.subtract(r[1:], r[:-1], out=d[1:])
+    # padding columns beyond n_anchor carry zeros in rpos, making one
+    # negative delta at the first pad anchor — clamp; those slots are
+    # masked by n_anchor in the kernel
+    np.maximum(d, 0, out=d)
+    over_r, over_c = np.nonzero(d >= (1 << 16))       # (anchor, lane)
+    du = (d & 0xFFFF).astype(np.uint32)
+    buf = np.empty((A + EXC_ROWS + 1, B), np.int32)
     buf[: A // 2] = ((q[1::2] << np.uint32(16)) | q[0::2]).view(np.int32)
-    buf[A // 2: A // 2 + A] = rpos.T
-    buf[A // 2 + A] = n_anchor
+    buf[A // 2: A] = ((du[1::2] << np.uint32(16)) | du[0::2]).view(np.int32)
+    buf[A: A + EXC_ROWS] = 0                          # (idx 0, hi 0) no-op
+    if len(over_r):
+        # slot index per lane: running count of that lane's exceptions
+        order = np.lexsort((over_r, over_c))
+        over_r, over_c = over_r[order], over_c[order]
+        first = np.ones(len(over_c), bool)
+        first[1:] = over_c[1:] != over_c[:-1]
+        starts = np.nonzero(first)[0]
+        slot = np.arange(len(over_c)) - starts[np.cumsum(first) - 1]
+        assert slot.max() < EXC_ROWS, \
+            "row with >EXC_ROWS oversized deltas reached the device packer"
+        hi = (d[over_r, over_c] >> 16).astype(np.int64)
+        buf[A + slot, over_c] = ((hi << 16) | over_r).astype(np.int32)
+    buf[A + EXC_ROWS] = n_anchor
     return buf
 
 

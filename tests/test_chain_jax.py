@@ -185,3 +185,81 @@ def test_native_small_chain_matches_reference():
         np.testing.assert_array_equal(np.nonzero(mask[i, :n] & 2)[0], sec)
         assert abs(float(ps[i]) - hps) < 1e-3
         assert abs(float(ss[i]) - hss) < 1e-3
+
+
+def test_delta_packing_large_introns():
+    """rT rides the link as u16 deltas; introns over 65 kb go through the
+    exception slots (pack_chain_buf/_backtrack_core).  Rows mixing many
+    small deltas with several >=2^16 deltas must still match the host DP
+    bit-for-bit."""
+    import jax
+    from lr2rmats_tpu.ops.chain_jax import (EXC_ROWS,
+                                            chain_backtrack_batch_async,
+                                            count_delta_overflows,
+                                            unpack_chain_result)
+    rng = np.random.default_rng(17)
+    B, A = 8, 64
+    p = ChainParams()
+    qp = np.zeros((B, A), np.int64)
+    rp = np.zeros((B, A), np.int64)
+    ns = np.zeros(B, np.int32)
+    for b in range(B):
+        n = int(rng.integers(10, A))
+        q = np.sort(rng.integers(0, 3000, n))
+        r = q.copy()
+        # up to EXC_ROWS big introns (65 kb - 180 kb, < max_intron)
+        for _ in range(int(rng.integers(1, EXC_ROWS + 1))):
+            at = int(rng.integers(0, 3000))
+            r = np.where(q > at, r + int(rng.integers(70_000, 180_000)), r)
+        # plus small introns
+        for _ in range(2):
+            at = int(rng.integers(0, 3000))
+            r = np.where(q > at, r + int(rng.integers(100, 5000)), r)
+        order = np.lexsort((q, r))
+        q, r = q[order], r[order]
+        assert count_delta_overflows(r) <= EXC_ROWS
+        qp[b, :n], rp[b, :n], ns[b] = q, r, n
+    flat = jax.device_get(chain_backtrack_batch_async(
+        qp.astype(np.int32), rp.astype(np.int32), ns, p, 20.0))
+    mask, ps, ss = unpack_chain_result(flat, A, B)
+    for b in range(B):
+        n = int(ns[b])
+        f, par = chain_anchors(qp[b, :n], rp[b, :n], p)
+        pri, p_sc, sec, s_sc = backtrack(f, par, 20.0)
+        got_pri = np.nonzero(mask[b, :n] & 1)[0]
+        np.testing.assert_array_equal(got_pri, pri)
+        if len(pri):
+            np.testing.assert_allclose(ps[b], p_sc, rtol=1e-5)
+        got_sec = np.nonzero(mask[b, :n] & 2)[0]
+        np.testing.assert_array_equal(got_sec, sec)
+
+
+def test_too_many_overflows_routes_to_host():
+    """A cluster with more than EXC_ROWS oversized deltas must chain on
+    the host (align.batch router) and still produce records."""
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.ops.chain_jax import EXC_ROWS, count_delta_overflows
+    rng = np.random.default_rng(23)
+    n = 4_000_000
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    from lr2rmats_tpu.io.fasta import Genome
+    genome = Genome(["c"], codes, np.array([0, n], np.int64))
+    # one gene with EXC_ROWS+2 introns of ~80 kb each
+    pos = 1000
+    parts = []
+    for e in range(EXC_ROWS + 3):
+        parts.append((pos, pos + 300))
+        pos += 300
+        if e < EXC_ROWS + 2:
+            codes[pos], codes[pos + 1] = 2, 3
+            pos += 80_000
+            codes[pos - 2], codes[pos - 1] = 0, 2
+    read = np.concatenate([codes[a:b] for a, b in parts]).copy()
+    al = BatchAligner(genome)
+    recs = al.align_batch(["r0"], [read])
+    prim = [r for r in recs if not (r.flag & 0x100)]
+    assert len(prim) == 1
+    # the exon chain must span all planted exons
+    from lr2rmats_tpu.transcript.exon_chain import gen_exons
+    es, ee, _ = gen_exons(prim[0], 3, 3, 50)
+    assert len(es) == len(parts)
