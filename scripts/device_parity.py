@@ -1,0 +1,190 @@
+"""On-chip parity artifacts for the three device twins (VERDICT r2 #3).
+
+Runs, ON THE REAL CHIP (axon relay; run under `timeout`, one at a time):
+
+  1. chain_pallas  — the Pallas chaining kernel, COMPILED (not interpret),
+                     vs the lax.scan kernel and the host DP
+  2. splice_device — junction placement DP (scan + Pallas variants) vs the
+                     numpy reference of the production C kernel
+  3. sjcount_device— Hamming verify + junction count accumulators vs the
+                     host JunctionCounter
+
+and writes DEVICE_PARITY.json: shapes, bit-equality booleans, per-call ms.
+Docstring parity claims in ops/chain_pallas.py, ops/splice_device.py and
+junctions/sjcount_device.py cite this artifact.
+
+    timeout 580 python scripts/device_parity.py          # real chip
+    env JAX_PLATFORMS=cpu PYTHONPATH= python scripts/device_parity.py
+                                                         # CPU rehearsal
+"""
+
+import datetime
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))  # workload builders
+
+
+def hb(msg):
+    print(f"[parity] {msg}", file=sys.stderr, flush=True)
+
+
+def _ms(fn, *a, repeat=3, **kw):
+    """(result of last call, best wall ms)."""
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        out = fn(*a, **kw)
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return out, round(best, 2)
+
+
+def chain_pallas_parity(interpret: bool):
+    import jax
+    from lr2rmats_tpu.align.chain import ChainParams, chain_anchors
+    from lr2rmats_tpu.ops.chain_jax import chain_anchors_batch
+    from lr2rmats_tpu.ops.chain_pallas import chain_anchors_batch_pallas
+    from test_chain_jax import random_anchor_rows
+    rng = np.random.default_rng(41)
+    B, A = 256, 128
+    qp, rp, n = random_anchor_rows(rng, B=B, A=A)
+    p = ChainParams()
+    hb(f"chain_pallas: compiling [{A}+W, {B}] kernel on "
+       f"{jax.devices()[0].platform}")
+    (fp, pp), _ = _ms(chain_anchors_batch_pallas,
+                      qp.astype(np.int32), rp.astype(np.int32), n, p,
+                      repeat=1, interpret=interpret)
+    (_, t_pal) = _ms(chain_anchors_batch_pallas, qp.astype(np.int32),
+                     rp.astype(np.int32), n, p, interpret=interpret)
+    (fs, ps2), t_scan = _ms(chain_anchors_batch, qp, rp, n, p)
+    ok_scan = (np.allclose(fp[: len(n)], fs, rtol=1e-5) and
+               np.array_equal(pp[: len(n)], ps2))
+    ok_host = True
+    for i in range(0, B, 17):
+        fh, ph = chain_anchors(qp[i, : n[i]], rp[i, : n[i]], p)
+        ok_host &= bool(np.allclose(fp[i, : n[i]], fh, rtol=1e-5))
+        ok_host &= bool(np.array_equal(pp[i, : n[i]], ph))
+    return {
+        "kernel": "ops/chain_pallas.py chain_anchors_batch_pallas",
+        "mode": "interpret" if interpret else "compiled",
+        "shape": [B, A],
+        "anchors": int(n.sum()),
+        "matches_scan_kernel": bool(ok_scan),
+        "matches_host_dp": bool(ok_host),
+        "pallas_ms": t_pal,
+        "scan_ms": t_scan,
+    }
+
+
+def splice_device_parity(interpret: bool):
+    from lr2rmats_tpu.align.splice import refine_splice_indel_np
+    from lr2rmats_tpu.ops.splice_device import (junction_batch_pallas,
+                                                junction_batch_scan,
+                                                prepare_junction_batch,
+                                                recover_ops)
+    from test_splice_device import _random_gaps
+    ref, gaps = _random_gaps(42, 192)
+    hb("splice_device: preparing + compiling")
+    batch = prepare_junction_batch(ref, gaps)
+    out_s, t_scan = _ms(junction_batch_scan, batch)
+    out_p, t_pal = _ms(junction_batch_pallas, batch,
+                       interpret=interpret)
+    ok_sp = bool(np.allclose(np.asarray(out_s[0]), np.asarray(out_p[0]),
+                             atol=1e-6))
+    for t in (1, 2, 3, 4, 5):
+        ok_sp &= bool(np.array_equal(np.asarray(out_s[t]),
+                                     np.asarray(out_p[t])))
+    # full ops parity: recovered (left_ops, intron, right_ops, vote, score)
+    # of every gap must equal the numpy reference of the production C kernel
+    rec = recover_ops(ref, gaps, out_s)
+    ok_host = True
+    for g, (q, lo, hi) in enumerate(gaps):
+        h = refine_splice_indel_np(q, ref, lo, hi, 4, 30)
+        d = rec[g]
+        if (h is None) != (d is None):
+            ok_host = False
+            continue
+        if h is None:
+            continue
+        ok_host &= (h[0] == d[0] and h[1] == d[1] and h[2] == d[2] and
+                    h[3] == d[3] and abs(h[4] - d[4]) < 1e-6)
+    return {
+        "kernel": "ops/splice_device.py junction_batch_{scan,pallas}",
+        "mode": "interpret" if interpret else "compiled",
+        "n_gaps": len(gaps),
+        "scan_matches_pallas": bool(ok_sp),
+        "matches_host_reference": bool(ok_host),
+        "scan_ms": t_scan,
+        "pallas_ms": t_pal,
+    }
+
+
+def sjcount_device_parity():
+    from lr2rmats_tpu.junctions.sjcount import JunctionCounter
+    from test_sjcount_device import _synthetic_workload
+    g, tid, don, acc, anno, rs = _synthetic_workload(seed=43)
+    res = {}
+    times = {}
+    for backend in ("host", "device"):
+        hb(f"sjcount: backend={backend}")
+        jc = JunctionCounter(g, tid, don, acc, anno, backend=backend)
+        t0 = time.perf_counter()
+        jc.count_seqset_batched(rs)
+        times[backend] = round((time.perf_counter() - t0) * 1e3, 1)
+        res[backend] = jc.result()
+    a, b = res["host"], res["device"]
+    same = (np.array_equal(a.uniq_c, b.uniq_c) and
+            np.array_equal(a.multi_c, b.multi_c) and
+            np.array_equal(a.max_over, b.max_over))
+    return {
+        "kernel": "junctions/sjcount_device.py (verify + count)",
+        "mode": "compiled",
+        "n_reads": rs.n,
+        "n_junctions": int(len(a.uniq_c)),
+        "total_support": int(a.uniq_c.sum() + a.multi_c.sum()),
+        "counts_identical": bool(same),
+        "host_ms": times["host"],
+        "device_ms": times["device"],
+    }
+
+
+def main():
+    import jax
+    platform = jax.devices()[0].platform
+    hb(f"platform = {platform}")
+    out = {
+        "platform": platform,
+        "date": datetime.date.today().isoformat(),
+        "chain_pallas": chain_pallas_parity(platform == "cpu"),
+    }
+    hb("chain_pallas done")
+    out["splice_device"] = splice_device_parity(platform == "cpu")
+    hb("splice_device done")
+    out["sjcount_device"] = sjcount_device_parity()
+    hb("sjcount_device done")
+    ok = (out["chain_pallas"]["matches_scan_kernel"] and
+          out["chain_pallas"]["matches_host_dp"] and
+          out["splice_device"]["matches_host_reference"] and
+          out["sjcount_device"]["counts_identical"])
+    out["all_parity"] = bool(ok)
+    path = os.environ.get("PARITY_JSON") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DEVICE_PARITY.json")
+    # only the real chip may write the committed artifact
+    if platform == "cpu" and not os.environ.get("PARITY_JSON"):
+        path = "/tmp/device_parity_cpu.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out))
+    hb(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
