@@ -283,22 +283,10 @@ def _window_score(ops, lo: int, hi: int, q: np.ndarray, q0: int,
     return sc, match, nm
 
 
-def _constrained_place(qwin: np.ndarray, ref: np.ndarray, L0: int, R0: int,
-                       don: int, acc: int):
-    """Best split of qwin with the intron FORCED to [don, acc] (global
-    coords); flanks run L0->don and acc+1->R0.  Returns
-    (score, left_ops, right_ops, nm) or None if infeasible in band B."""
-    m = len(qwin)
-    DL = don - L0                    # ref consumed by the left flank
-    DR = R0 - 1 - acc                # ref consumed by the right flank
-    if DL < 0 or DR < 0 or DL > m + B or DR > m + B:
-        return None
-    span = R0 - L0
-    side = min(m + B, span)
-    lwin = ref[L0: L0 + side]
-    rwin = ref[R0 - side: R0][::-1]
-    SL = _shift_dp(qwin, lwin, B)
-    SR = _shift_dp(qwin[::-1], rwin, B)
+def _finish_place(qwin, ref, L0, acc, SL, SR, lwin, rwin, m, DL, DR):
+    """Shared tail of the forced placement: pick the best split j over the
+    two shift-DP matrices (host loop semantics: last maximal j wins),
+    trace back both flanks, count match/NM."""
     W = 2 * B + 1
     best = NEG
     bj = bcl = bcr = -1
@@ -318,7 +306,7 @@ def _constrained_place(qwin: np.ndarray, ref: np.ndarray, L0: int, R0: int,
     rops = [(op, l) for op, l in reversed(rrev)]
     nm = 0
     match = 0
-    qi, ri = 0, L0
+    qi = 0
     for side_ops, r_start in ((lops, L0), (rops, acc + 1)):
         ri = r_start
         for op, l in side_ops:
@@ -335,6 +323,117 @@ def _constrained_place(qwin: np.ndarray, ref: np.ndarray, L0: int, R0: int,
                 nm += l
                 ri += l
     return best, lops, rops, match, nm
+
+
+def _constrained_place(qwin: np.ndarray, ref: np.ndarray, L0: int, R0: int,
+                       don: int, acc: int):
+    """Best split of qwin with the intron FORCED to [don, acc] (global
+    coords); flanks run L0->don and acc+1->R0.  Returns
+    (score, left_ops, right_ops, match, nm) or None if infeasible in
+    band B."""
+    m = len(qwin)
+    DL = don - L0                    # ref consumed by the left flank
+    DR = R0 - 1 - acc                # ref consumed by the right flank
+    if DL < 0 or DR < 0 or DL > m + B or DR > m + B:
+        return None
+    span = R0 - L0
+    side = min(m + B, span)
+    lwin = ref[L0: L0 + side]
+    rwin = ref[R0 - side: R0][::-1]
+    SL = _shift_dp(qwin, lwin, B)
+    SR = _shift_dp(qwin[::-1], rwin, B)
+    return _finish_place(qwin, ref, L0, acc, SL, SR, lwin, rwin, m, DL, DR)
+
+
+# batched forced placement: pad tasks to one of a few fixed [M, G] shapes
+# so the accelerator sees a handful of compiled scans for the whole run
+_PLACE_M = 192            # max query-window length eligible for the batch
+_PLACE_G = 256            # lane padding quantum
+
+
+def _constrained_place_many(items: List[tuple], ref: np.ndarray
+                            ) -> List[Optional[tuple]]:
+    """_constrained_place for a list of (qwin, L0, R0, don, acc) tasks.
+
+    The two banded shift-DPs — polish's host hot spot (~2 ms/task) — run
+    BATCHED on the accelerator via the same scan the device junction DP
+    uses (ops/splice_device._shift_dp_scan, anchors on lanes); the
+    [m+1, W] score matrices come back and the split choice + traceback
+    stay host-side, so results are bit-identical to the scalar path
+    (tested, tests/test_polish.py).  Tasks the batch cannot carry
+    (window longer than _PLACE_M, span < m+B) fall back per task."""
+    out: List[Optional[tuple]] = [None] * len(items)
+    todo = []
+    for t, (qwin, L0, R0, don, acc) in enumerate(items):
+        m = len(qwin)
+        DL = don - L0
+        DR = R0 - 1 - acc
+        if DL < 0 or DR < 0 or DL > m + B or DR > m + B:
+            continue                                   # infeasible: None
+        if m > _PLACE_M or (R0 - L0) < m + B:
+            out[t] = _constrained_place(qwin, ref, L0, R0, don, acc)
+            continue
+        todo.append(t)
+    if not todo:
+        return out
+    import os
+    if os.environ.get("LR2RMATS_POLISH_HOST_DP"):
+        for t in todo:
+            qwin, L0, R0, don, acc = items[t]
+            out[t] = _constrained_place(qwin, ref, L0, R0, don, acc)
+        return out
+    import jax
+    M = _PLACE_M
+    G = -(-len(todo) // _PLACE_G) * _PLACE_G
+    PAD = np.int32(-9)
+    q = np.full((M, G), PAD, np.int32)
+    qr = np.full((M, G), PAD, np.int32)
+    lwin = np.full((M + B, G), PAD, np.int32)
+    rwin = np.full((M + B, G), PAD, np.int32)
+    m_arr = np.zeros(G, np.int32)
+    for g, t in enumerate(todo):
+        qwin, L0, R0, don, acc = items[t]
+        m = len(qwin)
+        side = m + B                                    # span >= m+B here
+        q[:m, g] = qwin
+        qr[:m, g] = qwin[::-1]
+        lwin[:side, g] = ref[L0: L0 + side]
+        rwin[:side, g] = ref[R0 - side: R0][::-1]
+        m_arr[g] = m
+    SL, SR = jax.device_get(_polish_dp_pair(
+        jax.numpy.asarray(q), jax.numpy.asarray(qr),
+        jax.numpy.asarray(lwin), jax.numpy.asarray(rwin),
+        jax.numpy.asarray(m_arr)))
+    SL = SL.astype(np.float64)
+    SR = SR.astype(np.float64)
+    for g, t in enumerate(todo):
+        qwin, L0, R0, don, acc = items[t]
+        m = len(qwin)
+        side = m + B
+        out[t] = _finish_place(
+            qwin, ref, L0, acc,
+            SL[: m + 1, :, g], SR[: m + 1, :, g],
+            ref[L0: L0 + side], ref[R0 - side: R0][::-1],
+            m, don - L0, R0 - 1 - acc)
+    return out
+
+
+def _polish_dp_pair(q, qr, lwin, rwin, m_arr):
+    """jitted pair of banded shift DPs (left + reversed right flank)."""
+    import functools
+    import jax
+    global _POLISH_DP_JIT
+    try:
+        fn = _POLISH_DP_JIT
+    except NameError:
+        from ..ops.splice_device import _shift_dp_scan
+
+        @functools.partial(jax.jit, static_argnames=("B_",))
+        def fn(q, qr, lwin, rwin, m_arr, B_):
+            return (_shift_dp_scan(q, lwin, m_arr, B_),
+                    _shift_dp_scan(qr, rwin, m_arr, B_))
+        _POLISH_DP_JIT = fn
+    return fn(q, qr, lwin, rwin, m_arr, B)
 
 
 def _pair_scores(pos, ops, q, op_i, don, acc, wd, wa, off,
@@ -482,25 +581,60 @@ def polish_batch(rb: RecordBatch, genome_codes: np.ndarray,
             by_rec.setdefault(int(rj[row]), []).append(
                 (int(opi[row]), key[1], key[2]))
     n_fix = 0
+    # single-junction records (the vast majority) pre-compute their window
+    # once and run the forced-placement DP BATCHED on the accelerator
+    # (_constrained_place_many); multi-junction records stay sequential —
+    # each accepted move rewrites the op list the next window reads.
+    singles = [ri for ri in sorted(by_rec) if len(by_rec[ri]) == 1]
+    batch_place: Dict[int, Optional[tuple]] = {}
+    batch_ctx: Dict[int, tuple] = {}
+    if singles:
+        items = []
+        for ri in singles:
+            op_i, don, acc = by_rec[ri][0]
+            ops = _cigar_ops(rb.cigar(ri))
+            off = int(chrom_offsets[rb.tid[ri]])
+            q = rb.seq_codes(ri)
+            tid = int(rb.tid[ri])
+            _, wd, wa = winners[(tid, don, acc)]
+            ops2, op_i2, q0, r0, lo, hi, q1, r1 = _window(
+                ops, op_i, int(rb.pos[ri]),
+                FLANK_Q + max(wd - don, 0), FLANK_Q + max(acc - wa, 0))
+            qwin = q[q0: q1]
+            batch_ctx[ri] = (ops2, op_i2, q0, r0, lo, hi, q1, r1, q)
+            items.append((qwin, off + r0, off + r1, off + wd, off + wa))
+        for ri, res in zip(singles, _constrained_place_many(items,
+                                                            genome_codes)):
+            batch_place[ri] = res
     for ri in sorted(by_rec):
         todo = sorted(by_rec[ri])
-        ops = _cigar_ops(rb.cigar(ri))
         off = int(chrom_offsets[rb.tid[ri]])
-        q = rb.seq_codes(ri)
-        pos = int(rb.pos[ri])
         tid = int(rb.tid[ri])
+        if ri in batch_ctx:
+            ops, op_i, q0, r0, lo, hi, q1, r1, q = batch_ctx[ri]
+        else:
+            ops = _cigar_ops(rb.cigar(ri))
+            q = rb.seq_codes(ri)
+        pos = int(rb.pos[ri])
         changed = False
         # re-place junctions right to left so op indices stay valid
-        for op_i, don, acc in reversed(todo):
+        for op_i_t, don, acc in reversed(todo):
             _, wd, wa = winners[(tid, don, acc)]
-            # a junction shift must be absorbed by one flank's query window
-            ops, op_i, q0, r0, lo, hi, q1, r1 = _window(
-                ops, op_i, pos,
-                FLANK_Q + max(wd - don, 0), FLANK_Q + max(acc - wa, 0))
+            if ri in batch_ctx:
+                res = batch_place[ri]
+                ops, op_i = batch_ctx[ri][0], batch_ctx[ri][1]
+                q0, r0, lo, hi, q1, r1 = batch_ctx[ri][2:8]
+            else:
+                # a junction shift must be absorbed by one flank's window
+                ops, op_i, q0, r0, lo, hi, q1, r1 = _window(
+                    ops, op_i_t, pos,
+                    FLANK_Q + max(wd - don, 0), FLANK_Q + max(acc - wa, 0))
+                res = None
             qwin = q[q0: q1]
             L0, R0 = off + r0, off + r1
             gd, ga = off + wd, off + wa
-            res = _constrained_place(qwin, genome_codes, L0, R0, gd, ga)
+            if ri not in batch_ctx:
+                res = _constrained_place(qwin, genome_codes, L0, R0, gd, ga)
             if res is None:
                 if dbg:
                     print(f"[polish] {rb.qname[ri]} ({don},{acc})->"

@@ -202,3 +202,39 @@ def test_polish_noop_when_consensus_agrees():
     codes, recs, _ = _toy_junction_set()
     offs = np.array([0, len(codes)], np.int64)
     assert polish_records(recs[:2], codes, offs) == 0
+
+
+def test_constrained_place_many_matches_scalar():
+    """The batched forced-placement DP (accelerator scan + host traceback)
+    must equal the scalar host path bit-for-bit, including infeasible and
+    fallback (span < m+B) tasks."""
+    from lr2rmats_tpu.align.polish import (B, _constrained_place,
+                                           _constrained_place_many)
+    rng = np.random.default_rng(77)
+    ref = rng.integers(0, 4, 200_000).astype(np.uint8)
+    items = []
+    for _ in range(300):
+        m = int(rng.integers(0, 120))
+        L0 = int(rng.integers(100, 150_000))
+        span = int(rng.integers(max(m - 5, 1) + 60, m + 4000))
+        R0 = L0 + span
+        qwin = ref[L0: L0 + m].copy()
+        mut = rng.random(m) < 0.1
+        qwin[mut] = (qwin[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        # forced intron somewhere in the window (sometimes infeasible)
+        j = int(rng.integers(0, m + 2 * B + 1)) - B
+        don = L0 + max(j, -2)
+        ilen = span - m + int(rng.integers(-B, B + 1))
+        acc = don + max(ilen, 10) - 1
+        items.append((qwin, L0, R0, don, acc))
+    # a couple of short-span fallback tasks
+    items.append((ref[500:560].copy(), 500, 560 + 4, 520, 540))
+    batched = _constrained_place_many(items, ref)
+    for it, got in zip(items, batched):
+        want = _constrained_place(it[0], ref, it[1], it[2], it[3], it[4])
+        assert (want is None) == (got is None)
+        if want is None:
+            continue
+        assert want[0] == got[0]          # score (integer-valued)
+        assert want[1] == got[1] and want[2] == got[2]
+        assert want[3] == got[3] and want[4] == got[4]
