@@ -40,17 +40,24 @@ def _out(path: Optional[str]):
             f.close()
 
 
-def _filter_sam_native(in_path: str, params: FilterParams,
-                       rm_gtf: Optional[str]) -> Optional[tuple]:
+def _filter_sam_native(in_path: Optional[str], params: FilterParams,
+                       rm_gtf: Optional[str],
+                       data: Optional[np.ndarray] = None) -> Optional[tuple]:
     """Native streaming scan over SAM text: returns (refs, header, kept
     records) or None when not applicable (BAM input / no native lib).
-    Agreement-tested against the Python path (tests/test_native.py)."""
+    Agreement-tested against the Python path (tests/test_native.py).
+    `data` (uint8 array of SAM text) bypasses the file read — the
+    rb-direct path filters the align stage's in-memory bytes so the
+    multi-hundred-MB SAM artifact is never read back (cold-path IO)."""
     from ..native import get_lib
     lib = get_lib()
     if lib is None:
         return None
-    from ..utils.fileio import read_into_array
-    buf = read_into_array(in_path)          # uint8 array (decode/copy of
+    if data is not None:
+        buf = data
+    else:
+        from ..utils.fileio import read_into_array
+        buf = read_into_array(in_path)      # uint8 array (decode/copy of
     if buf[:2].tobytes() == b"\x1f\x8b":    # the whole file pays ~150 MB/s
         return None                          # first-touch cost again)
     import ctypes
@@ -96,12 +103,19 @@ def _filter_sam_native(in_path: str, params: FilterParams,
     return refs, header, buf, spans, rd
 
 
-def cmd_filter(in_path: str, out_path: Optional[str], params: FilterParams,
+def cmd_filter(in_path: Optional[str], out_path: Optional[str],
+               params: FilterParams,
                rm_gtf: Optional[str] = None, out_format: str = "bam",
-               sort_output: bool = True) -> int:
+               sort_output: bool = True,
+               data: Optional[np.ndarray] = None) -> int:
     """`filter` (reference bam_filter.c:98-164) + the downstream
-    `samtools sort` role (Snakefile:90-92) via sort_output."""
-    native = _filter_sam_native(in_path, params, rm_gtf)
+    `samtools sort` role (Snakefile:90-92) via sort_output.
+
+    `data`: in-memory SAM bytes (uint8) — the rb-direct path used by the
+    pipeline's align stage, avoiding the artifact re-read (native path
+    only; a file path is still required as fallback when the native lib
+    is unavailable)."""
+    native = _filter_sam_native(in_path, params, rm_gtf, data=data)
     if native is not None:
         refs, header, buf, spans, rd = native
         from ..utils import log

@@ -18,6 +18,8 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional
 
+import numpy as np
+
 from ..io.fasta import Genome, read_fasta
 from ..io.gtf import ChrNames, read_anno_trans
 from ..io.sam import SamWriter, open_alignments
@@ -301,12 +303,34 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                     st.get("dispatch_s", 0.0), st.get("build_s", 0.0),
                     st.get("polish_s", 0.0))
                 from ..io.sam import sam_header
+                hdr = sam_header(aligner.refs).encode()
+                body = rb.emit_sam(aligner.refs)
                 with open(sam_path + ".tmp", "wb") as f:
-                    f.write(sam_header(aligner.refs).encode())
-                    f.write(rb.emit_sam(aligner.refs))
+                    f.write(hdr)
+                    f.write(body)
                 os.replace(sam_path + ".tmp", sam_path)
                 _done(sam_path, cfg.genome_fasta, reads.long_read)
                 log("align", "%s: %d alignment records", sample, n)
+                # rb-direct filter: the SAM bytes are still in memory, so
+                # produce the filtered artifact NOW — the filter stage then
+                # skips, and the multi-hundred-MB alignment SAM is never
+                # read back from disk (cold-path IO; byte-identical output
+                # since the same native scan runs on the same bytes)
+                from ..native import get_lib
+                if get_lib() is not None:
+                    filtered = A("alignment", f"{sample}.filtered.sam")
+                    with Timer(f"stage/filter[{sample}]",
+                               benchmark_file=A(
+                                   "benchmark",
+                                   f"{sample}.novel_gtf.benchmark.txt")):
+                        cmd_filter(None, filtered,
+                                   FilterParams(cfg.aln_cov, cfg.iden_frac,
+                                                cfg.sec_rat),
+                                   rm_gtf=cfg.rm_gtf or None,
+                                   out_format="sam",
+                                   data=np.frombuffer(hdr + body, np.uint8))
+                        _done(filtered, sam_path)
+                del body
                 if not write_bed12_batch(rb, aligner.refs, bed_path):
                     write_bed12(sam_path, bed_path)
 
