@@ -45,13 +45,15 @@ DEFAULT_BATCH = 1536
 # fixed row-chunk per bucket => exactly one compiled shape per bucket for
 # the whole run (variable shapes trigger fresh device compiles, which are
 # slow/flaky over the remote relay); sized so one DEFAULT_BATCH-read batch
-# fills ~one fused call (~1.2-3 rows/read land in the 8-bucket, ~1.0 in the
-# top bucket on the bench workload; overflow spills into extra calls)
+# of the ONT headline profile fills ONE fused call (measured occupancy per
+# 1536 reads: ~1.2 rows/read in the 8-bucket, ~230 in the 64-bucket, ~1560
+# in the 128-bucket — the old {64: 128, 128: 1536} spilled two extra ~36 ms
+# relay calls per batch for ~120 overflow rows); overflow still spills
 # the top bucket doubles as the per-cluster anchor subsample cap (A_MAX):
 # 128 gives an anchor every ~25 bp on a 3 kb read — measured accuracy is
 # identical to cap 256 on the clean and both ONT seeds while halving both
 # the device payload height and the scan's sequential step count
-CHAIN_CHUNK = {8: 2048, 64: 128, 128: 1536}
+CHAIN_CHUNK = {8: 2048, 64: 320, 128: 1664}
 MAX_CLUSTERS_PER_STRAND = 4
 
 
