@@ -401,7 +401,7 @@ def _supervised():
     # two chip attempts: the persistent compile cache makes the second one
     # cheap if the first died after some compiles landed
     for attempt, (stall, cap) in enumerate(((240.0, 900.0),
-                                            (240.0, 600.0)), 1):
+                                            (210.0, 480.0)), 1):
         print(f"[supervisor] TPU attempt {attempt}", file=sys.stderr,
               flush=True)
         line = _run_attempt({}, stall, cap)
@@ -411,7 +411,7 @@ def _supervised():
     print("[supervisor] relay unusable; CPU fallback (headline excluded)",
           file=sys.stderr, flush=True)
     line = _run_attempt({"JAX_PLATFORMS": "cpu", "PYTHONPATH": ""},
-                        300.0, 900.0)
+                        300.0, 720.0)
     if line:
         obj = json.loads(line)
         obj["detail"]["cpu_fallback_value"] = obj["value"]

@@ -303,40 +303,70 @@ class MinimizerIndex:
         return tid.astype(np.int32), (gpos - self.chrom_offsets[tid])
 
     # ------------------------------------------------------------- caching
-    def save(self, path: str) -> None:
+    @staticmethod
+    def genome_signature(genome) -> str:
+        """Cheap content signature of a genome: names, offsets, and a
+        sha1 over a strided sample of the code buffer plus both ends
+        (~4 MB hashed regardless of genome size — a rewritten genome with
+        identical chromosome names must invalidate the index cache; a
+        stale cache silently mis-places every seed)."""
+        import hashlib
+        h = hashlib.sha1()
+        h.update(("|".join(genome.names)).encode())
+        h.update(np.asarray(genome.offsets, np.int64).tobytes())
+        codes = genome.codes
+        n = len(codes)
+        step = max(1, n // (1 << 22))
+        h.update(codes[::step].tobytes())
+        h.update(codes[: 1 << 16].tobytes())
+        h.update(codes[-(1 << 16):].tobytes())
+        return h.hexdigest()
+
+    def save(self, path: str, genome_sig: str = "") -> None:
         """Persist the index (the minimap_idx_file artifact role,
         reference config.yaml:6-9)."""
         np.savez_compressed(
             path, k=self.k, w=self.w, hashes=self.hashes, pos=self.pos,
             strand=self.strand, chrom_offsets=self.chrom_offsets,
-            names=np.asarray(self.names, object), max_occ=self.max_occ)
+            names=np.asarray(self.names, object), max_occ=self.max_occ,
+            genome_sig=genome_sig)
 
     @classmethod
     def load(cls, path: str) -> "MinimizerIndex":
         z = np.load(path, allow_pickle=True)
-        return cls(int(z["k"]), int(z["w"]), z["hashes"], z["pos"],
-                   z["strand"], z["chrom_offsets"], list(z["names"]),
-                   int(z["max_occ"]))
+        out = cls(int(z["k"]), int(z["w"]), z["hashes"], z["pos"],
+                  z["strand"], z["chrom_offsets"], list(z["names"]),
+                  int(z["max_occ"]))
+        out.genome_sig = str(z["genome_sig"]) if "genome_sig" in z else ""
+        return out
 
     @classmethod
     def build_or_load(cls, genome, cache_path: Optional[str] = None,
                       k: int = K_DEFAULT, w: int = W_DEFAULT) -> "MinimizerIndex":
         """Reuse a cached index when fresh ("lr2rmats will build them if
-        they do not exist", reference config.yaml:7)."""
+        they do not exist", reference config.yaml:7).  Freshness =
+        (k, w, chrom names) AND the genome CONTENT signature — a cache
+        written for an older genome with the same file name must rebuild
+        (caught live: a stale .tmmi.npz dropped 99.9%% of alignments)."""
         import os
+        sig = cls.genome_signature(genome)
         if cache_path and os.path.exists(cache_path):
             try:
                 idx = cls.load(cache_path)
-                if idx.k == k and idx.w == w and idx.names == list(genome.names):
+                if (idx.k == k and idx.w == w and
+                        idx.names == list(genome.names) and
+                        idx.genome_sig == sig):
                     log("index", "loaded cached minimizer index from %s",
                         cache_path)
                     return idx
+                log("index", "cache %s is stale (genome changed); "
+                    "rebuilding", cache_path)
             except Exception:
                 pass
         idx = cls.build(genome, k, w)
         if cache_path:
             try:
-                idx.save(cache_path)
+                idx.save(cache_path, genome_sig=sig)
             except OSError:
                 pass
         return idx

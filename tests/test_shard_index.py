@@ -224,3 +224,21 @@ def test_two_process_sharded_lookup(tmp_path):
     for pid in range(2):
         got = open(out + f".{pid}").read().splitlines()
         assert got == want[pid]
+
+
+def test_stale_index_cache_invalidated(tmp_path):
+    """A cached .tmmi.npz built for an OLD genome with the same file name
+    and chromosome names must be rebuilt (content signature) — a stale
+    cache silently mis-places every seed (caught live at 500k scale)."""
+    g1, _ = _genome(seed=1, mb=0.3, repeats=0)
+    g2, _ = _genome(seed=2, mb=0.3, repeats=0)
+    cache = str(tmp_path / "g.tmmi.npz")
+    i1 = MinimizerIndex.build_or_load(g1, cache)
+    # same names/length, different content -> must NOT reuse
+    i2 = MinimizerIndex.build_or_load(g2, cache)
+    assert not np.array_equal(i1.hashes, i2.hashes)
+    full2 = MinimizerIndex.build(g2)
+    assert np.array_equal(i2.hashes, full2.hashes)
+    # unchanged genome -> reused
+    i2b = MinimizerIndex.build_or_load(g2, cache)
+    assert np.array_equal(i2b.hashes, full2.hashes)
