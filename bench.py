@@ -230,6 +230,11 @@ def _pack(reads, names):
 
 
 def main():
+    if os.environ.get("BENCH_SELFTEST_HANG"):
+        # supervisor self-test hook (tests/test_bench_supervisor.py): emit
+        # one heartbeat, then hang like a dead relay call
+        hb("selftest: hanging")
+        time.sleep(9999)
     _enable_compile_cache()
     rng = np.random.default_rng(SEED)
     # headline = ONT-like realistic profile (reference workload is real
@@ -393,6 +398,20 @@ def _run_attempt(extra_env: dict, stall_s: float, cap_s: float):
     return None
 
 
+def _fallback_json(line: str) -> dict:
+    """Demote a CPU-fallback measurement: the headline value/vs_baseline
+    zero out and the CPU number survives only in detail — a relay outage
+    must never masquerade as a per-chip result (VERDICT r2 #1)."""
+    obj = json.loads(line)
+    obj["detail"]["cpu_fallback_value"] = obj["value"]
+    obj["detail"]["platform"] = "cpu"
+    obj["detail"]["note"] = ("cpu-fallback: relay down; headline value "
+                             "excluded (not a per-chip number)")
+    obj["value"] = 0.0
+    obj["vs_baseline"] = 0.0
+    return obj
+
+
 def _supervised():
     """TPU attempts with stall-based watchdogs, then a LOUD cpu fallback:
     the fallback JSON carries value=0.0 / vs_baseline=0.0 and the CPU
@@ -413,14 +432,7 @@ def _supervised():
     line = _run_attempt({"JAX_PLATFORMS": "cpu", "PYTHONPATH": ""},
                         300.0, 720.0)
     if line:
-        obj = json.loads(line)
-        obj["detail"]["cpu_fallback_value"] = obj["value"]
-        obj["detail"]["platform"] = "cpu"
-        obj["detail"]["note"] = ("cpu-fallback: relay down; headline value "
-                                 "excluded (not a per-chip number)")
-        obj["value"] = 0.0
-        obj["vs_baseline"] = 0.0
-        print(json.dumps(obj))
+        print(json.dumps(_fallback_json(line)))
         return 0
     print(json.dumps({"metric": "long_reads_aligned_per_sec_per_chip",
                       "value": 0.0, "unit": "reads/s", "vs_baseline": 0.0,
