@@ -269,7 +269,25 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
 
     # ---- phase 1: alignment per sample (minimap_map, Snakefile:42-63).
     # Sequential: the accelerator is a single exclusive device; host-side
-    # per-sample stages parallelize in phase 2.
+    # per-sample stages parallelize in phase 2.  The rb-direct filter of
+    # sample N runs on a background thread so it overlaps sample N+1's
+    # (device-bound) alignment; phase 2 joins the futures first.
+    from concurrent.futures import Future, ThreadPoolExecutor
+    filter_pool = ThreadPoolExecutor(1)
+    filter_futs: Dict[str, Future] = {}
+
+    def _rb_filter(sample: str, sam_path: str, hdr: bytes, body: bytes):
+        filtered = A("alignment", f"{sample}.filtered.sam")
+        with Timer(f"stage/filter[{sample}]",
+                   benchmark_file=A("benchmark",
+                                    f"{sample}.novel_gtf.benchmark.txt")):
+            cmd_filter(None, filtered,
+                       FilterParams(cfg.aln_cov, cfg.iden_frac,
+                                    cfg.sec_rat),
+                       rm_gtf=cfg.rm_gtf or None, out_format="sam",
+                       data=np.frombuffer(hdr + body, np.uint8))
+            _done(filtered, sam_path)
+
     for sample, reads in items:
         sam_path = A("alignment", f"{sample}.minimap.sam")
         bed_path = A("alignment", f"{sample}.minimap.bed")
@@ -312,24 +330,15 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                 _done(sam_path, cfg.genome_fasta, reads.long_read)
                 log("align", "%s: %d alignment records", sample, n)
                 # rb-direct filter: the SAM bytes are still in memory, so
-                # produce the filtered artifact NOW — the filter stage then
-                # skips, and the multi-hundred-MB alignment SAM is never
-                # read back from disk (cold-path IO; byte-identical output
-                # since the same native scan runs on the same bytes)
+                # produce the filtered artifact from them — the filter
+                # stage then skips, and the multi-hundred-MB alignment SAM
+                # is never read back from disk (cold-path IO;
+                # byte-identical output since the same native scan runs on
+                # the same bytes).  Runs on the background thread.
                 from ..native import get_lib
                 if get_lib() is not None:
-                    filtered = A("alignment", f"{sample}.filtered.sam")
-                    with Timer(f"stage/filter[{sample}]",
-                               benchmark_file=A(
-                                   "benchmark",
-                                   f"{sample}.novel_gtf.benchmark.txt")):
-                        cmd_filter(None, filtered,
-                                   FilterParams(cfg.aln_cov, cfg.iden_frac,
-                                                cfg.sec_rat),
-                                   rm_gtf=cfg.rm_gtf or None,
-                                   out_format="sam",
-                                   data=np.frombuffer(hdr + body, np.uint8))
-                        _done(filtered, sam_path)
+                    filter_futs[sample] = filter_pool.submit(
+                        _rb_filter, sample, sam_path, hdr, body)
                 del body
                 if not write_bed12_batch(rb, aligner.refs, bed_path):
                     write_bed12(sam_path, bed_path)
@@ -339,6 +348,10 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
     # --jobs; the hot loops are native and release the GIL)
     def _sample_stages(sample: str, reads) -> str:
         sam_path = A("alignment", f"{sample}.minimap.sam")
+        # join this sample's in-flight rb-direct filter (phase 1) first
+        fut = filter_futs.pop(sample, None)
+        if fut is not None:
+            fut.result()
         # ---- stage: sam_novel_gtf (filter + pass-1 update-gtf, Snakefile:67-93)
         # SAM artifact (raw-span fast path); BAM remains available
         # via the `filter` CLI for interop
@@ -425,6 +438,7 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                 lambda sr: _sample_stages(sr[0], sr[1]), items))
     else:
         gtf_novel_paths = [_sample_stages(s, r) for s, r in items]
+    filter_pool.shutdown(wait=True)
 
     # ---- cross-process gather: every process contributes its samples'
     # pass-2 candidates over the distributed backend (DCN on a pod, the
