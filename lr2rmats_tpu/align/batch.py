@@ -445,6 +445,38 @@ class BatchAligner:
         """Resolve chains as per-row (pri_idx, ps, sec_idx, ss) tuples."""
         out: List[Optional[tuple]] = [None] * len(rows)
         if pending == "host":
+            from ..native import get_lib
+            lib = get_lib()
+            if lib is not None and rows:
+                # one native call for the whole batch (chain_small_batch_c
+                # implements the full windowed DP + backtrack for ANY row
+                # width — 'small' is its device-path role, not a limit);
+                # the pure-python path below is the no-native fallback
+                cap = max(max(len(r.qpos) for r in rows), 1)
+                m = len(rows)
+                qp = np.zeros((m, cap), np.int32)
+                gp = np.zeros((m, cap), np.int32)
+                nn = np.zeros(m, np.int32)
+                for i, r in enumerate(rows):
+                    n = len(r.qpos)
+                    qp[i, :n] = r.qpos
+                    gp[i, :n] = r.gpos - r.base
+                    nn[i] = n
+                mask = np.zeros((m, cap), np.uint8)
+                ps = np.zeros(m, np.float32)
+                ss = np.zeros(m, np.float32)
+                pc = self.p.chain
+                lib.chain_small_batch_c(
+                    qp, gp, nn, m, cap,
+                    pc.k, pc.window, pc.max_intron, pc.max_qgap,
+                    pc.gap_open, pc.gap_scale, pc.intron_scale,
+                    pc.min_intron_gap, float(self.p.min_score),
+                    mask.reshape(-1), ps, ss)
+                for i in range(m):
+                    row_mask = mask[i, : nn[i]]
+                    out[i] = (np.nonzero(row_mask & 1)[0], float(ps[i]),
+                              np.nonzero(row_mask & 2)[0], float(ss[i]))
+                return out
             from .chain import chain_anchors, backtrack
             for i, r in enumerate(rows):
                 f, parent = chain_anchors(r.qpos, r.gpos, self.p.chain)
