@@ -40,8 +40,10 @@ A_BUCKETS = (8, 64, 128)
 # traffic with a ~36 ms per-call roundtrip (scripts/bench_device_link.py)
 # and host/device overlap is impossible (async D2H deadlocks the relay
 # client), so bigger batches with ONE fused device call each are strictly
-# better until padding waste dominates.
-DEFAULT_BATCH = 1536
+# better until padding waste dominates.  LR2RMATS_BATCH overrides for
+# on-chip tuning experiments.
+import os as _os
+DEFAULT_BATCH = int(_os.environ.get("LR2RMATS_BATCH", "1536"))
 # fixed row-chunk per bucket => exactly one compiled shape per bucket for
 # the whole run (variable shapes trigger fresh device compiles, which are
 # slow/flaky over the remote relay); sized so one DEFAULT_BATCH-read batch
@@ -53,7 +55,11 @@ DEFAULT_BATCH = 1536
 # 128 gives an anchor every ~25 bp on a 3 kb read — measured accuracy is
 # identical to cap 256 on the clean and both ONT seeds while halving both
 # the device payload height and the scan's sequential step count
-CHAIN_CHUNK = {8: 2048, 64: 320, 128: 1664}
+# (chunks scale with LR2RMATS_BATCH, rounded up to full 128-lane groups)
+_BF = max(DEFAULT_BATCH / 1536.0, 0.25)
+CHAIN_CHUNK = {8: int(2048 * _BF),
+               64: -(-int(320 * _BF) // 128) * 128,
+               128: -(-int(1664 * _BF) // 128) * 128}
 MAX_CLUSTERS_PER_STRAND = 4
 
 
