@@ -307,13 +307,14 @@ class BatchAligner:
                 for j, i in enumerate(np.nonzero(keep)[0])]
 
     # ------------------------------------------------------------- chaining
-    def _chain_rows_async(self, rows: List[_Row]):
-        """Dispatch fused chain-DP + backtrack for all rows; returns the
-        pending list (device arrays not yet materialized)."""
+    def _prepare_dispatch(self, rows: List[_Row]):
+        """HOST side of the chain dispatch: bucket rows, chain the small
+        bucket natively, pack the fixed device chunks into the kernel's
+        delta format.  Pure numpy/C — safe on the seed worker thread, so
+        none of it sits on the main thread's device critical path."""
         if self.backend in ("host", "pallas"):
             return self.backend
-        from ..ops.chain_jax import (EXC_ROWS, chain_backtrack_batch_async,
-                                     chain_backtrack_multi_async)
+        from ..ops.chain_jax import EXC_ROWS, pack_chain_buf
         # bucket rows by padded anchor count; query positions AND ref
         # deltas ride the link as u16 pairs, buckets top out at
         # A_BUCKETS[-1], so the rare >=64 kb read (oversized positions and
@@ -400,26 +401,46 @@ class BatchAligner:
         # with the native small-chain path active the 8-bucket never has
         # device rows — drop it from the fused call's (fixed) signature
         device_buckets = A_BUCKETS[1:] if lib is not None else A_BUCKETS
+        spills = []
         for A in device_buckets:
             members = buckets.get(A, [])
             C = CHAIN_CHUNK[A]
             head = members[:C]
             qp, gp, nn = pack_chunk(A, head)
             multi_parts.append((head, nn))
-            multi_items.append((qp, gp, nn))
+            multi_items.append(pack_chain_buf(qp, gp, nn))
             shapes.append((A, C))
             for off in range(C, len(members), C):
                 part = members[off: off + C]
                 qp, gp, nn = pack_chunk(A, part)
-                pending.append(("single", part, nn, A,
-                                chain_backtrack_batch_async(
-                                    qp, gp, nn, self.p.chain,
-                                    self.p.min_score)))
-        dev = chain_backtrack_multi_async(multi_items, self.p.chain,
-                                          self.p.min_score)
-        pending.insert(0, ("multi", multi_parts, shapes, dev))
-        if host_rows:
-            pending.append(("hostrows", host_rows))
+                spills.append((part, nn, A, pack_chain_buf(qp, gp, nn)))
+        return dict(pre=pending, multi_bufs=multi_items,
+                    multi_parts=multi_parts, shapes=shapes, spills=spills,
+                    host_rows=host_rows)
+
+    def _chain_rows_async(self, rows: List[_Row], prep=None):
+        """Dispatch fused chain-DP + backtrack for all rows; returns the
+        pending list (device arrays not yet materialized).  Only the
+        device dispatch happens here — the packing (`_prepare_dispatch`)
+        may already have run on the seed worker.  MAIN THREAD ONLY (the
+        relay client deadlocks on multi-threaded device access)."""
+        if prep is None:
+            prep = self._prepare_dispatch(rows)
+        if prep in ("host", "pallas"):
+            return prep
+        from ..ops.chain_jax import (dispatch_multi_packed,
+                                     dispatch_single_packed)
+        pending = list(prep["pre"])
+        for part, nn, A, buf in prep["spills"]:
+            pending.append(("single", part, nn, A,
+                            dispatch_single_packed(buf, self.p.chain,
+                                                   self.p.min_score)))
+        dev = dispatch_multi_packed(prep["multi_bufs"], self.p.chain,
+                                    self.p.min_score)
+        pending.insert(0, ("multi", prep["multi_parts"], prep["shapes"],
+                           dev))
+        if prep["host_rows"]:
+            pending.append(("hostrows", prep["host_rows"]))
         return pending
 
     def warmup_chain_shapes(self) -> None:
@@ -1119,9 +1140,12 @@ class BatchAligner:
             codes = [reads.get(i) for i in range(lo, hi)]
             t0 = _time.perf_counter()
             rows = self._batch_anchors(codes)
+            # packing + native small-chain run here on the worker too, so
+            # the main thread's dispatch is device-put + jit call only
+            prep = self._prepare_dispatch(rows)
             st = self.stats
             st["seed_s"] = st.get("seed_s", 0.0) + _time.perf_counter() - t0
-            return names, codes, rows
+            return names, codes, rows, prep
 
         def _build(names, codes, rows, chained):
             t0 = _time.perf_counter()
@@ -1148,11 +1172,11 @@ class BatchAligner:
                         _build, names, codes, rows, chained))
 
                 for si in range(len(spans)):
-                    names, codes, rows = fut.result()
+                    names, codes, rows, prep = fut.result()
                     if si + 1 < len(spans):
                         fut = seed_pool.submit(_seed, *spans[si + 1])
                     t1 = _time.perf_counter()
-                    pending = self._chain_rows_async(rows)
+                    pending = self._chain_rows_async(rows, prep)
                     st = self.stats
                     st["dispatch_s"] = (st.get("dispatch_s", 0.0) +
                                         _time.perf_counter() - t1)

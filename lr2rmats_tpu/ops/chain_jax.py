@@ -315,13 +315,8 @@ def chain_backtrack_batch_async(qpos: np.ndarray, rpos: np.ndarray,
     jax.distributed process group the cross-host axis is the per-sample
     scatter (parallel.distributed), so the chain chunk only ever spans
     this host's addressable chips.)"""
-    arg = _pack_sharded(qpos, rpos, n_anchor)
-    return _chain_backtrack(
-        arg, p.window, p.k,
-        jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
-        jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
-        jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap),
-        jnp.float32(min_score))
+    return dispatch_single_packed(pack_chain_buf(qpos, rpos, n_anchor), p,
+                                  min_score)
 
 
 def count_delta_overflows(gpos: np.ndarray) -> int:
@@ -373,11 +368,11 @@ def pack_chain_buf(qpos: np.ndarray, rpos: np.ndarray, n_anchor: np.ndarray
     return buf
 
 
-def _pack_sharded(qpos, rpos, n_anchor):
-    """Pack + dp-shard over local devices when the batch divides
-    (lane-parallel kernel => pure data parallelism)."""
-    B = qpos.shape[0]
-    arg = jnp.asarray(pack_chain_buf(qpos, rpos, n_anchor))
+def _shard_buf(buf: np.ndarray):
+    """dp-shard a packed buffer over local devices when its lane count
+    divides (lane-parallel kernel => pure data parallelism)."""
+    B = buf.shape[1]
+    arg = jnp.asarray(buf)
     devs = jax.local_devices()
     if len(devs) > 1 and B % len(devs) == 0 and B >= 8 * len(devs):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -391,9 +386,27 @@ def chain_backtrack_multi_async(items, p: ChainParams, min_score: float):
 
     items: [(qpos [B_i, A_i], rpos, n_anchor), ...] — one per bucket, fixed
     shapes.  Decode the result with split_multi_result."""
-    bufs = tuple(_pack_sharded(q, r, n) for q, r, n in items)
+    return dispatch_multi_packed(
+        [pack_chain_buf(q, r, n) for q, r, n in items], p, min_score)
+
+
+def dispatch_multi_packed(bufs, p: ChainParams, min_score: float):
+    """chain_backtrack_multi_async over PRE-PACKED host buffers
+    (pack_chain_buf output) — the packing can run on a worker thread;
+    only this device dispatch must stay on the main thread (relay)."""
+    args = tuple(_shard_buf(b) for b in bufs)
     return _chain_backtrack_multi(
-        bufs, p.window, p.k,
+        args, p.window, p.k,
+        jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
+        jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
+        jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap),
+        jnp.float32(min_score))
+
+
+def dispatch_single_packed(buf, p: ChainParams, min_score: float):
+    """chain_backtrack_batch_async over one PRE-PACKED host buffer."""
+    return _chain_backtrack(
+        _shard_buf(buf), p.window, p.k,
         jnp.int32(p.max_qgap), jnp.int32(p.max_intron),
         jnp.float32(p.gap_open), jnp.float32(p.gap_scale),
         jnp.float32(p.intron_scale), jnp.int32(p.min_intron_gap),
