@@ -162,21 +162,26 @@ class SpliceAligner:
             if not len(h):
                 return None
             lo, hi = self.index.lookup(h)
-            cand_q, cand_g = [], []
-            for t in range(len(h)):
-                if hi[t] - lo[t] > 16:
-                    continue  # repetitive seed
-                for i in range(int(lo[t]), int(hi[t])):
-                    if int(self.index.strand[i]) != int(qs[t]):
-                        continue
-                    gp = int(self.index.pos[i])
-                    if lo_g <= gp < hi_g:
-                        cand_q.append(int(qp[t]))
-                        cand_g.append(gp)
-            if not cand_q:
+            cnt = (hi - lo).astype(np.int64)
+            keep = (cnt > 0) & (cnt <= 16)   # drop repetitive seeds
+            if not keep.any():
                 return None
-            cq = np.asarray(cand_q, np.int64)
-            cg = np.asarray(cand_g, np.int64)
+            lo, cnt = lo[keep], cnt[keep]
+            qpk = np.asarray(qp, np.int64)[keep]
+            qsk = np.asarray(qs)[keep]
+            total = int(cnt.sum())
+            starts = np.zeros(len(cnt) + 1, np.int64)
+            np.cumsum(cnt, out=starts[1:])
+            rep = np.repeat(np.arange(len(cnt)), cnt)
+            flat = np.repeat(lo, cnt) + (np.arange(total) -
+                                         np.repeat(starts[:-1], cnt))
+            gp_all = self.index.pos[flat].astype(np.int64)
+            m = ((self.index.strand[flat] == qsk[rep]) &
+                 (gp_all >= lo_g) & (gp_all < hi_g))
+            if not m.any():
+                return None
+            cq = qpk[rep[m]]
+            cg = gp_all[m]
             order = np.lexsort((cq, cg))
             cq, cg = cq[order], cg[order]
             # keep the most-supported diagonal
