@@ -336,8 +336,10 @@ def main():
         cnames = [f"read{i}" for i in range(len(creads))]
         al2 = BatchAligner(genome2)
         al2.warmup_chain_shapes()
+        # best-of-2: one pass at 1536 reads is dominated by the cold
+        # first batch (new aligner instance), understating ~2x
         crps, _, carm = _measure(al2, _pack(creads, cnames), cnames,
-                                 ctruths, 1, "clean")
+                                 ctruths, 2, "clean")
         detail["clean_reads_per_sec"] = round(crps, 2)
         detail["clean_exact_exon_chain_frac"] = carm["exact_exon_chain_frac"]
     if os.environ.get("BENCH_NOTE"):

@@ -936,11 +936,54 @@ class BatchAligner:
         vote = vote_out.astype(np.int64).copy()
         cig_list: Dict[int, np.ndarray] = {}
         intron_special = {}
-        for i in np.nonzero(special)[0]:
+        special_idx = np.nonzero(special)[0]
+        # one revcomp per (read, strand) — several specials share a read
+        seq_cache: Dict[tuple, np.ndarray] = {}
+
+        def _seq(i):
+            ri, rank = flat[i]
+            s = cands_by_read[ri][rank][1]
+            key = (ri, s)
+            sc = seq_cache.get(key)
+            if sc is None:
+                sc = revcomp(reads[ri]) if s == 1 else reads[ri]
+                seq_cache[key] = sc
+            return sc
+
+        # batch-precompute the rescue clip seeds: ONE native minimizer
+        # extraction + ONE index lookup for every clip in the batch
+        # (the per-clip python pair cost ~0.25 ms x ~2k rescues/batch on
+        # the ONT profile)
+        pre_by_i: Dict[int, dict] = {}
+        clip_specs = []                       # (record idx, side, clip)
+        for i in special_idx:
+            if rc_out[i]:
+                continue                      # full re-extend path
+            sc = _seq(i)
+            if first_clip[i]:
+                clip_specs.append((i, "lead", sc[:int(first_l[i])]))
+            if last_clip[i]:
+                clip_specs.append((i, "trail", sc[len(sc) -
+                                                  int(last_l[i]):]))
+        if clip_specs:
+            h, qp, qs, rid, _l = self._batch_minimizers(
+                [c for _, _, c in clip_specs])
+            if h is None:
+                h = np.zeros(0, np.uint64)
+                qp = np.zeros(0, np.int64)
+                qs = np.zeros(0, np.int8)
+                rid = np.zeros(0, np.int32)
+            lo, hi = self.index.lookup(h) if len(h) else (
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+            bounds = np.searchsorted(rid, np.arange(len(clip_specs) + 1))
+            for j, (i, side, _) in enumerate(clip_specs):
+                s0, s1 = int(bounds[j]), int(bounds[j + 1])
+                pre_by_i.setdefault(int(i), {})[side] = (
+                    h[s0:s1], qp[s0:s1], qs[s0:s1], lo[s0:s1], hi[s0:s1])
+        for i in special_idx:
             ri, rank = flat[i]
             _, s, cq, cg = cands_by_read[ri][rank]
-            codes = reads[ri]
-            seq_codes = revcomp(codes) if s == 1 else codes
+            seq_codes = _seq(i)
             if rc_out[i]:
                 res = self.inner._extend(seq_codes, cq, cg)
             else:
@@ -949,7 +992,8 @@ class BatchAligner:
                             for t in range(int(no[i]))]
                 res = (int(pos_g[i]), base_ops, int(ed[i]), int(nmatch[i]),
                        int(vote[i]))
-                res = self.inner._rescue_terminal_exons(seq_codes, res)
+                res = self.inner._rescue_terminal_exons(
+                    seq_codes, res, pre=pre_by_i.get(int(i)))
             pos_g[i], ops_i, ed[i], nmatch[i], vote[i] = res
             cig_list[i] = np.array([(l << 4) | op for op, l in ops_i
                                     if l > 0], np.uint32)
