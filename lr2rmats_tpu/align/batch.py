@@ -1202,9 +1202,10 @@ class BatchAligner:
                  for off in range(0, reads.n, batch_size)]
         inflight = deque()
         build_futs = []
+        n_build = int(os.environ.get("LR2RMATS_BUILD_WORKERS", "1"))
         if spans:
             with ThreadPoolExecutor(1) as seed_pool, \
-                    ThreadPoolExecutor(1) as build_pool:
+                    ThreadPoolExecutor(max(n_build, 1)) as build_pool:
                 fut = seed_pool.submit(_seed, *spans[0])
 
                 def _finish_one():
