@@ -88,6 +88,14 @@ def main():
         except Exception as e:
             say(f"parity: unparseable stdout ({e})")
 
+    if os.environ.get("TPU_CAPTURE_PARITY_ONLY"):
+        # quick-window mode (e.g. another CPU-heavy job owns the host and
+        # would depress the bench's host-bound phases): parity is device-
+        # bound and still worth grabbing; bench + 500k run in a later
+        # full capture
+        print(json.dumps(results))
+        return 0 if (results["probe"] and results["parity"]) else 1
+
     res = run_step("bench", [sys.executable, "bench.py"], 1500)
     if res:
         try:
