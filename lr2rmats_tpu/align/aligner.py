@@ -226,46 +226,49 @@ class SpliceAligner:
                         lops, intron, rops, v, _ = r2
                         mism = int(np.sum(codes[:exon_len0] !=
                                           ref[exon_g0: exon_g0 + exon_len0]))
-                        if mism > 0.25 * exon_len0:
-                            return pos, ops, ed, nmatch, vote
-                        new_ops = [(OP_M, exon_len0)]
-                        new_ops += lops + [(OP_N, intron)] + rops
-                        # merge with the remaining ops (drop the S)
-                        rest = ops[1:]
-                        merged = list(new_ops)
-                        for op, l in rest:
-                            if merged and merged[-1][0] == op:
-                                merged[-1] = (op, merged[-1][1] + l)
-                            else:
-                                merged.append((op, l))
-                        ops = merged
-                        pos = exon_g0
-                        # count mismatches inside the junction-DP M runs too
-                        gm = 0
-                        qi, gi = exon_len0, left_end_g
-                        for op, l in lops:
-                            if op == OP_M:
-                                gm += int(np.sum(codes[qi: qi + l] !=
-                                                 ref[gi: gi + l]))
-                                qi += l; gi += l
-                            elif op == OP_I:
-                                qi += l
-                            else:
-                                gi += l
-                        gi += intron
-                        for op, l in rops:
-                            if op == OP_M:
-                                gm += int(np.sum(codes[qi: qi + l] !=
-                                                 ref[gi: gi + l]))
-                                qi += l; gi += l
-                            elif op == OP_I:
-                                qi += l
-                            else:
-                                gi += l
-                        ed += mism + gm + sum(l for op, l in lops + rops
-                                              if op in (OP_I, OP_D))
-                        nmatch += exon_len0 - mism
-                        vote += v
+                        # reject a too-noisy lead placement but
+                        # still try the TRAILING clip below (an
+                        # early return here silently dropped the
+                        # other terminal exon)
+                        if mism <= 0.25 * exon_len0:
+                            new_ops = [(OP_M, exon_len0)]
+                            new_ops += lops + [(OP_N, intron)] + rops
+                            # merge with the remaining ops (drop the S)
+                            rest = ops[1:]
+                            merged = list(new_ops)
+                            for op, l in rest:
+                                if merged and merged[-1][0] == op:
+                                    merged[-1] = (op, merged[-1][1] + l)
+                                else:
+                                    merged.append((op, l))
+                            ops = merged
+                            pos = exon_g0
+                            # count mismatches inside the junction-DP M runs too
+                            gm = 0
+                            qi, gi = exon_len0, left_end_g
+                            for op, l in lops:
+                                if op == OP_M:
+                                    gm += int(np.sum(codes[qi: qi + l] !=
+                                                     ref[gi: gi + l]))
+                                    qi += l; gi += l
+                                elif op == OP_I:
+                                    qi += l
+                                else:
+                                    gi += l
+                            gi += intron
+                            for op, l in rops:
+                                if op == OP_M:
+                                    gm += int(np.sum(codes[qi: qi + l] !=
+                                                     ref[gi: gi + l]))
+                                    qi += l; gi += l
+                                elif op == OP_I:
+                                    qi += l
+                                else:
+                                    gi += l
+                            ed += mism + gm + sum(l for op, l in lops + rops
+                                                  if op in (OP_I, OP_D))
+                            nmatch += exon_len0 - mism
+                            vote += v
         # ---- trailing clip
         if ops and ops[-1][0] == OP_S and ops[-1][1] >= MIN_RESCUE:
             c = ops[-1][1]

@@ -44,6 +44,9 @@ A_BUCKETS = (8, 64, 128)
 # on-chip tuning experiments.
 import os as _os
 DEFAULT_BATCH = int(_os.environ.get("LR2RMATS_BATCH", "1536"))
+if DEFAULT_BATCH <= 0:
+    raise ValueError("LR2RMATS_BATCH must be a positive integer, got "
+                     f"{DEFAULT_BATCH}")
 # fixed row-chunk per bucket => exactly one compiled shape per bucket for
 # the whole run (variable shapes trigger fresh device compiles, which are
 # slow/flaky over the remote relay); sized so one DEFAULT_BATCH-read batch
@@ -57,9 +60,17 @@ DEFAULT_BATCH = int(_os.environ.get("LR2RMATS_BATCH", "1536"))
 # the device payload height and the scan's sequential step count
 # (chunks scale with LR2RMATS_BATCH, rounded up to full 128-lane groups)
 _BF = max(DEFAULT_BATCH / 1536.0, 0.25)
-CHAIN_CHUNK = {8: int(2048 * _BF),
-               64: -(-int(320 * _BF) // 128) * 128,
-               128: -(-int(1664 * _BF) // 128) * 128}
+
+
+def _scaled_chunk(v: int) -> int:
+    # the tuned defaults apply EXACTLY at the default batch (the ceil-to-
+    # 128 rounding must not drift them — 320 would become 384); only
+    # scaled values round up to full 128-lane groups
+    return v if _BF == 1.0 else -(-int(v * _BF) // 128) * 128
+
+
+CHAIN_CHUNK = {8: _scaled_chunk(2048), 64: _scaled_chunk(320),
+               128: _scaled_chunk(1664)}
 MAX_CLUSTERS_PER_STRAND = 4
 
 
@@ -475,34 +486,51 @@ class BatchAligner:
             from ..native import get_lib
             lib = get_lib()
             if lib is not None and rows:
-                # one native call for the whole batch (chain_small_batch_c
-                # implements the full windowed DP + backtrack for ANY row
-                # width — 'small' is its device-path role, not a limit);
-                # the pure-python path below is the no-native fallback
-                cap = max(max(len(r.qpos) for r in rows), 1)
-                m = len(rows)
-                qp = np.zeros((m, cap), np.int32)
-                gp = np.zeros((m, cap), np.int32)
-                nn = np.zeros(m, np.int32)
-                for i, r in enumerate(rows):
-                    n = len(r.qpos)
-                    qp[i, :n] = r.qpos
-                    gp[i, :n] = r.gpos - r.base
-                    nn[i] = n
-                mask = np.zeros((m, cap), np.uint8)
-                ps = np.zeros(m, np.float32)
-                ss = np.zeros(m, np.float32)
+                # native windowed DP + backtrack (chain_small_batch_c
+                # handles ANY row width — 'small' is its device-path role,
+                # not a limit); the pure-python path below is the
+                # no-native fallback.  Rows are processed in width-sorted
+                # chunks: one batch-max cap would inflate the dense
+                # [m, cap] matrices ~40x whenever a single long-read
+                # cluster rides with thousands of 2-8-anchor rows
                 pc = self.p.chain
-                lib.chain_small_batch_c(
-                    qp, gp, nn, m, cap,
-                    pc.k, pc.window, pc.max_intron, pc.max_qgap,
-                    pc.gap_open, pc.gap_scale, pc.intron_scale,
-                    pc.min_intron_gap, float(self.p.min_score),
-                    mask.reshape(-1), ps, ss)
-                for i in range(m):
-                    row_mask = mask[i, : nn[i]]
-                    out[i] = (np.nonzero(row_mask & 1)[0], float(ps[i]),
-                              np.nonzero(row_mask & 2)[0], float(ss[i]))
+                widths = np.array([len(r.qpos) for r in rows], np.int64)
+                order = np.argsort(widths, kind="stable")
+                CH = 2048
+                for off in range(0, len(order), CH):
+                    sel = order[off: off + CH]
+                    cap = max(int(widths[sel[-1]]), 1)
+                    m = len(sel)
+                    qp = np.zeros((m, cap), np.int32)
+                    gp = np.zeros((m, cap), np.int32)
+                    nn = np.zeros(m, np.int32)
+                    for bi, i in enumerate(sel):
+                        r = rows[i]
+                        n = len(r.qpos)
+                        qp[bi, :n] = r.qpos
+                        gp[bi, :n] = r.gpos - r.base
+                        nn[bi] = n
+                    mask = np.zeros((m, cap), np.uint8)
+                    ps = np.zeros(m, np.float32)
+                    ss = np.zeros(m, np.float32)
+                    lib.chain_small_batch_c(
+                        qp, gp, nn, m, cap,
+                        pc.k, pc.window, pc.max_intron, pc.max_qgap,
+                        pc.gap_open, pc.gap_scale, pc.intron_scale,
+                        pc.min_intron_gap, float(self.p.min_score),
+                        mask.reshape(-1), ps, ss)
+                    # vectorized decode: one flat nonzero + offset split
+                    # instead of two np.nonzero calls per row
+                    valid = np.arange(cap)[None, :] < nn[:, None]
+                    r1, c1 = np.nonzero(((mask & 1) != 0) & valid)
+                    r2, c2 = np.nonzero(((mask & 2) != 0) & valid)
+                    o1 = np.zeros(m + 1, np.int64)
+                    np.cumsum(np.bincount(r1, minlength=m), out=o1[1:])
+                    o2 = np.zeros(m + 1, np.int64)
+                    np.cumsum(np.bincount(r2, minlength=m), out=o2[1:])
+                    for bi, i in enumerate(sel):
+                        out[i] = (c1[o1[bi]: o1[bi + 1]], float(ps[bi]),
+                                  c2[o2[bi]: o2[bi + 1]], float(ss[bi]))
                 return out
             from .chain import chain_anchors, backtrack
             for i, r in enumerate(rows):
@@ -1191,11 +1219,15 @@ class BatchAligner:
             st["seed_s"] = st.get("seed_s", 0.0) + _time.perf_counter() - t0
             return names, codes, rows, prep
 
+        import threading
+        stats_lock = threading.Lock()
+
         def _build(names, codes, rows, chained):
             t0 = _time.perf_counter()
             out = self._build_packed(names, codes, rows, chained)
-            self.stats["build_s"] = (self.stats.get("build_s", 0.0) +
-                                     _time.perf_counter() - t0)
+            with stats_lock:        # n_build > 1: lost-update guard
+                self.stats["build_s"] = (self.stats.get("build_s", 0.0) +
+                                         _time.perf_counter() - t0)
             return out
 
         spans = [(off, min(off + batch_size, reads.n))
@@ -1203,6 +1235,13 @@ class BatchAligner:
         inflight = deque()
         build_futs = []
         n_build = int(os.environ.get("LR2RMATS_BUILD_WORKERS", "1"))
+        if n_build > 1 and self.junction_backend == "device":
+            # the device-junction build path makes device calls, and the
+            # relay client deadlocks on multi-threaded device access —
+            # the device may only ever be touched from one thread
+            log("align", "LR2RMATS_BUILD_WORKERS>1 ignored: "
+                "device junction backend is main-thread-only")
+            n_build = 1
         if spans:
             with ThreadPoolExecutor(1) as seed_pool, \
                     ThreadPoolExecutor(max(n_build, 1)) as build_pool:
