@@ -296,7 +296,7 @@ int64_t extract_minimizers_c(const uint8_t* codes, int64_t n_codes,
         if (c < 4) {
             fwd = ((fwd << 2) | c) & mask;
             rc = (rc >> 2) | ((uint64_t)(3 - c) << shift_rc);
-            ++valid_run;
+            if (valid_run < k) ++valid_run;  // clamp: only >= k matters; unclamped it overflows int past 2^31 contiguous bases
         } else {
             fwd = rc = 0; valid_run = 0;
         }
@@ -320,15 +320,25 @@ int64_t extract_minimizers_c(const uint8_t* codes, int64_t n_codes,
             }
         }
     }
-    // sliding window minimum, leftmost argmin, dedup on position
+    // sliding window minimum, leftmost argmin, dedup on position.
+    // Monotonic ring-buffer deque: amortized O(1) per window instead of the
+    // O(w) rescan (the seed phase is the largest align-phase host cost).
+    // Strict > eviction keeps the EARLIEST index among equal values, so the
+    // front is exactly the leftmost argmin the rescan produced.
     int64_t cnt = 0;
     int64_t last_pos = -1;
-    for (int64_t wstart = 0; wstart + w <= n; ++wstart) {
-        uint64_t mn = BAD; int64_t arg = -1;
-        for (int j = 0; j < w; ++j) {
-            if (h[wstart + j] < mn) { mn = h[wstart + j]; arg = wstart + j; }
-        }
-        if (arg < 0 || mn == BAD) continue;
+    std::vector<int64_t> dq((size_t)w + 1);
+    int64_t qh = 0, qt = 0;  // [qh, qt) indices into dq ring
+    auto dq_at = [&](int64_t t) -> int64_t& { return dq[(size_t)(t % (w + 1))]; };
+    for (int64_t i = 0; i < n; ++i) {
+        while (qt > qh && h[dq_at(qt - 1)] > h[i]) --qt;
+        dq_at(qt++) = i;
+        int64_t wstart = i - w + 1;
+        if (wstart < 0) continue;
+        while (dq_at(qh) < wstart) ++qh;
+        int64_t arg = dq_at(qh);
+        uint64_t mn = h[arg];
+        if (mn == BAD) continue;
         if (arg == last_pos) continue;
         out_hash[cnt] = mn;
         out_pos[cnt] = arg;
@@ -423,18 +433,21 @@ int refine_splice_c(const uint8_t* q, int m, const uint8_t* ref,
 
 // Chain backtrack (align/chain.py::backtrack): primary chain + best
 // anchor-disjoint secondary.  Outputs index arrays (cap n each); returns 0.
-int backtrack_c(const double* f, const int64_t* parent, int64_t n,
-                double min_score, int max_examine,
-                int64_t* primary, int64_t* pn,
-                int64_t* secondary, int64_t* sn,
-                double* pscore, double* sscore) {
+// Scratch-parameterized core: chain_small_batch_c calls this once per row
+// (millions of rows at 500k-read scale), so per-call heap allocation is
+// hoisted into caller-owned buffers (each sized >= n).
+static int backtrack_impl(const double* f, const int64_t* parent, int64_t n,
+                          double min_score, int max_examine,
+                          int64_t* primary, int64_t* pn,
+                          int64_t* secondary, int64_t* sn,
+                          double* pscore, double* sscore,
+                          int64_t* order, uint8_t* used, int64_t* tmp) {
     *pn = 0; *sn = 0; *pscore = 0.0; *sscore = 0.0;
     if (n == 0) return 0;
-    std::vector<int64_t> order(n);
     for (int64_t i = 0; i < n; ++i) order[i] = i;
-    std::stable_sort(order.begin(), order.end(),
+    std::stable_sort(order, order + n,
                      [&](int64_t a, int64_t b) { return f[a] > f[b]; });
-    std::vector<uint8_t> used(n, 0);
+    std::memset(used, 0, (size_t)n);
     auto trace = [&](int64_t end, int64_t* out) {
         int64_t cnt = 0;
         for (int64_t i = end; i != -1; i = parent[i]) out[cnt++] = i;
@@ -447,24 +460,39 @@ int backtrack_c(const double* f, const int64_t* parent, int64_t n,
     *pscore = f[best_end];
     for (int64_t i = 0; i < *pn; ++i) used[primary[i]] = 1;
     int examined = 0;
-    std::vector<int64_t> tmp(n);
     for (int64_t oi = 1; oi < n; ++oi) {
         int64_t e = order[oi];
         if (f[e] < min_score || examined >= max_examine) break;
         if (used[e]) continue;
         ++examined;
-        int64_t cnt = trace(e, tmp.data());
+        int64_t cnt = trace(e, tmp);
         bool clean = true;
         for (int64_t i = 0; i < cnt; ++i)
             if (used[tmp[i]]) { clean = false; break; }
         if (clean) {
-            std::memcpy(secondary, tmp.data(), cnt * sizeof(int64_t));
+            std::memcpy(secondary, tmp, cnt * sizeof(int64_t));
             *sn = cnt;
             *sscore = f[e];
             break;
         }
     }
     return 0;
+}
+
+int backtrack_c(const double* f, const int64_t* parent, int64_t n,
+                double min_score, int max_examine,
+                int64_t* primary, int64_t* pn,
+                int64_t* secondary, int64_t* sn,
+                double* pscore, double* sscore) {
+    if (n == 0) {
+        *pn = 0; *sn = 0; *pscore = 0.0; *sscore = 0.0;
+        return 0;
+    }
+    std::vector<int64_t> order(n), tmp(n);
+    std::vector<uint8_t> used(n);
+    return backtrack_impl(f, parent, n, min_score, max_examine,
+                          primary, pn, secondary, sn, pscore, sscore,
+                          order.data(), used.data(), tmp.data());
 }
 
 // Hamming distance of a read vs buffer at many candidate positions.
@@ -490,23 +518,94 @@ void hamming_many_c(const uint8_t* buf, int64_t n, const uint8_t* read,
 
 namespace {
 
+// Decimal formatter shared by the SAM/GTF/detail/BED12 writers (they each
+// had an identical local lambda).  Negates via uint64 so INT64_MIN is safe.
+inline int64_t put_i64(uint8_t* out, int64_t o, int64_t v) {
+    char tmp[24];
+    int l = 0;
+    uint64_t u = (v < 0) ? (uint64_t)(-(v + 1)) + 1 : (uint64_t)v;
+    if (u == 0) tmp[l++] = '0';
+    while (u) { tmp[l++] = (char)('0' + u % 10); u /= 10; }
+    if (v < 0) tmp[l++] = '-';
+    for (int i = l - 1; i >= 0; --i) out[o++] = (uint8_t)tmp[i];
+    return o;
+}
+
 struct OpsBuf {
     int32_t* buf;
     int cap;
     int n = 0;
+    bool overflowed = false;
     void push(int op, int64_t len) {
-        if (len <= 0) return;
+        // Once over capacity, stop entirely (merging a later same-code run
+        // into the last *stored* run after a drop would corrupt the CIGAR);
+        // the caller surfaces `overflowed` as a nonzero rc -> python fallback.
+        if (len <= 0 || overflowed) return;
         if (n > 0 && buf[2 * (n - 1)] == op) {
             buf[2 * (n - 1) + 1] += (int32_t)len;
             return;
         }
-        if (n < cap) {
-            buf[2 * n] = op;
-            buf[2 * n + 1] = (int32_t)len;
-            ++n;
-        }
+        if (n >= cap) { overflowed = true; return; }
+        buf[2 * n] = op;
+        buf[2 * n + 1] = (int32_t)len;
+        ++n;
     }
 };
+
+// chain anchors -> colinear blocks with intron-edge pullback (shared by
+// extend_chain_c and the device-junction two-pass path).  Returns the block
+// count, or -1 if more than max_blocks blocks were produced (callers fall
+// back to an unbounded path; silently dropping trailing blocks would
+// truncate long-read CIGARs).
+struct Blk64 { int64_t q0, g0, len; };
+
+// eler_out (2*max_blocks, may be null): per-gap pullback (El, Er) stored at
+// the RIGHT block's index — the junction prior center (see extend_chain_c).
+int build_blocks(const int64_t* cq, const int64_t* cg, int n_anchor, int k,
+                 int min_intron_gap, Blk64* out, int max_blocks,
+                 int32_t* eler_out = nullptr) {
+    int nb = 0;
+    int64_t q0 = cq[0], g0 = cg[0];
+    int64_t qe = q0 + k, ge = g0 + k;
+    for (int i = 1; i < n_anchor; ++i) {
+        int64_t qi = cq[i], gi = cg[i];
+        if (qi - q0 == gi - g0) {
+            qe = std::max(qe, qi + k);
+            ge = std::max(ge, gi + k);
+            continue;
+        }
+        int64_t d = std::max(qe - qi, ge - gi);
+        int64_t klen = k;
+        if (d > 0) {
+            if (d >= k) continue;
+            qi += d; gi += d; klen = k - d;
+        }
+        if (nb >= max_blocks) return -1;
+        out[nb++] = {q0, g0, qe - q0};
+        q0 = qi; g0 = gi; qe = qi + klen; ge = gi + klen;
+    }
+    if (nb >= max_blocks) return -1;
+    out[nb++] = {q0, g0, qe - q0};
+    const int64_t E = 6;
+    if (eler_out) std::fill(eler_out, eler_out + 2 * nb, 0);
+    for (int i = 1; i < nb; ++i) {
+        Blk64& pb = out[i - 1];
+        Blk64& bb = out[i];
+        int64_t gq = bb.q0 - (pb.q0 + pb.len);
+        int64_t gg = bb.g0 - (pb.g0 + pb.len);
+        if (gg - gq >= min_intron_gap) {
+            int64_t El = pb.len > 8 ? std::min(E, pb.len - 8) : 0;
+            int64_t Er = bb.len > 8 ? std::min(E, bb.len - 8) : 0;
+            pb.len -= El;
+            bb.q0 += Er; bb.g0 += Er; bb.len -= Er;
+            if (eler_out) {
+                eler_out[2 * i] = (int32_t)El;
+                eler_out[2 * i + 1] = (int32_t)Er;
+            }
+        }
+    }
+    return nb;
+}
 
 // banded global edit path (banded.py::banded_edit_path); ops appended via
 // cb(op, len) in M=0 I=1 D=2 codes.  Returns edit distance.
@@ -589,49 +688,17 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
                    int64_t* pos_out, int32_t* ops_out, int32_t* n_ops_cap_io,
                    int64_t* ed_out, int64_t* nmatch_out, int32_t* vote_out) {
     if (n_anchor <= 0) return -1;
-    // ---- merge chain anchors into colinear blocks
-    struct Blk { int64_t q0, g0, len; };
-    std::vector<Blk> blocks;
+    // ---- merge chain anchors into colinear blocks + intron-edge pullback
+    // (shared build_blocks; eler remembers the per-gap pullback (El, Er) —
+    // the center of the junction prior's flat region, align/splice.py W_POS).
+    // A chain of n anchors yields at most n blocks, so n_anchor+1 capacity
+    // can never overflow here.
+    std::vector<Blk64> blocks(n_anchor + 1);
+    std::vector<int32_t> eler(2 * (n_anchor + 1), 0);
     {
-        int64_t q0 = cq[0], g0 = cg[0];
-        int64_t qe = q0 + k, ge = g0 + k;
-        for (int i = 1; i < n_anchor; ++i) {
-            int64_t qi = cq[i], gi = cg[i];
-            if (qi - q0 == gi - g0) {  // same diagonal
-                qe = std::max(qe, qi + k);
-                ge = std::max(ge, gi + k);
-                continue;
-            }
-            int64_t d = std::max(qe - qi, ge - gi);
-            int64_t klen = k;
-            if (d > 0) {
-                if (d >= k) continue;
-                qi += d; gi += d; klen = k - d;
-            }
-            blocks.push_back({q0, g0, qe - q0});
-            q0 = qi; g0 = gi; qe = qi + klen; ge = gi + klen;
-        }
-        blocks.push_back({q0, g0, qe - q0});
-    }
-    // ---- pull anchor-block edges back into intron gaps (E = 6).
-    // The per-gap pullback (El, Er) is remembered: it is exactly how far
-    // into the gap query the anchor-implied donor/acceptor sit, i.e. the
-    // center of the junction prior's flat region (align/splice.py W_POS).
-    const int64_t E = 6;
-    std::vector<int32_t> eler(2 * blocks.size(), 0);
-    for (size_t i = 1; i < blocks.size(); ++i) {
-        Blk& pb = blocks[i - 1];
-        Blk& bb = blocks[i];
-        int64_t gq = bb.q0 - (pb.q0 + pb.len);
-        int64_t gg = bb.g0 - (pb.g0 + pb.len);
-        if (gg - gq >= min_intron_gap) {
-            int64_t El = pb.len > 8 ? std::min(E, pb.len - 8) : 0;
-            int64_t Er = bb.len > 8 ? std::min(E, bb.len - 8) : 0;
-            pb.len -= El;
-            bb.q0 += Er; bb.g0 += Er; bb.len -= Er;
-            eler[2 * i] = (int32_t)El;
-            eler[2 * i + 1] = (int32_t)Er;
-        }
+        int nb = build_blocks(cq, cg, n_anchor, k, min_intron_gap,
+                              blocks.data(), n_anchor + 1, eler.data());
+        blocks.resize(nb);
     }
 
     OpsBuf ops{ops_out, *n_ops_cap_io};
@@ -688,8 +755,8 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
     std::vector<int32_t> lops(4 * (L + 16)), rops(4 * (L + 16));
     for (size_t bi = 0; bi < blocks.size(); ++bi) {
         if (bi > 0) {
-            const Blk& pb = blocks[bi - 1];
-            const Blk& bb = blocks[bi];
+            const Blk64& pb = blocks[bi - 1];
+            const Blk64& bb = blocks[bi];
             int64_t gq = std::max<int64_t>(bb.q0 - (pb.q0 + pb.len), 0);
             int64_t gg = std::max<int64_t>(bb.g0 - (pb.g0 + pb.len), 0);
             int64_t pqe = pb.q0 + pb.len, pge = pb.g0 + pb.len;
@@ -754,7 +821,7 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
     }
 
     // ---- right end extension
-    const Blk& lb = blocks.back();
+    const Blk64& lb = blocks.back();
     int64_t qend = lb.q0 + lb.len, gend = lb.g0 + lb.len;
     int64_t rem = L - qend;
     ext = std::min(rem, chrom_hi - gend);
@@ -772,6 +839,7 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
     if (take) { ops.push(0, take); count_m(qend, gend, take); }
     ops.push(4, L - qend - take);
 
+    if (ops.overflowed) return -2;  // caller retries via the python path
     *n_ops_cap_io = ops.n;
     *ed_out = ed;
     *nmatch_out = nmatch;
@@ -780,61 +848,6 @@ int extend_chain_c(const uint8_t* codes, int64_t L,
 }
 
 }  // extern "C"
-
-namespace {
-
-// chain anchors -> colinear blocks with intron-edge pullback
-// (the block phase of extend_chain_c, shared with the device-junction
-// two-pass path).  Returns block count (capped at max_blocks).
-struct Blk64 { int64_t q0, g0, len; };
-
-// eler_out (2*max_blocks, may be null): per-gap pullback (El, Er) stored at
-// the RIGHT block's index — the junction prior center (see extend_chain_c).
-int build_blocks(const int64_t* cq, const int64_t* cg, int n_anchor, int k,
-                 int min_intron_gap, Blk64* out, int max_blocks,
-                 int32_t* eler_out = nullptr) {
-    int nb = 0;
-    int64_t q0 = cq[0], g0 = cg[0];
-    int64_t qe = q0 + k, ge = g0 + k;
-    for (int i = 1; i < n_anchor; ++i) {
-        int64_t qi = cq[i], gi = cg[i];
-        if (qi - q0 == gi - g0) {
-            qe = std::max(qe, qi + k);
-            ge = std::max(ge, gi + k);
-            continue;
-        }
-        int64_t d = std::max(qe - qi, ge - gi);
-        int64_t klen = k;
-        if (d > 0) {
-            if (d >= k) continue;
-            qi += d; gi += d; klen = k - d;
-        }
-        if (nb < max_blocks) out[nb++] = {q0, g0, qe - q0};
-        q0 = qi; g0 = gi; qe = qi + klen; ge = gi + klen;
-    }
-    if (nb < max_blocks) out[nb++] = {q0, g0, qe - q0};
-    const int64_t E = 6;
-    if (eler_out) std::fill(eler_out, eler_out + 2 * nb, 0);
-    for (int i = 1; i < nb; ++i) {
-        Blk64& pb = out[i - 1];
-        Blk64& bb = out[i];
-        int64_t gq = bb.q0 - (pb.q0 + pb.len);
-        int64_t gg = bb.g0 - (pb.g0 + pb.len);
-        if (gg - gq >= min_intron_gap) {
-            int64_t El = pb.len > 8 ? std::min(E, pb.len - 8) : 0;
-            int64_t Er = bb.len > 8 ? std::min(E, bb.len - 8) : 0;
-            pb.len -= El;
-            bb.q0 += Er; bb.g0 += Er; bb.len -= Er;
-            if (eler_out) {
-                eler_out[2 * i] = (int32_t)El;
-                eler_out[2 * i + 1] = (int32_t)Er;
-            }
-        }
-    }
-    return nb;
-}
-
-}  // namespace
 
 extern "C" {
 
@@ -887,6 +900,11 @@ int collect_gaps_batch_c(
             if (na <= 0) { n_blocks_out[i] = 0; n_junc_out[i] = 0; continue; }
             int nb = build_blocks(cq, cg, na, k, min_intron_gap, blk.data(),
                                   blk_stride, eler.data());
+            if (nb < 0) {  // >blk_stride blocks: route to the unbounded host path
+                n_blocks_out[i] = 0;
+                n_junc_out[i] = -1;
+                continue;
+            }
             n_blocks_out[i] = nb;
             for (int b = 0; b < nb; ++b) {
                 blocks_out[((int64_t)i * blk_stride + b) * 3 + 0] = blk[b].q0;
@@ -1165,7 +1183,7 @@ int assemble_ops_batch_c(
             ed_out[i] = ed;
             nmatch_out[i] = nmatch;
             vote_out[i] = vote;
-            rc_out[i] = 0;
+            rc_out[i] = ops.overflowed ? -2 : 0;  // -> per-candidate python fallback
         }
     };
     if (n_threads <= 1 || n_cand < 2 * n_threads) {
@@ -1259,16 +1277,22 @@ int64_t fasta_parse_c(const uint8_t* buf, int64_t n,
                       uint8_t* codes_out, int64_t* rec_off,
                       int64_t* name_off, int32_t* name_len,
                       int64_t* total_codes_out) {
-    static uint8_t tab[256];
-    static bool init = false;
-    if (!init) {
-        for (int i = 0; i < 256; ++i) tab[i] = 4;
-        tab['A'] = tab['a'] = 0;
-        tab['C'] = tab['c'] = 1;
-        tab['G'] = tab['g'] = 2;
-        tab['T'] = tab['t'] = 3;
-        init = true;
-    }
+    // Block-scope static with a constructor: C++11 guarantees thread-safe
+    // one-time init (per-sample stages call this concurrently from a
+    // ThreadPoolExecutor with the GIL released; the old bool-flag lazy init
+    // was a data race).
+    struct CodeTab {
+        uint8_t t[256];
+        CodeTab() {
+            for (int i = 0; i < 256; ++i) t[i] = 4;
+            t['A'] = t['a'] = 0;
+            t['C'] = t['c'] = 1;
+            t['G'] = t['g'] = 2;
+            t['T'] = t['t'] = 3;
+        }
+    };
+    static const CodeTab tab_s;
+    const uint8_t* tab = tab_s.t;
     int64_t nr = 0, nc = 0, i = 0;
     while (i < n) {
         if (buf[i] == '>') {
@@ -1312,7 +1336,7 @@ void kmer_scan_c(const uint8_t* codes, int64_t n, int k,
     for (int64_t i = 0; i < n; ++i) {
         uint8_t c = codes[i];
         km = ((km << 2) | (c & 3)) & mask;
-        run = (c < 4) ? run + 1 : 0;
+        run = (c < 4) ? (run < k ? run + 1 : run) : 0;  // clamp at k (int overflow on >2^31-base N-free stretches)
         if (i >= k - 1) {
             km_out[i - k + 1] = km;
             ok_out[i - k + 1] = run >= k;
@@ -1358,7 +1382,7 @@ int64_t build_kmer_table_c(const uint8_t* codes, int64_t n, int k,
         for (int64_t i = 0; i < n; ++i) {
             uint8_t c = codes[i];
             km = ((km << 2) | (c & 3)) & mask;
-            run = (c < 4) ? run + 1 : 0;
+            run = (c < 4) ? (run < k ? run + 1 : run) : 0;  // clamp at k (whole-genome calls exceed int32 runs)
             if (i >= k - 1 && run >= k) {
                 h_out[cnt] = km;
                 pos_out[cnt] = i - k + 1 + pos_offset;
@@ -1667,21 +1691,31 @@ int64_t filter_sam_c(const char* buf, int64_t n,
 
     // per-tid running max-end over the (tid, start)-sorted rm intervals:
     // O(log rm) binary-searched overlap test instead of the reference's
-    // per-record linear scan (bam_filter.c:49-59)
-    std::vector<int64_t> rm_key(rm_n), rm_maxend(rm_n);
+    // per-record linear scan (bam_filter.c:49-59).  tid<0 entries (rm_gtf
+    // chromosomes absent from the @SQ header) are dropped here — keeping
+    // them would both shift a negative value (UB) and wrongly match query
+    // lines whose own RNAME is unheaded (tid -1).
+    std::vector<int64_t> rmk_tid, rm_key, rm_maxend;
+    rmk_tid.reserve(rm_n); rm_key.reserve(rm_n); rm_maxend.reserve(rm_n);
     for (int64_t i = 0; i < rm_n; ++i) {
-        rm_key[i] = (rm_tid[i] << 32) | (rm_start[i] & 0xFFFFFFFFLL);
-        rm_maxend[i] = rm_end[i];
-        if (i > 0 && rm_tid[i] == rm_tid[i - 1])
-            rm_maxend[i] = std::max(rm_maxend[i], rm_maxend[i - 1]);
+        if (rm_tid[i] < 0) continue;
+        rmk_tid.push_back(rm_tid[i]);
+        rm_key.push_back((int64_t)(((uint64_t)rm_tid[i] << 32) |
+                                   ((uint64_t)rm_start[i] & 0xFFFFFFFFULL)));
+        int64_t me = rm_end[i];
+        if (!rmk_tid.empty() && rmk_tid.size() > 1 &&
+            rmk_tid[rmk_tid.size() - 2] == rm_tid[i])
+            me = std::max(me, rm_maxend.back());
+        rm_maxend.push_back(me);
     }
     auto rm_overlap = [&](int64_t tid, int64_t p0, int64_t rlen) -> bool {
-        if (rm_n == 0) return false;
+        if (rm_key.empty() || tid < 0) return false;
         int64_t p1 = p0 + rlen - 1;
-        int64_t want = (tid << 32) | ((p1 + 1) & 0xFFFFFFFFLL);
+        int64_t want = (int64_t)(((uint64_t)tid << 32) |
+                                 ((uint64_t)(p1 + 1) & 0xFFFFFFFFULL));
         int64_t j = std::upper_bound(rm_key.begin(), rm_key.end(), want - 1)
                     - rm_key.begin();
-        if (j == 0 || rm_tid[j - 1] != tid) return false;
+        if (j == 0 || rmk_tid[j - 1] != tid) return false;
         return rm_maxend[j - 1] >= p0;
     };
 
@@ -2028,16 +2062,7 @@ int64_t format_sam_batch_c(
     static const char BASE[] = "ACGTN";
     static const char CBASE[] = "TGCAN";
     int64_t o = 0;
-    auto put_int = [&](int64_t v) {
-        char tmp[24];
-        int l = 0;
-        if (v == 0) tmp[l++] = '0';
-        bool neg = v < 0;
-        if (neg) v = -v;
-        while (v) { tmp[l++] = (char)('0' + v % 10); v /= 10; }
-        if (neg) tmp[l++] = '-';
-        for (int i = l - 1; i >= 0; --i) out[o++] = (uint8_t)tmp[i];
-    };
+    auto put_int = [&](int64_t v) { o = put_i64(out, o, v); };
     auto put = [&](const void* p, int64_t l) {
         std::memcpy(out + o, p, (size_t)l);
         o += l;
@@ -2119,16 +2144,7 @@ int64_t format_gtf_c(
         std::memcpy(out + o, p, (size_t)l);
         o += l;
     };
-    auto put_int = [&](int64_t v) {
-        char tmp[24];
-        int l = 0;
-        if (v == 0) tmp[l++] = '0';
-        bool neg = v < 0;
-        if (neg) v = -v;
-        while (v) { tmp[l++] = (char)('0' + v % 10); v /= 10; }
-        if (neg) tmp[l++] = '-';
-        for (int i = l - 1; i >= 0; --i) out[o++] = tmp[i];
-    };
+    auto put_int = [&](int64_t v) { o = put_i64(out, o, v); };
     for (int64_t i = 0; i < n; ++i) {
         const uint8_t* chrom = chrom_buf + chrom_off[tid[i]];
         int64_t chrom_len = chrom_off[tid[i] + 1] - chrom_off[tid[i]];
@@ -2429,16 +2445,7 @@ int64_t format_detail_c(
         std::memcpy(out + o, p, (size_t)l);
         o += l;
     };
-    auto put_int = [&](int64_t v) {
-        char tmp[24];
-        int l = 0;
-        if (v == 0) tmp[l++] = '0';
-        bool neg = v < 0;
-        if (neg) v = -v;
-        while (v) { tmp[l++] = (char)('0' + v % 10); v /= 10; }
-        if (neg) tmp[l++] = '-';
-        for (int i = l - 1; i >= 0; --i) out[o++] = tmp[i];
-    };
+    auto put_int = [&](int64_t v) { o = put_i64(out, o, v); };
     // flag group: count + comma-joined indices of set flags in [0, win)
     auto put_flags = [&](const uint8_t* flags, int64_t win) {
         int64_t cnt = 0;
@@ -2607,16 +2614,7 @@ int64_t format_bed12_c(
         std::memcpy(out + o, p, (size_t)l);
         o += l;
     };
-    auto put_int = [&](int64_t v) {
-        char tmp[24];
-        int l = 0;
-        if (v == 0) tmp[l++] = '0';
-        bool neg = v < 0;
-        if (neg) v = -v;
-        while (v) { tmp[l++] = (char)('0' + v % 10); v /= 10; }
-        if (neg) tmp[l++] = '-';
-        for (int i = l - 1; i >= 0; --i) out[o++] = tmp[i];
-    };
+    auto put_int = [&](int64_t v) { o = put_i64(out, o, v); };
     for (int64_t i = 0; i < n; ++i) {
         int64_t ne = exon_off[i + 1] - exon_off[i];
         int64_t name_l = name_off[i + 1] - name_off[i];
@@ -2669,6 +2667,8 @@ void chain_small_batch_c(
     uint8_t* mask_out, float* ps_out, float* ss_out) {
     std::vector<double> f(cap);
     std::vector<int64_t> parent(cap), pri(cap), sec(cap);
+    std::vector<int64_t> bt_order(cap), bt_tmp(cap);   // backtrack scratch,
+    std::vector<uint8_t> bt_used(cap);                 // hoisted off the row loop
     for (int64_t row = 0; row < n_rows; ++row) {
         const int32_t* q = qpos + row * cap;
         const int32_t* r = gpos + row * cap;
@@ -2706,8 +2706,9 @@ void chain_small_batch_c(
         }
         int64_t pn = 0, sn = 0;
         double ps = 0.0, ss = 0.0;
-        backtrack_c(f.data(), parent.data(), n, min_score, 48,
-                    pri.data(), &pn, sec.data(), &sn, &ps, &ss);
+        backtrack_impl(f.data(), parent.data(), n, min_score, 48,
+                       pri.data(), &pn, sec.data(), &sn, &ps, &ss,
+                       bt_order.data(), bt_used.data(), bt_tmp.data());
         for (int64_t t = 0; t < pn; ++t) mask[pri[t]] |= 1;
         for (int64_t t = 0; t < sn; ++t) mask[sec[t]] |= 2;
         ps_out[row] = (float)ps;

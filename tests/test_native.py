@@ -479,3 +479,150 @@ def test_expand_anchors_matches_numpy():
     np.testing.assert_array_equal(ridx, ridx_ref)
     np.testing.assert_array_equal(qf, qf_ref)
     np.testing.assert_array_equal(key, key_ref)
+
+
+def test_extend_chain_ops_overflow_rc():
+    """When the CIGAR run buffer is too small, extend_chain_c must return a
+    nonzero rc (python-fallback signal) instead of silently merging later
+    runs into earlier stored ones (a corrupted CIGAR)."""
+    import ctypes
+
+    from lr2rmats_tpu.align.aligner import SpliceAligner
+    from lr2rmats_tpu.align.chain import backtrack, chain_anchors
+    from lr2rmats_tpu.io.fasta import Genome
+    from tests.test_aligner import plant_motifs, random_genome, splice_read
+
+    g = random_genome(60_000, seed=77)
+    exons = [(10_000, 10_300), (14_000, 14_250), (20_000, 20_300)]
+    plant_motifs(g, exons)
+    al = SpliceAligner(g)
+    read = splice_read(g, exons, "+", err=0.0, seed=7)
+    anch = al._anchors(read)
+    assert anch[0] is not None
+    q, gg = anch[0]
+    f, parent = chain_anchors(q, gg, al.p.chain)
+    pri, _, _, _ = backtrack(f, parent, al.p.min_score)
+    assert len(pri) >= 2
+    lib = get_lib()
+    p = al.p
+    chrom_lo, chrom_hi = al._chrom_bounds(int(gg[pri][0]))
+
+    def call(cap):
+        ops_buf = np.zeros(2 * cap, np.int32)
+        n_ops = ctypes.c_int32(cap)
+        pos = ctypes.c_int64()
+        ed = ctypes.c_int64()
+        nmatch = ctypes.c_int64()
+        vote = ctypes.c_int32()
+        rc = lib.extend_chain_c(
+            np.ascontiguousarray(read, np.uint8), len(read),
+            g.codes, len(g.codes), chrom_lo, chrom_hi,
+            np.ascontiguousarray(q[pri], np.int64),
+            np.ascontiguousarray(gg[pri], np.int64), len(pri),
+            p.k, p.min_intron_gap, p.min_intron_len, p.band_pad,
+            p.ext_match, p.ext_mismatch, 4,
+            ctypes.byref(pos), ops_buf, ctypes.byref(n_ops),
+            ctypes.byref(ed), ctypes.byref(nmatch), ctypes.byref(vote))
+        return rc, n_ops.value, ops_buf
+
+    # generous cap: success, with a 3-exon (>= 5-run M N M N M) CIGAR
+    rc, n, buf = call(2 * (len(read) + 64))
+    assert rc == 0 and n >= 5
+    full = [(int(buf[2 * i]), int(buf[2 * i + 1])) for i in range(n)]
+    # cap of 2 cannot hold that CIGAR: must signal, not truncate
+    rc2, _, _ = call(2)
+    assert rc2 != 0
+    # the python fallback (what callers do on rc != 0) reproduces the CIGAR
+    pos_py, ops_py, *_ = al._extend_py(read, q[pri], gg[pri])
+    assert [o for o in ops_py if o[1] > 0] == [o for o in full if o[1] > 0]
+
+
+def test_collect_gaps_block_overflow_signals():
+    """collect_gaps_batch_c must flag candidates whose chain produces more
+    colinear blocks than blk_stride (n_junc = -1 -> host fallback) instead
+    of silently truncating the alignment."""
+    lib = get_lib()
+    k = 15
+    rng = np.random.default_rng(11)
+    ref = rng.integers(0, 4, 10_000).astype(np.uint8)
+    # anchors on three distinct diagonals separated by intron-scale gaps
+    aq = np.array([0, 40, 80], np.int64)
+    ag = np.array([100, 1140, 2180], np.int64)
+    read = np.concatenate([ref[100:155], ref[1140:1195],
+                           ref[2180:2235]]).astype(np.uint8)
+    read_offs = np.array([0, len(read)], np.int64)
+    a_offs = np.array([0, 3], np.int64)
+    cand_read = np.zeros(1, np.int32)
+    cand_strand = np.zeros(1, np.int8)
+
+    def call(blk_stride, gstride=8, mgap=64):
+        blocks = np.zeros(blk_stride * 3, np.int64)
+        n_blocks = np.zeros(1, np.int32)
+        jflag = np.zeros(gstride, np.int8)
+        jq = np.zeros(gstride * mgap, np.uint8)
+        jqlen = np.zeros(gstride, np.int32)
+        jlref = np.zeros(gstride, np.int64)
+        jrref = np.zeros(gstride, np.int64)
+        jclean_j = np.zeros(gstride, np.int32)
+        jclean_vote = np.zeros(gstride, np.int32)
+        jel = np.zeros(gstride, np.int32)
+        jer = np.zeros(gstride, np.int32)
+        n_junc = np.zeros(1, np.int32)
+        lib.collect_gaps_batch_c(
+            read, read_offs, ref, len(ref),
+            cand_read, cand_strand, aq, ag, a_offs,
+            k, 30, 20, mgap, 1, blk_stride, gstride,
+            blocks, n_blocks, jflag, jq, jqlen, jlref, jrref,
+            jclean_j, jclean_vote, jel, jer, n_junc, 1)
+        return int(n_blocks[0]), int(n_junc[0])
+
+    nb, nj = call(blk_stride=8)
+    assert nb == 3 and nj >= 0
+    nb2, nj2 = call(blk_stride=2)
+    assert nj2 == -1 and nb2 == 0  # overflow flagged, not truncated
+
+
+def test_filter_sam_rm_unknown_chrom(tmp_path):
+    """rm_gtf intervals on chromosomes absent from the SAM header (tid -1)
+    must be ignored — including for query lines whose own RNAME is not in
+    the header (both map to tid -1; they must not 'overlap')."""
+    from lr2rmats_tpu.pipeline.commands import _filter_sam_native
+    from lr2rmats_tpu.transcript.filter import FilterParams
+
+    seq = "ACGT" * 25
+    lines = ["@SQ\tSN:chrA\tLN:100000"]
+    lines.append("\t".join(["r1", "0", "chrA", "101", "60", "100M",
+                            "*", "0", "0", seq, "*"]))
+    # RNAME not present in the header -> native tid = -1
+    lines.append("\t".join(["r2", "0", "chrB", "101", "60", "100M",
+                            "*", "0", "0", seq, "*"]))
+    buf = np.frombuffer(("\n".join(lines) + "\n").encode(), np.uint8)
+    rm = tmp_path / "rm.gtf"
+    rm.write_text('chrZ\tx\texon\t1\t99999\t.\t+\t.\t'
+                  'gene_id "r"; transcript_id "r";\n')
+    params = FilterParams(min_intron_n=0)
+    res = _filter_sam_native(None, params, str(rm), data=buf.copy())
+    assert res is not None
+    _, _, b, spans, _ = res
+    kept = [b[o: o + l].tobytes().split(b"\t")[0]
+            for o, l in zip(spans[0].tolist(), spans[1].tolist())]
+    assert kept == [b"r1", b"r2"]
+
+
+def test_minimizer_window_widths():
+    """The monotonic-deque window minimum must match the numpy reference
+    for every window width, including w=1 and wide windows, with N clumps
+    and long constant stretches (tie-heavy hashes)."""
+    from lr2rmats_tpu.index.minimizer import (extract_minimizers,
+                                              extract_minimizers_np)
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, 30_000).astype(np.uint8)
+    codes[5_000:5_400] = 4            # N clump
+    codes[12_000:14_000] = 2          # long constant stretch (equal hashes)
+    codes[rng.random(30_000) < 0.002] = 4
+    for k, w in ((15, 1), (15, 2), (15, 5), (15, 16), (11, 9), (31, 7)):
+        h1, p1, s1 = extract_minimizers(codes, k, w)
+        h2, p2, s2 = extract_minimizers_np(codes, k, w)
+        np.testing.assert_array_equal(p1, p2, err_msg=f"k={k} w={w}")
+        np.testing.assert_array_equal(h1, h2, err_msg=f"k={k} w={w}")
+        np.testing.assert_array_equal(s1, s2, err_msg=f"k={k} w={w}")
