@@ -83,6 +83,8 @@ class _Row:
     base: int          # gpos offset subtracted for int32 safety
     n_big: int = 0     # consecutive gpos deltas >= 2^16 (u16 delta-packing
                        # exception slots; > EXC_ROWS routes to host chain)
+    q_max: int = 0     # max qpos, precomputed vectorized (a per-row
+                       # .max() in the dispatch router cost ~7 s/500k run)
 
 
 class BatchAligner:
@@ -313,8 +315,11 @@ class BatchAligner:
                                 minlength=len(sel))
         else:
             n_big = np.zeros(len(sel), np.int64)
+        q_max = (np.maximum.reduceat(q_all, np.minimum(cum[:-1], cum[-1] - 1))
+                 if cum[-1] else np.zeros(len(sel), np.int64))
         return [_Row(int(g_rid[og[i]]), int(g_str[og[i]]), qs_split[j],
-                     gs_split[j], int(bases[j]), int(n_big[j]))
+                     gs_split[j], int(bases[j]), int(n_big[j]),
+                     int(q_max[j]))
                 for j, i in enumerate(np.nonzero(keep)[0])]
 
     # ------------------------------------------------------------- chaining
@@ -331,16 +336,20 @@ class BatchAligner:
         # A_BUCKETS[-1], so the rare >=64 kb read (oversized positions and
         # an enlarged spacing-aware subsample) and the rare row with more
         # than EXC_ROWS introns over 65 kb chain on the host instead
-        buckets: Dict[int, List[int]] = {}
-        host_rows: List[int] = []
         a_cap = A_BUCKETS[-1]
-        for i, r in enumerate(rows):
-            if (len(r.qpos) > a_cap or r.n_big > EXC_ROWS or
-                    (len(r.qpos) and int(r.qpos.max()) >= (1 << 16))):
-                host_rows.append(i)
-                continue
-            A = next(b for b in A_BUCKETS if len(r.qpos) <= b)
-            buckets.setdefault(A, []).append(i)
+        n_rows_ = len(rows)
+        lens_ = np.fromiter((len(r.qpos) for r in rows), np.int64, n_rows_)
+        nbig_ = np.fromiter((r.n_big for r in rows), np.int64, n_rows_)
+        qmx_ = np.fromiter((r.q_max for r in rows), np.int64, n_rows_)
+        host_mask = ((lens_ > a_cap) | (nbig_ > EXC_ROWS) |
+                     (qmx_ >= (1 << 16)))
+        host_rows: List[int] = np.nonzero(host_mask)[0].tolist()
+        bsel = np.searchsorted(np.array(A_BUCKETS, np.int64), lens_)
+        buckets: Dict[int, List[int]] = {}
+        for bi, A in enumerate(A_BUCKETS):
+            members = np.nonzero(~host_mask & (bsel == bi))[0].tolist()
+            if members:
+                buckets[A] = members
 
         def pack_chunk(A, part):
             # ALWAYS the fixed chunk shape: variable shapes trigger fresh
