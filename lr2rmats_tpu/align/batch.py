@@ -119,10 +119,26 @@ class BatchAligner:
         # thread pool pays off
         self.n_threads = n_threads if n_threads is not None else min(4, os.cpu_count() or 1)
         self._pool = None
+        import threading
+        self._pool_lock = threading.Lock()
         # scripts/calibrate_mapq.py support: record the raw score margin
         # of every primary record (qname -> 1 - s2/s1)
         self.record_margins = False
         self._mapq_margins: Dict[str, float] = {}
+
+    def close(self) -> None:
+        """Release the lazy extend-thread pool (it is otherwise leaked
+        per-instance; suites constructing many aligners accumulate idle
+        threads)."""
+        pool, self._pool = self._pool, None
+        if pool is not None:
+            pool.shutdown(wait=False)
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:
+            pass
 
     # -------------------------------------------------------------- seeding
     def _batch_minimizers(self, reads: List[np.ndarray]):
@@ -351,10 +367,12 @@ class BatchAligner:
             if members:
                 buckets[A] = members
 
-        def pack_chunk(A, part):
-            # ALWAYS the fixed chunk shape: variable shapes trigger fresh
-            # device compiles (slow/flaky over the remote relay)
-            B = CHAIN_CHUNK[A]
+        def pack_chunk(A, part, B=None):
+            # device chunks ALWAYS use the fixed chunk shape (variable
+            # shapes trigger fresh device compiles, slow/flaky over the
+            # remote relay); the native small-chain path passes B=len(part)
+            if B is None:
+                B = CHAIN_CHUNK[A]
             qp = np.zeros((B, A), np.int32)
             gp = np.zeros((B, A), np.int32)
             nn = np.zeros(B, np.int32)
@@ -385,20 +403,7 @@ class BatchAligner:
         if lib is not None and small_max in buckets:
             part = buckets.pop(small_max)
             m = len(part)
-            qp = np.zeros((m, small_max), np.int32)
-            gp = np.zeros((m, small_max), np.int32)
-            nn = np.zeros(m, np.int32)
-            ns = np.array([len(rows[i].qpos) for i in part], np.int64)
-            nn[:m] = ns
-            rowrep = np.repeat(np.arange(m), ns)
-            offs = np.zeros(m + 1, np.int64)
-            np.cumsum(ns, out=offs[1:])
-            col = np.arange(offs[-1]) - np.repeat(offs[:-1], ns)
-            qp[rowrep, col] = np.concatenate([rows[i].qpos for i in part])
-            gp[rowrep, col] = (np.concatenate(
-                [rows[i].gpos for i in part]) -
-                np.repeat(np.array([rows[i].base for i in part], np.int64),
-                          ns))
+            qp, gp, nn = pack_chunk(small_max, part, B=m)
             mask = np.zeros((m, small_max), np.uint8)
             ps = np.zeros(m, np.float32)
             ss = np.zeros(m, np.float32)
@@ -455,10 +460,14 @@ class BatchAligner:
             pending.append(("single", part, nn, A,
                             dispatch_single_packed(buf, self.p.chain,
                                                    self.p.min_score)))
-        dev = dispatch_multi_packed(prep["multi_bufs"], self.p.chain,
-                                    self.p.min_score)
-        pending.insert(0, ("multi", prep["multi_parts"], prep["shapes"],
-                           dev))
+        # skip the fused call entirely when every bucket head is empty
+        # (all rows small/host-routed): the relay charges ~36 ms + the
+        # full padded chunks per call regardless of content
+        if any(len(part) for part, _ in prep["multi_parts"]):
+            dev = dispatch_multi_packed(prep["multi_bufs"], self.p.chain,
+                                        self.p.min_score)
+            pending.insert(0, ("multi", prep["multi_parts"],
+                               prep["shapes"], dev))
         if prep["host_rows"]:
             pending.append(("hostrows", prep["host_rows"]))
         return pending
@@ -602,6 +611,8 @@ class BatchAligner:
                     r = rows[i]
                     f, parent = chain_anchors(r.qpos, r.gpos, self.p.chain)
                     out[i] = backtrack(f, parent, self.p.min_score)
+                self.stats["anchors"] += sum(len(rows[i].qpos)
+                                             for i in entry[1])
                 continue
             # device_get, NOT np.asarray: some shape/dtype combos hit a
             # pathologically slow per-array serialization path in the relay
@@ -633,11 +644,10 @@ class BatchAligner:
         chained = self._chain_rows(rows)
         return self._build_records(names, reads, rows, chained)
 
-    def _build_records(self, names, reads, rows, chained) -> List[AlnRec]:
-        from ..io.fasta import decode_seq, revcomp
-        from ..io.sam import FREVERSE, FSECONDARY, OP_N
-        p = self.p
-        # collect candidate chains per read
+    @staticmethod
+    def _collect_candidates(rows, chained):
+        """Per-read candidate chains (score, strand, q, g) — shared by the
+        packed and AlnRec build paths, which must stay bit-identical."""
         per_read: Dict[int, List[Tuple[float, int, np.ndarray, np.ndarray]]] = {}
         for r, ch in zip(rows, chained):
             pri, ps, sec, ss = ch
@@ -647,6 +657,15 @@ class BatchAligner:
             if len(sec):
                 per_read.setdefault(r.read_i, []).append(
                     (ss, r.strand, r.qpos[sec], r.gpos[sec]))
+        return per_read
+
+    def _build_records(self, names, reads, rows, chained,
+                       per_read=None) -> List[AlnRec]:
+        from ..io.fasta import decode_seq, revcomp
+        from ..io.sam import FREVERSE, FSECONDARY, OP_N
+        p = self.p
+        if per_read is None:
+            per_read = self._collect_candidates(rows, chained)
         def _extend_read(ri):
             cands = sorted(per_read[ri], key=lambda c: -c[0])[:2]
             codes = reads[ri]
@@ -686,7 +705,9 @@ class BatchAligner:
         if self.n_threads > 1 and len(order) > 8:
             from concurrent.futures import ThreadPoolExecutor
             if self._pool is None:
-                self._pool = ThreadPoolExecutor(self.n_threads)
+                with self._pool_lock:   # two build workers can race here
+                    if self._pool is None:
+                        self._pool = ThreadPoolExecutor(self.n_threads)
             results = list(self._pool.map(_extend_read, order))
         else:
             results = [_extend_read(ri) for ri in order]
@@ -779,21 +800,14 @@ class BatchAligner:
         production path; AlnRec assembly (`_build_records`) is the legacy
         bridge on top."""
         from .records import RecordBatch
-        per_read: Dict[int, List[Tuple[float, int, np.ndarray, np.ndarray]]] = {}
-        for r, ch in zip(rows, chained):
-            pri, ps, sec, ss = ch
-            if len(pri):
-                per_read.setdefault(r.read_i, []).append(
-                    (ps, r.strand, r.qpos[pri], r.gpos[pri]))
-            if len(sec):
-                per_read.setdefault(r.read_i, []).append(
-                    (ss, r.strand, r.qpos[sec], r.gpos[sec]))
+        per_read = self._collect_candidates(rows, chained)
         order = sorted(per_read)
         from ..native import get_lib
         lib = get_lib()
         if lib is None or len(order) <= 8:
             return RecordBatch.from_alnrecs(
-                self._build_records(names, reads, rows, chained))
+                self._build_records(names, reads, rows, chained,
+                                    per_read=per_read))
         res = self._extend_candidates_native(lib, reads, per_read, order)
         if res is None:
             return RecordBatch.from_alnrecs([])
@@ -1244,13 +1258,22 @@ class BatchAligner:
         inflight = deque()
         build_futs = []
         n_build = int(os.environ.get("LR2RMATS_BUILD_WORKERS", "1"))
-        if n_build > 1 and self.junction_backend == "device":
-            # the device-junction build path makes device calls, and the
-            # relay client deadlocks on multi-threaded device access —
-            # the device may only ever be touched from one thread
+        device_junc = (self.backend not in ("host", "pallas") and
+                       self.junction_backend == "device")
+        if n_build > 1 and device_junc:
             log("align", "LR2RMATS_BUILD_WORKERS>1 ignored: "
                 "device junction backend is main-thread-only")
             n_build = 1
+
+        class _Done:  # completed-future shim for the main-thread build
+            __slots__ = ("_v",)
+
+            def __init__(self, v):
+                self._v = v
+
+            def result(self):
+                return self._v
+
         if spans:
             with ThreadPoolExecutor(1) as seed_pool, \
                     ThreadPoolExecutor(max(n_build, 1)) as build_pool:
@@ -1259,10 +1282,18 @@ class BatchAligner:
                 def _finish_one():
                     names, codes, rows, pending = inflight.popleft()
                     # device_get stays on the MAIN thread; only the host
-                    # build moves to the worker
+                    # build moves to the worker.  The device-junction build
+                    # itself makes device calls (_extend_device_junctions),
+                    # so for that backend the WHOLE build runs here on the
+                    # main thread — a worker-thread device call racing the
+                    # main thread's dispatch deadlocks the relay client.
                     chained = self._materialize_chains(rows, pending)
-                    build_futs.append(build_pool.submit(
-                        _build, names, codes, rows, chained))
+                    if device_junc:
+                        build_futs.append(
+                            _Done(_build(names, codes, rows, chained)))
+                    else:
+                        build_futs.append(build_pool.submit(
+                            _build, names, codes, rows, chained))
 
                 for si in range(len(spans)):
                     names, codes, rows, prep = fut.result()
