@@ -43,8 +43,10 @@ def _out(path: Optional[str]):
 def _filter_sam_native(in_path: Optional[str], params: FilterParams,
                        rm_gtf: Optional[str],
                        data: Optional[np.ndarray] = None) -> Optional[tuple]:
-    """Native streaming scan over SAM text: returns (refs, header, kept
-    records) or None when not applicable (BAM input / no native lib).
+    """Native streaming scan over SAM text: returns (refs, header, buf,
+    (keep_off, keep_len, keep_tid, keep_pos), reader) — raw byte spans
+    into `buf`, NOT parsed records — or None when not applicable (BAM
+    input / no native lib).
     Agreement-tested against the Python path (tests/test_native.py).
     `data` (uint8 array of SAM text) bypasses the file read — the
     rb-direct path filters the align stage's in-memory bytes so the
@@ -87,7 +89,13 @@ def _filter_sam_native(in_path: Optional[str], params: FilterParams,
         rm_end = rm.end[: rm.n].astype(np.int64)
     else:
         rm_tid = rm_start = rm_end = np.zeros(0, np.int64)
-    cap = int(np.count_nonzero(buf == 10)) + 1
+    # chunked newline count: `buf == 10` on a GB-scale SAM buffer would
+    # materialize a same-size bool temporary (doubling peak RSS on the
+    # exact path built to avoid large-buffer costs)
+    cap = 1
+    _CH = 1 << 24
+    for _off in range(0, len(buf), _CH):
+        cap += int(np.count_nonzero(buf[_off: _off + _CH] == 10))
     keep_off = np.zeros(cap, np.int64)
     keep_len = np.zeros(cap, np.int64)
     keep_tid = np.zeros(cap, np.int64)
@@ -130,7 +138,12 @@ def cmd_filter(in_path: Optional[str], out_path: Optional[str],
                 keep_off = keep_off[order]
                 keep_len = keep_len[order]
             nl = np.frombuffer(b"\n", np.uint8)
-            with open(out_path or "out.sam", "wb") as f:
+            import contextlib
+            # honor the _out() stdout convention (None / "-"): the
+            # fallback path streams to stdout, so the native path must too
+            sink = (open(out_path, "wb") if out_path and out_path != "-"
+                    else contextlib.nullcontext(sys.stdout.buffer))
+            with sink as f:
                 f.write(("\n".join(header) + "\n").encode()
                         if header else b"")
                 batch = []

@@ -44,28 +44,32 @@ def _fresh(out: str, *inputs: str) -> bool:
     """Artifact checkpoint: output exists and its recorded input signatures
     (size + ns mtime, kept in a `<out>.inputs.json` sidecar written by
     _done) still match.  Snakemake-style semantics without the
-    second-granularity mtime race of the round-1 `<=` comparison: an input
-    rewritten in the same second as the output no longer silently skips the
-    stage.  Sidecar-less outputs (pre-existing runs) fall back to the mtime
-    comparison."""
+    second-granularity mtime race of the round-1 `<=` comparison.
+
+    The sidecar is REQUIRED: it is written only after the stage completed,
+    so a crash-truncated in-place output (kill -9 / OOM / disk-full
+    mid-write) is never accepted as fresh — the old mtime fallback
+    accepted exactly those (partial output newer than its inputs).  A
+    recorded input that has since been deleted also marks the stage stale
+    (the rerun then fails loudly on the missing input, the Snakemake
+    behavior being mirrored)."""
     if not os.path.exists(out):
         return False
     side = out + ".inputs.json"
-    if os.path.exists(side):
-        import json
-        try:
-            with open(side) as f:
-                rec = json.load(f)
-        except Exception:
+    if not os.path.exists(side):
+        return False
+    import json
+    try:
+        with open(side) as f:
+            rec = json.load(f)
+    except Exception:
+        return False
+    for i in inputs:
+        if not os.path.exists(i):
             return False
-        for i in inputs:
-            if not os.path.exists(i):
-                continue
-            if rec.get(i) != _sig(i):
-                return False
-        return True
-    ot = os.path.getmtime(out)
-    return all(os.path.getmtime(i) <= ot for i in inputs if os.path.exists(i))
+        if rec.get(i) != _sig(i):
+            return False
+    return True
 
 
 def _done(out: str, *inputs: str) -> None:
@@ -86,7 +90,6 @@ def write_bed12_batch(rb, refs, bed_path: str) -> bool:
     (min_exon=1, min_intron=1, max_delet=inf) case: only N ops split.
     Returns False (caller falls back to the SAM path) when the native
     formatter is unavailable or a zero-length exon edge case appears."""
-    import numpy as np
     from ..native import get_lib
     from ..report.summary import _str_blob
     lib = get_lib()
@@ -168,7 +171,7 @@ def write_bed12(sam_path: str, bed_path: str) -> None:
         for r in records:
             if r.is_unmapped:
                 continue
-            s, e, is_rev = gen_exons(r, 1, 1, 1 << 30)
+            s, e, _ = gen_exons(r, 1, 1, 1 << 30)  # strand comes from r.is_rev
             chrom = refs[r.tid][0]
             start0 = int(s[0]) - 1
             end = int(e[-1])
@@ -190,6 +193,11 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
     Snakefile:172-192 / README.md:139-153)."""
     from ..parallel.distributed import (barrier, gather_indexed_payloads,
                                         multihost_info, owned_indices)
+    if not cfg.samples:
+        # fail before any work, not 5 stages later with an opaque "-b"
+        # ValueError out of the final unique-gtf merge
+        raise ValueError("pipeline config has no samples (cfg.samples "
+                         "is empty)")
     pid, nproc = multihost_info()
     out_dir = cfg.out_dir
     _ensure_dirs(out_dir)
@@ -218,280 +226,306 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
 
     _logf = open(A("logs", f"pipeline{psuf}.log"), "a")
     set_log_stream(_Tee(_logf))
-
-    # record the resolved configuration (run_snakemake.py writes config.yaml
-    # into the out dir, run_snakemake.py:132-135); process 0 only — the out
-    # dir may be a shared filesystem
+    filter_pool = None
     try:
-        if pid != 0:
-            raise RuntimeError
-        import yaml
-        with open(A("config.yaml"), "w") as f:
-            yaml.safe_dump({
-                "genome": {"fasta": cfg.genome_fasta, "gtf": cfg.gtf},
-                "sample": {
-                    "long_read": {s: r.long_read
-                                  for s, r in cfg.samples.items()},
-                    "short_read": {s: {"first": r.short_first,
-                                       "second": r.short_second or []}
-                                   for s, r in cfg.samples.items()},
-                },
-                "output": {"updated_gtf": cfg.updated_gtf},
-                "lr2rmats": {"rm_gtf": cfg.rm_gtf, "aln_cov": cfg.aln_cov,
-                             "iden_frac": cfg.iden_frac,
-                             "sec_rat": cfg.sec_rat, "sup_cnt": cfg.sup_cnt,
-                             "split_trans": "-s" if cfg.split_trans else "",
-                             "full_level": cfg.full_level},
-            }, f, default_flow_style=False)
-    except Exception:
-        pass
 
-    # ---- stage: genome + index (minimap_idx, Snakefile:24-38)
-    with Timer("stage/index", benchmark_file=A("benchmark", f"index{psuf}.benchmark.txt")):
-        genome = Genome.load(cfg.genome_fasta)
-        aligner: Optional[BatchAligner] = None
+        # record the resolved configuration (run_snakemake.py writes config.yaml
+        # into the out dir, run_snakemake.py:132-135); process 0 only — the out
+        # dir may be a shared filesystem
+        try:
+            if pid != 0:
+                raise RuntimeError
+            import yaml
+            with open(A("config.yaml"), "w") as f:
+                yaml.safe_dump({
+                    "genome": {"fasta": cfg.genome_fasta, "gtf": cfg.gtf},
+                    "sample": {
+                        "long_read": {s: r.long_read
+                                      for s, r in cfg.samples.items()},
+                        "short_read": {s: {"first": r.short_first,
+                                           "second": r.short_second or []}
+                                       for s, r in cfg.samples.items()},
+                    },
+                    "output": {"updated_gtf": cfg.updated_gtf},
+                    "lr2rmats": {"rm_gtf": cfg.rm_gtf, "aln_cov": cfg.aln_cov,
+                                 "iden_frac": cfg.iden_frac,
+                                 "sec_rat": cfg.sec_rat, "sup_cnt": cfg.sup_cnt,
+                                 "split_trans": "-s" if cfg.split_trans else "",
+                                 "full_level": cfg.full_level},
+                }, f, default_flow_style=False)
+        except Exception:
+            pass
 
-    updated_gtf = (cfg.updated_gtf if os.path.isabs(cfg.updated_gtf)
-                   else A(cfg.updated_gtf))
-    os.makedirs(os.path.dirname(updated_gtf) or ".", exist_ok=True)
+        # ---- stage: genome + index (minimap_idx, Snakefile:24-38)
+        with Timer("stage/index", benchmark_file=A("benchmark", f"index{psuf}.benchmark.txt")):
+            genome = Genome.load(cfg.genome_fasta)
+            aligner: Optional[BatchAligner] = None
 
-    gtf_novel_paths: List[str] = []
+        updated_gtf = (cfg.updated_gtf if os.path.isabs(cfg.updated_gtf)
+                       else A(cfg.updated_gtf))
+        os.makedirs(os.path.dirname(updated_gtf) or ".", exist_ok=True)
 
-    # sample shard this process owns (round-robin over the process group;
-    # one process owns everything in a single-host run)
-    all_items = list(cfg.samples.items())
-    own = owned_indices(len(all_items))
-    items = [all_items[i] for i in own]
-    # header source for the final unique-gtf: the globally-first sample's
-    # SAM — process 0 always owns sample 0 under round-robin assignment
-    first_sam = (A("alignment", f"{all_items[0][0]}.minimap.sam")
-                 if all_items else None)
+        gtf_novel_paths: List[str] = []
 
-    # ---- phase 1: alignment per sample (minimap_map, Snakefile:42-63).
-    # Sequential: the accelerator is a single exclusive device; host-side
-    # per-sample stages parallelize in phase 2.  The rb-direct filter of
-    # sample N runs on a background thread so it overlaps sample N+1's
-    # (device-bound) alignment; phase 2 joins the futures first.
-    from concurrent.futures import Future, ThreadPoolExecutor
-    filter_pool = ThreadPoolExecutor(1)
-    filter_futs: Dict[str, Future] = {}
+        # sample shard this process owns (round-robin over the process group;
+        # one process owns everything in a single-host run)
+        all_items = list(cfg.samples.items())
+        own = owned_indices(len(all_items))
+        items = [all_items[i] for i in own]
+        # header source for the final unique-gtf: the globally-first sample's
+        # SAM — process 0 always owns sample 0 under round-robin assignment
+        first_sam = (A("alignment", f"{all_items[0][0]}.minimap.sam")
+                     if all_items else None)
 
-    def _rb_filter(sample: str, sam_path: str, hdr: bytes, body: bytes):
-        filtered = A("alignment", f"{sample}.filtered.sam")
-        with Timer(f"stage/filter[{sample}]",
-                   benchmark_file=A("benchmark",
-                                    f"{sample}.novel_gtf.benchmark.txt")):
-            cmd_filter(None, filtered,
-                       FilterParams(cfg.aln_cov, cfg.iden_frac,
-                                    cfg.sec_rat),
-                       rm_gtf=cfg.rm_gtf or None, out_format="sam",
-                       data=np.frombuffer(hdr + body, np.uint8))
-            _done(filtered, sam_path)
+        # ---- phase 1: alignment per sample (minimap_map, Snakefile:42-63).
+        # Sequential: the accelerator is a single exclusive device; host-side
+        # per-sample stages parallelize in phase 2.  The rb-direct filter of
+        # sample N runs on a background thread so it overlaps sample N+1's
+        # (device-bound) alignment; phase 2 joins the futures first.
+        from concurrent.futures import Future, ThreadPoolExecutor
+        filter_pool = ThreadPoolExecutor(1)
+        filter_futs: Dict[str, Future] = {}
 
-    for sample, reads in items:
-        sam_path = A("alignment", f"{sample}.minimap.sam")
-        bed_path = A("alignment", f"{sample}.minimap.bed")
-        if not _fresh(sam_path, cfg.genome_fasta, reads.long_read):
-            with Timer(f"stage/align[{sample}]", benchmark_file=A("benchmark", f"{sample}.minimap.benchmark.txt")):
-                if aligner is None:
-                    if getattr(cfg, "index_shards", 1) > 1:
-                        # hash-range-sharded table with routed lookups
-                        # (SURVEY §5; byte-identical to the unsharded path,
-                        # tests/test_shard_index.py)
-                        from ..parallel.shard_index import \
-                            ShardedMinimizerIndex
-                        idx = ShardedMinimizerIndex.build(
-                            genome, cfg.index_shards)
-                    else:
-                        from ..index.minimizer import MinimizerIndex
-                        cache = cfg.index_cache or (cfg.genome_fasta +
-                                                    ".tmmi.npz")
-                        idx = MinimizerIndex.build_or_load(genome, cache)
-                    aligner = BatchAligner(genome, align_params, index=idx,
-                                           backend=("host" if use_tpu is False
-                                                    else "jax"))
-                long_reads = read_fasta(reads.long_read)
-                rb = aligner.align_seqset_packed(long_reads)
-                n = rb.n
-                st = aligner.stats
-                log("align", "%s: phases device=%.1fs (%d calls) "
-                    "seed=%.1fs dispatch=%.1fs build=%.1fs polish=%.1fs",
-                    sample, st.get("device_wall_s", 0.0),
-                    st.get("device_calls", 0), st.get("seed_s", 0.0),
-                    st.get("dispatch_s", 0.0), st.get("build_s", 0.0),
-                    st.get("polish_s", 0.0))
-                from ..io.sam import sam_header
-                hdr = sam_header(aligner.refs).encode()
-                body = rb.emit_sam(aligner.refs)
-                with open(sam_path + ".tmp", "wb") as f:
-                    f.write(hdr)
-                    f.write(body)
-                os.replace(sam_path + ".tmp", sam_path)
-                _done(sam_path, cfg.genome_fasta, reads.long_read)
-                log("align", "%s: %d alignment records", sample, n)
-                # rb-direct filter: the SAM bytes are still in memory, so
-                # produce the filtered artifact from them — the filter
-                # stage then skips, and the multi-hundred-MB alignment SAM
-                # is never read back from disk (cold-path IO;
-                # byte-identical output since the same native scan runs on
-                # the same bytes).  Runs on the background thread.
-                from ..native import get_lib
-                if get_lib() is not None:
-                    filter_futs[sample] = filter_pool.submit(
-                        _rb_filter, sample, sam_path, hdr, body)
-                del body
-                if not write_bed12_batch(rb, aligner.refs, bed_path):
-                    write_bed12(sam_path, bed_path)
-
-    # ---- phase 2: per-sample host stages, parallel over samples (the
-    # Snakemake job-parallelism role, reference Snakefile wildcards +
-    # --jobs; the hot loops are native and release the GIL)
-    def _sample_stages(sample: str, reads) -> str:
-        sam_path = A("alignment", f"{sample}.minimap.sam")
-        # join this sample's in-flight rb-direct filter (phase 1) first
-        fut = filter_futs.pop(sample, None)
-        if fut is not None:
-            fut.result()
-        # ---- stage: sam_novel_gtf (filter + pass-1 update-gtf, Snakefile:67-93)
-        # SAM artifact (raw-span fast path); BAM remains available
-        # via the `filter` CLI for interop
-        filtered_bam = A("alignment", f"{sample}.filtered.sam")
-        sam_novel = A("gtf", f"{sample}_sam_novel.gtf")
-        if not _fresh(filtered_bam, sam_path):
-            with Timer(f"stage/filter[{sample}]", benchmark_file=A("benchmark", f"{sample}.novel_gtf.benchmark.txt")):
-                cmd_filter(sam_path, filtered_bam,
+        def _rb_filter(sample: str, sam_path: str, hdr: bytes, body: bytes):
+            filtered = A("alignment", f"{sample}.filtered.sam")
+            with Timer(f"stage/filter[{sample}]",
+                       benchmark_file=A("benchmark",
+                                        f"{sample}.novel_gtf.benchmark.txt")):
+                cmd_filter(None, filtered,
                            FilterParams(cfg.aln_cov, cfg.iden_frac,
                                         cfg.sec_rat),
-                           rm_gtf=cfg.rm_gtf or None, out_format="sam")
-                _done(filtered_bam, sam_path)
-        # one ingestion of the (large) filtered SAM feeds both update-gtf
-        # passes; each pass classifies an independent copy
-        input_cache: dict = {}
-        if not _fresh(sam_novel, filtered_bam, cfg.gtf):
-            with Timer(f"stage/update_gtf_pass1[{sample}]", benchmark_file=A("benchmark", f"{sample}_new_gtf.benchmark.txt")):
-                ugp = UpdateGtfParams(full_level=cfg.full_level)
-                cmd_update_gtf(filtered_bam, cfg.gtf, ugp, out_path=sam_novel,
-                               input_cache=input_cache)
-                _done(sam_novel, filtered_bam, cfg.gtf)
+                           rm_gtf=cfg.rm_gtf or None, out_format="sam",
+                           data=np.frombuffer(hdr + body, np.uint8))
+                _done(filtered, sam_path)
 
-        # ---- stage: new_gtf (merge + sort, Snakefile:96-112)
-        new_gtf = A("gtf", f"{sample}_new.gtf")
-        if not _fresh(new_gtf, cfg.gtf, sam_novel):
-            tmp = A("gtf", f"{sample}_tmp.gtf")
+        for sample, reads in items:
+            sam_path = A("alignment", f"{sample}.minimap.sam")
+            bed_path = A("alignment", f"{sample}.minimap.bed")
+            if not _fresh(sam_path, cfg.genome_fasta, reads.long_read):
+                with Timer(f"stage/align[{sample}]", benchmark_file=A("benchmark", f"{sample}.minimap.benchmark.txt")):
+                    if aligner is None:
+                        if getattr(cfg, "index_shards", 1) > 1:
+                            # hash-range-sharded table with routed lookups
+                            # (SURVEY §5; byte-identical to the unsharded path,
+                            # tests/test_shard_index.py)
+                            from ..parallel.shard_index import \
+                                ShardedMinimizerIndex
+                            idx = ShardedMinimizerIndex.build(
+                                genome, cfg.index_shards)
+                        else:
+                            from ..index.minimizer import MinimizerIndex
+                            cache = cfg.index_cache or (cfg.genome_fasta +
+                                                        ".tmmi.npz")
+                            idx = MinimizerIndex.build_or_load(genome, cache)
+                        aligner = BatchAligner(genome, align_params, index=idx,
+                                               backend=("host" if use_tpu is False
+                                                        else "jax"))
+                    long_reads = read_fasta(reads.long_read)
+                    rb = aligner.align_seqset_packed(long_reads)
+                    n = rb.n
+                    st = aligner.stats
+                    log("align", "%s: phases device=%.1fs (%d calls) "
+                        "seed=%.1fs dispatch=%.1fs build=%.1fs polish=%.1fs",
+                        sample, st.get("device_wall_s", 0.0),
+                        st.get("device_calls", 0), st.get("seed_s", 0.0),
+                        st.get("dispatch_s", 0.0), st.get("build_s", 0.0),
+                        st.get("polish_s", 0.0))
+                    from ..io.sam import sam_header
+                    hdr = sam_header(aligner.refs).encode()
+                    body = rb.emit_sam(aligner.refs)
+                    with open(sam_path + ".tmp", "wb") as f:
+                        f.write(hdr)
+                        f.write(body)
+                    os.replace(sam_path + ".tmp", sam_path)
+                    _done(sam_path, cfg.genome_fasta, reads.long_read)
+                    log("align", "%s: %d alignment records", sample, n)
+                    # rb-direct filter: the SAM bytes are still in memory, so
+                    # produce the filtered artifact from them — the filter
+                    # stage then skips, and the multi-hundred-MB alignment SAM
+                    # is never read back from disk (cold-path IO;
+                    # byte-identical output since the same native scan runs on
+                    # the same bytes).  Runs on the background thread.
+                    from ..native import get_lib
+                    if get_lib() is not None:
+                        filter_futs[sample] = filter_pool.submit(
+                            _rb_filter, sample, sam_path, hdr, body)
+                    del body
+                    if not write_bed12_batch(rb, aligner.refs, bed_path):
+                        write_bed12(sam_path, bed_path)
+                    _done(bed_path, sam_path)
+            # the bed has its own checkpoint: a crash between the SAM's
+            # _done and the bed write used to leave it missing/truncated
+            # with no way to regenerate on resume (the in-memory rb fast
+            # path is gone then; the SAM re-parse fallback still works)
+            if not _fresh(bed_path, sam_path):
+                write_bed12(sam_path, bed_path)
+                _done(bed_path, sam_path)
+
+        # ---- phase 2: per-sample host stages, parallel over samples (the
+        # Snakemake job-parallelism role, reference Snakefile wildcards +
+        # --jobs; the hot loops are native and release the GIL)
+        def _sample_stages(sample: str, reads) -> str:
+            sam_path = A("alignment", f"{sample}.minimap.sam")
+            # join this sample's in-flight rb-direct filter (phase 1) first
+            fut = filter_futs.pop(sample, None)
+            if fut is not None:
+                fut.result()
+            # ---- stage: sam_novel_gtf (filter + pass-1 update-gtf, Snakefile:67-93)
+            # SAM artifact (raw-span fast path); BAM remains available
+            # via the `filter` CLI for interop
+            filtered_bam = A("alignment", f"{sample}.filtered.sam")
+            sam_novel = A("gtf", f"{sample}_sam_novel.gtf")
+            if not _fresh(filtered_bam, sam_path):
+                with Timer(f"stage/filter[{sample}]", benchmark_file=A("benchmark", f"{sample}.novel_gtf.benchmark.txt")):
+                    cmd_filter(sam_path, filtered_bam,
+                               FilterParams(cfg.aln_cov, cfg.iden_frac,
+                                            cfg.sec_rat),
+                               rm_gtf=cfg.rm_gtf or None, out_format="sam")
+                    _done(filtered_bam, sam_path)
+            # one ingestion of the (large) filtered SAM feeds both update-gtf
+            # passes; each pass classifies an independent copy
+            input_cache: dict = {}
+            if not _fresh(sam_novel, filtered_bam, cfg.gtf):
+                with Timer(f"stage/update_gtf_pass1[{sample}]", benchmark_file=A("benchmark", f"{sample}_new_gtf.benchmark.txt")):
+                    ugp = UpdateGtfParams(full_level=cfg.full_level)
+                    cmd_update_gtf(filtered_bam, cfg.gtf, ugp, out_path=sam_novel,
+                                   input_cache=input_cache)
+                    _done(sam_novel, filtered_bam, cfg.gtf)
+
+            # ---- stage: new_gtf (merge + sort, Snakefile:96-112)
+            new_gtf = A("gtf", f"{sample}_new.gtf")
+            if not _fresh(new_gtf, cfg.gtf, sam_novel):
+                tmp = A("gtf", f"{sample}_tmp.gtf")
+                with open(tmp, "w") as out:
+                    for p in (cfg.gtf, sam_novel):
+                        with open(p) as src:
+                            out.write(src.read())
+                sort_gtf_file(tmp, new_gtf)
+                os.remove(tmp)
+                _done(new_gtf, cfg.gtf, sam_novel)
+
+            # ---- stage: sj_count (star_map role, Snakefile:116-140)
+            sj_tab = A("alignment", f"{sample}.STARSJ.out.tab")
+            short_inputs = [p for p in (reads.short_first, reads.short_second) if p]
+            if short_inputs and not _fresh(sj_tab, new_gtf, *short_inputs):
+                with Timer(f"stage/sj_count[{sample}]", benchmark_file=A("benchmark", f"{sample}.star.benchmark.txt")):
+                    cname = ChrNames(genome.names)
+                    merged = read_anno_trans(new_gtf, cname)
+                    # paired-end mates count with proper-pair gating (STAR
+                    # analog); single-end counts independently
+                    if reads.short_first and reads.short_second:
+                        read_sets = [(read_fasta(reads.short_first),
+                                      read_fasta(reads.short_second))]
+                    else:
+                        read_sets = [read_fasta(p) for p in short_inputs]
+                    sj = count_junction_support(genome, [merged], read_sets)
+                    with open(sj_tab, "w") as f:
+                        write_sj_star(sj, cname, f)
+                    _done(sj_tab, new_gtf, *short_inputs)
+
+            # ---- stage: gtf_novel_gtf (pass-2 update-gtf, Snakefile:142-170)
+            gtf_novel = A("gtf", f"{sample}_gtf_novel.gtf")
+            if not _fresh(gtf_novel, filtered_bam, cfg.gtf,
+                          *( [sj_tab] if short_inputs else [] )):
+                with Timer(f"stage/update_gtf_pass2[{sample}]", benchmark_file=A("benchmark", f"{sample}_gtf_novel_gtf.benchmark.txt")):
+                    ugp = UpdateGtfParams(full_level=cfg.full_level,
+                                          split_trans=cfg.split_trans,
+                                          min_sj_cnt=cfg.sup_cnt)
+                    cmd_update_gtf(
+                        filtered_bam, cfg.gtf, ugp,
+                        sj_path=sj_tab if short_inputs else None,
+                        out_path=gtf_novel,
+                        summary=A("output", f"{sample}.summary.txt"),
+                        bam_gtf=A("output", f"{sample}.bam.gtf"),
+                        bam_detail=A("output", f"{sample}.detail.txt"),
+                        known_gtf=A("output", f"{sample}.known.gtf"),
+                        novel_gtf=A("output", f"{sample}.novel.gtf"),
+                        unrecog_gtf=A("output", f"{sample}.unrecog.gtf"),
+                        exon_bed=A("output", f"{sample}.novel_exon.bed"),
+                        input_cache=input_cache)
+                    _done(gtf_novel, filtered_bam, cfg.gtf,
+                          *([sj_tab] if short_inputs else []))
+            input_cache.clear()
+            return gtf_novel
+
+        if len(items) > 1 and (cfg.jobs or 0) != 1:
+            n_jobs = cfg.jobs or min(4, len(items))
+            with ThreadPoolExecutor(n_jobs) as pool:
+                gtf_novel_paths = list(pool.map(
+                    lambda sr: _sample_stages(sr[0], sr[1]), items))
+        else:
+            gtf_novel_paths = [_sample_stages(s, r) for s, r in items]
+        filter_pool.shutdown(wait=True)
+
+        # ---- cross-process gather: every process contributes its samples'
+        # pass-2 candidates over the distributed backend (DCN on a pod, the
+        # reference's shared-FS `cat` at Snakefile:172-192); afterwards every
+        # process holds all payloads in global sample order
+        if nproc > 1:
+            payloads = [(gi, open(p, "rb").read())
+                        for gi, p in zip(own, gtf_novel_paths)]
+            gathered = gather_indexed_payloads(payloads)
+            if pid != 0:
+                barrier("final_merge")
+                log("pipeline", "process %d/%d: sample shard done; updated GTF "
+                    "written by process 0", pid, nproc)
+                set_log_stream(None)
+                _logf.close()
+                return updated_gtf
+            gtf_novel_paths = []
+            for gi in range(len(all_items)):
+                p = A("gtf", f"{all_items[gi][0]}_gtf_novel.gathered.gtf")
+                with open(p, "wb") as f:
+                    f.write(gathered[gi])
+                gtf_novel_paths.append(p)
+
+        # ---- stage: update_gtf (cross-sample merge, Snakefile:172-192)
+        with Timer("stage/final_merge", benchmark_file=A("benchmark", "update_gtf.benchmark.txt")):
+            tmp = A("gtf", "tmp.gtf")
             with open(tmp, "w") as out:
-                for p in (cfg.gtf, sam_novel):
+                for p in gtf_novel_paths:
                     with open(p) as src:
                         out.write(src.read())
-            sort_gtf_file(tmp, new_gtf)
+            uniq_gtf = A("gtf", "uniq.gtf")
+            ugp = UpdateGtfParams(input_mode="gtf")
+            # multi-device: route candidate tensors through the dp all-gather
+            # collective (the Snakefile:189-192 cross-sample gather, on ICI);
+            # single-process only — across hosts the gather above is the data
+            # plane and local meshes see only addressable devices
+            # probe only when jax is already initialized (aligner built) or
+            # the caller explicitly asked for the device: a bare
+            # jax.devices() here would initialize the exclusive axon TPU
+            # backend — and hang on a relay outage — for a fully-cached
+            # resume that needs zero device compute
+            try:
+                device_gather = False
+                if nproc == 1 and (aligner is not None or use_tpu is True) \
+                        and use_tpu is not False:
+                    import jax
+                    device_gather = len(jax.devices()) > 1
+            except Exception:
+                device_gather = False
+            cmd_unique_gtf(tmp, ugp, hdr_bam=first_sam, out_path=uniq_gtf,
+                           device_gather=device_gather)
+            with open(tmp, "w") as out:
+                for p in (cfg.gtf, uniq_gtf):
+                    with open(p) as src:
+                        out.write(src.read())
+            sort_gtf_file(tmp, updated_gtf)
             os.remove(tmp)
-            _done(new_gtf, cfg.gtf, sam_novel)
-
-        # ---- stage: sj_count (star_map role, Snakefile:116-140)
-        sj_tab = A("alignment", f"{sample}.STARSJ.out.tab")
-        short_inputs = [p for p in (reads.short_first, reads.short_second) if p]
-        if short_inputs and not _fresh(sj_tab, new_gtf, *short_inputs):
-            with Timer(f"stage/sj_count[{sample}]", benchmark_file=A("benchmark", f"{sample}.star.benchmark.txt")):
-                cname = ChrNames(genome.names)
-                merged = read_anno_trans(new_gtf, cname)
-                # paired-end mates count with proper-pair gating (STAR
-                # analog); single-end counts independently
-                if reads.short_first and reads.short_second:
-                    read_sets = [(read_fasta(reads.short_first),
-                                  read_fasta(reads.short_second))]
-                else:
-                    read_sets = [read_fasta(p) for p in short_inputs]
-                sj = count_junction_support(genome, [merged], read_sets)
-                with open(sj_tab, "w") as f:
-                    write_sj_star(sj, cname, f)
-                _done(sj_tab, new_gtf, *short_inputs)
-
-        # ---- stage: gtf_novel_gtf (pass-2 update-gtf, Snakefile:142-170)
-        gtf_novel = A("gtf", f"{sample}_gtf_novel.gtf")
-        if not _fresh(gtf_novel, filtered_bam, cfg.gtf,
-                      *( [sj_tab] if short_inputs else [] )):
-            with Timer(f"stage/update_gtf_pass2[{sample}]", benchmark_file=A("benchmark", f"{sample}_gtf_novel_gtf.benchmark.txt")):
-                ugp = UpdateGtfParams(full_level=cfg.full_level,
-                                      split_trans=cfg.split_trans,
-                                      min_sj_cnt=cfg.sup_cnt)
-                cmd_update_gtf(
-                    filtered_bam, cfg.gtf, ugp,
-                    sj_path=sj_tab if short_inputs else None,
-                    out_path=gtf_novel,
-                    summary=A("output", f"{sample}.summary.txt"),
-                    bam_gtf=A("output", f"{sample}.bam.gtf"),
-                    bam_detail=A("output", f"{sample}.detail.txt"),
-                    known_gtf=A("output", f"{sample}.known.gtf"),
-                    novel_gtf=A("output", f"{sample}.novel.gtf"),
-                    unrecog_gtf=A("output", f"{sample}.unrecog.gtf"),
-                    exon_bed=A("output", f"{sample}.novel_exon.bed"),
-                    input_cache=input_cache)
-                _done(gtf_novel, filtered_bam, cfg.gtf,
-                      *([sj_tab] if short_inputs else []))
-        input_cache.clear()
-        return gtf_novel
-
-    if len(items) > 1 and (cfg.jobs or 0) != 1:
-        from concurrent.futures import ThreadPoolExecutor
-        n_jobs = cfg.jobs or min(4, len(items))
-        with ThreadPoolExecutor(n_jobs) as pool:
-            gtf_novel_paths = list(pool.map(
-                lambda sr: _sample_stages(sr[0], sr[1]), items))
-    else:
-        gtf_novel_paths = [_sample_stages(s, r) for s, r in items]
-    filter_pool.shutdown(wait=True)
-
-    # ---- cross-process gather: every process contributes its samples'
-    # pass-2 candidates over the distributed backend (DCN on a pod, the
-    # reference's shared-FS `cat` at Snakefile:172-192); afterwards every
-    # process holds all payloads in global sample order
-    if nproc > 1:
-        payloads = [(gi, open(p, "rb").read())
-                    for gi, p in zip(own, gtf_novel_paths)]
-        gathered = gather_indexed_payloads(payloads)
-        if pid != 0:
+        if nproc > 1:
             barrier("final_merge")
-            log("pipeline", "process %d/%d: sample shard done; updated GTF "
-                "written by process 0", pid, nproc)
-            set_log_stream(None)
+        log("pipeline", "updated GTF written to %s", updated_gtf)
+        set_log_stream(None)
+        _logf.close()
+        return updated_gtf
+    finally:
+        # the log stream is process-global and the rb-filter worker
+        # may still be in flight: always restore/join, even when a
+        # stage raises (leaked stream tees the NEXT run's logs into
+        # this file; an unjoined worker leaks a thread)
+        if filter_pool is not None:
+            filter_pool.shutdown(wait=True)
+        set_log_stream(None)
+        if not _logf.closed:
             _logf.close()
-            return updated_gtf
-        gtf_novel_paths = []
-        for gi in range(len(all_items)):
-            p = A("gtf", f"{all_items[gi][0]}_gtf_novel.gathered.gtf")
-            with open(p, "wb") as f:
-                f.write(gathered[gi])
-            gtf_novel_paths.append(p)
-
-    # ---- stage: update_gtf (cross-sample merge, Snakefile:172-192)
-    with Timer("stage/final_merge", benchmark_file=A("benchmark", "update_gtf.benchmark.txt")):
-        tmp = A("gtf", "tmp.gtf")
-        with open(tmp, "w") as out:
-            for p in gtf_novel_paths:
-                with open(p) as src:
-                    out.write(src.read())
-        uniq_gtf = A("gtf", "uniq.gtf")
-        ugp = UpdateGtfParams(input_mode="gtf")
-        # multi-device: route candidate tensors through the dp all-gather
-        # collective (the Snakefile:189-192 cross-sample gather, on ICI);
-        # single-process only — across hosts the gather above is the data
-        # plane and local meshes see only addressable devices
-        try:
-            import jax
-            device_gather = (use_tpu is not False and nproc == 1
-                             and len(jax.devices()) > 1)
-        except Exception:
-            device_gather = False
-        cmd_unique_gtf(tmp, ugp, hdr_bam=first_sam, out_path=uniq_gtf,
-                       device_gather=device_gather)
-        with open(tmp, "w") as out:
-            for p in (cfg.gtf, uniq_gtf):
-                with open(p) as src:
-                    out.write(src.read())
-        sort_gtf_file(tmp, updated_gtf)
-        os.remove(tmp)
-    if nproc > 1:
-        barrier("final_merge")
-    log("pipeline", "updated GTF written to %s", updated_gtf)
-    set_log_stream(None)
-    _logf.close()
-    return updated_gtf

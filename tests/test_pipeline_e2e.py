@@ -91,3 +91,61 @@ def test_resume_skips_stages(e2e_out, ref_data, capsys):
         "--out-dir", str(e2e_out),
     ])
     assert sam.stat().st_mtime == mtime  # alignment stage skipped
+
+
+def test_resume_reruns_truncated_stage(e2e_out, ref_data):
+    """A crash-truncated in-place output (no sidecar) must be REBUILT on
+    resume, not accepted as fresh via output-newer-than-input mtimes."""
+    filtered = e2e_out / "alignment" / "samp1.filtered.sam"
+    good = filtered.read_bytes()
+    filtered.write_bytes(good[: len(good) // 2])     # simulate the crash
+    side = filtered.with_name(filtered.name + ".inputs.json")
+    if side.exists():
+        side.unlink()                                # sidecar never written
+    from lr2rmats_tpu.pipeline.cli import main
+    rc = main([
+        "run",
+        "--genome", str(ref_data / "genome" / "genome.fa"),
+        "--gtf", str(ref_data / "gtf" / "original.gtf"),
+        "--rm-gtf", str(ref_data / "gtf" / "rRNA.gtf"),
+        "--long-read", str(ref_data / "read" / "samp1_long.fa"),
+        "--short-read-1", str(ref_data / "read" / "samp1_short_1.fa"),
+        "--short-read-2", str(ref_data / "read" / "samp1_short_2.fa"),
+        "--out-dir", str(e2e_out),
+    ])
+    assert rc == 0
+    assert filtered.read_bytes() == good             # stage reran
+    assert side.exists()
+
+
+def test_empty_samples_fails_early(tmp_path):
+    from lr2rmats_tpu.pipeline.config import PipelineConfig
+    from lr2rmats_tpu.pipeline.stages import run_pipeline
+    cfg = PipelineConfig(genome_fasta="g.fa", gtf="a.gtf",
+                         out_dir=str(tmp_path), samples={})
+    with pytest.raises(ValueError, match="no samples"):
+        run_pipeline(cfg)
+
+
+def test_filter_sam_stdout_convention(e2e_out, capsys):
+    """`filter --sam` without -o must stream to stdout on BOTH the native
+    raw-span path and the python fallback."""
+    sam = str(e2e_out / "alignment" / "samp1.minimap.sam")
+    from lr2rmats_tpu.pipeline.cli import main
+    outs = {}
+    for tag, env in (("native", None), ("fallback", "1")):
+        old = os.environ.pop("LR2RMATS_NO_NATIVE", None)
+        if env:
+            os.environ["LR2RMATS_NO_NATIVE"] = env
+        try:
+            rc = main(["filter", sam, "--sam"])
+            assert rc == 0
+            outs[tag] = capsys.readouterr().out
+        finally:
+            os.environ.pop("LR2RMATS_NO_NATIVE", None)
+            if old is not None:
+                os.environ["LR2RMATS_NO_NATIVE"] = old
+    assert outs["native"].count("\n") == outs["fallback"].count("\n")
+    assert outs["native"].splitlines()[-1].split("\t")[0] == \
+        outs["fallback"].splitlines()[-1].split("\t")[0]
+    assert not os.path.exists("out.sam")
