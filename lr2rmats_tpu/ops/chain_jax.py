@@ -184,7 +184,7 @@ def _backtrack_core(buf, window: int, k: int,
                         W, k, max_qgap, max_intron, gap_open, gap_scale,
                         intron_scale, min_intron_gap)
     neg = jnp.float32(-1e18)
-    iota_a = jnp.arange(A, dtype=jnp.int32)[:, None]          # [A, 1]
+    # iota_a from the exception loop above is reused here ([A, 1])
     arange_w = jnp.arange(W, dtype=jnp.int32)[:, None]        # [W, 1]
 
     valid = iota_a < n_anchor[None, :]                        # [A, B]
@@ -320,12 +320,17 @@ def chain_backtrack_batch_async(qpos: np.ndarray, rpos: np.ndarray,
 
 
 def count_delta_overflows(gpos: np.ndarray) -> int:
-    """Number of consecutive ref-position deltas >= 2^16 in one row —
+    """Number of exception slots pack_chain_buf needs for one row —
     rows exceeding EXC_ROWS must chain on the host (align.batch routes
-    them before packing)."""
-    if len(gpos) < 2:
+    them before packing).  The first delta is gpos[0] itself (the packer
+    stores d[0] = r[0]), so a non-cluster-relative first position >= 2^16
+    consumes a slot too; production rows are base-subtracted (r[0] == 0)."""
+    if len(gpos) == 0:
         return 0
-    return int(np.sum(np.diff(gpos) >= (1 << 16)))
+    n = int(gpos[0] >= (1 << 16))
+    if len(gpos) >= 2:
+        n += int(np.sum(np.diff(gpos) >= (1 << 16)))
+    return n
 
 
 def pack_chain_buf(qpos: np.ndarray, rpos: np.ndarray, n_anchor: np.ndarray
@@ -360,25 +365,42 @@ def pack_chain_buf(qpos: np.ndarray, rpos: np.ndarray, n_anchor: np.ndarray
         first[1:] = over_c[1:] != over_c[:-1]
         starts = np.nonzero(first)[0]
         slot = np.arange(len(over_c)) - starts[np.cumsum(first) - 1]
-        assert slot.max() < EXC_ROWS, \
-            "row with >EXC_ROWS oversized deltas reached the device packer"
+        if int(slot.max()) >= EXC_ROWS:
+            # a bare assert is stripped under -O, and the overflowing
+            # write would land in (and be clobbered by) the n_anchor row
+            # — silently wrong rT from that anchor on
+            raise ValueError("row with >EXC_ROWS oversized deltas reached "
+                             "the device packer (route it to the host "
+                             "chain; see count_delta_overflows)")
         hi = (d[over_r, over_c] >> 16).astype(np.int64)
         buf[A + slot, over_c] = ((hi << 16) | over_r).astype(np.int32)
     buf[A + EXC_ROWS] = n_anchor
     return buf
 
 
+def _dp_shardings(B: int, min_lanes_per_dev: int):
+    """(row-sharded [*, B], lane-sharded [B]) NamedShardings over the local
+    dp mesh, or None when the lane count doesn't warrant sharding.  One
+    shared decision point — _shard_buf and chain_anchors_batch_async used
+    to carry divergent copies."""
+    devs = jax.local_devices()
+    if not (len(devs) > 1 and B % len(devs) == 0
+            and B >= min_lanes_per_dev * len(devs)):
+        return None
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.array(devs), ("dp",))
+    return NamedSharding(mesh, P(None, "dp")), NamedSharding(mesh, P("dp"))
+
+
 def _shard_buf(buf: np.ndarray):
     """dp-shard a packed buffer over local devices when its lane count
-    divides (lane-parallel kernel => pure data parallelism)."""
-    B = buf.shape[1]
-    arg = jnp.asarray(buf)
-    devs = jax.local_devices()
-    if len(devs) > 1 and B % len(devs) == 0 and B >= 8 * len(devs):
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        mesh = Mesh(np.array(devs), ("dp",))
-        arg = jax.device_put(arg, NamedSharding(mesh, P(None, "dp")))
-    return arg
+    divides (lane-parallel kernel => pure data parallelism).  device_put
+    on the HOST array ships each shard straight to its device; a prior
+    jnp.asarray would pay a redundant full transfer to device 0 first."""
+    sh = _dp_shardings(buf.shape[1], 8)
+    if sh is not None:
+        return jax.device_put(buf, sh[0])
+    return jnp.asarray(buf)
 
 
 def chain_backtrack_multi_async(items, p: ChainParams, min_score: float):
@@ -428,20 +450,17 @@ def chain_anchors_batch_async(qpos: np.ndarray, rpos: np.ndarray,
                               shard: bool = True):
     """Dispatch the chain DP without blocking; returns device arrays
     (fT, parentT) in the kernel's native [A, B] layout."""
-    q = jnp.asarray(np.ascontiguousarray(qpos.T), jnp.int32)
-    r = jnp.asarray(np.ascontiguousarray(rpos.T), jnp.int32)
-    n = jnp.asarray(n_anchor, jnp.int32)
-    if shard:
-        devs = jax.local_devices()
-        B = qpos.shape[0]
-        if len(devs) > 1 and B % len(devs) == 0 and B >= 2 * len(devs):
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-            mesh = Mesh(np.array(devs), ("dp",))
-            s2 = NamedSharding(mesh, P(None, "dp"))
-            s1 = NamedSharding(mesh, P("dp"))
-            q = jax.device_put(q, s2)
-            r = jax.device_put(r, s2)
-            n = jax.device_put(n, s1)
+    qh = np.ascontiguousarray(qpos.T).astype(np.int32, copy=False)
+    rh = np.ascontiguousarray(rpos.T).astype(np.int32, copy=False)
+    nh = np.asarray(n_anchor, np.int32)
+    sh = _dp_shardings(qpos.shape[0], 2) if shard else None
+    if sh is not None:
+        # shard straight from host (no full copy to device 0 first)
+        q = jax.device_put(qh, sh[0])
+        r = jax.device_put(rh, sh[0])
+        n = jax.device_put(nh, sh[1])
+    else:
+        q, r, n = jnp.asarray(qh), jnp.asarray(rh), jnp.asarray(nh)
     return _chain_scan_T(
         q, r, n, p.window, p.k,
         jnp.int32(p.max_qgap), jnp.int32(p.max_intron),

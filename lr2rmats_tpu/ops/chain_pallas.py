@@ -64,6 +64,11 @@ def _kernel(qpos_ref, rpos_ref, n_ref, f_out_ref, parent_ref, f_ref, *, W, k,
         dd = dr - dq
         add = jnp.abs(dd).astype(jnp.float32)
         lin = jnp.float32(gap_open) + jnp.float32(gap_scale) * add
+        # log2 via ln(x)*log2(e): Mosaic-safe.  CAVEAT: this can differ
+        # from the scan kernel's jnp.log2 by 1 ulp (e.g. exact powers of
+        # two), which could flip an exact score tie — the twins' parity
+        # is checked by tests/test_pallas.py and scripts/device_parity.py,
+        # and this backend is non-default (backend="pallas").
         logc = jnp.float32(gap_open) + jnp.float32(intron_scale) * (
             jnp.log(add + 1.0) * jnp.float32(_LOG2E))
         cost = jnp.where(dd > min_intron_gap, jnp.minimum(logc, lin), lin)
