@@ -74,8 +74,13 @@ def _kernel(qpos_ref, rpos_ref, n_ref, f_out_ref, parent_ref, f_ref, *, W, k,
         cost = jnp.where(dd > min_intron_gap, jnp.minimum(logc, lin), lin)
         cost = jnp.where(dd == 0, jnp.float32(0.0), cost)
         sc = jnp.where(ok, fw + gain - cost, neg)   # [W, R]
-        best_w = jnp.argmax(sc, axis=0)             # [R]
         best_sc = jnp.max(sc, axis=0)               # [R]
+        # first-occurrence argmax: compiled Mosaic argmax breaks exact
+        # score ties by LAST index (DEVICE_PARITY 2026-08-18 showed 332
+        # tie-only parent flips vs the scan kernel); take the smallest
+        # window slot whose score equals the max, like XLA/host do.
+        best_w = jnp.min(jnp.where(sc >= best_sc[None, :], widx, W),
+                         axis=0)                    # [R]
         cur = f_ref[pl.ds(i + W, 1), :][0, :]
         anchor_valid = i < n_anchor
         take = anchor_valid & (best_sc > cur)
