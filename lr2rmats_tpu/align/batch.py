@@ -481,7 +481,9 @@ class BatchAligner:
             return
         from ..ops.chain_jax import chain_backtrack_multi_async
         from ..native import get_lib
+        from ..utils.devcache import enable_compile_cache
         import jax
+        enable_compile_cache()
         items = []
         buckets = A_BUCKETS[1:] if get_lib() is not None else A_BUCKETS
         for A in buckets:

@@ -317,9 +317,14 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                             cache = cfg.index_cache or (cfg.genome_fasta +
                                                         ".tmmi.npz")
                             idx = MinimizerIndex.build_or_load(genome, cache)
+                        backend = "host" if use_tpu is False else "jax"
+                        if backend != "host":
+                            # warm executables replay from <repo>/.jax_cache
+                            # instead of ~10-40 s relay compiles per shape
+                            from ..utils.devcache import enable_compile_cache
+                            enable_compile_cache()
                         aligner = BatchAligner(genome, align_params, index=idx,
-                                               backend=("host" if use_tpu is False
-                                                        else "jax"))
+                                               backend=backend)
                     long_reads = read_fasta(reads.long_read)
                     rb = aligner.align_seqset_packed(long_reads)
                     n = rb.n
