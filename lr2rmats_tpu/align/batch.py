@@ -1318,12 +1318,17 @@ class BatchAligner:
             RecordBatch.from_alnrecs([])
         if polish:
             import time as _time
+            from .polish import device_stats as _pdev
             from .polish import polish_batch
             t0 = _time.perf_counter()
+            d0w, d0c = _pdev["wall_s"], _pdev["calls"]
             n = polish_batch(rb, self.inner.genome.codes,
                              self.index.chrom_offsets)
             self.stats["polish_s"] = (self.stats.get("polish_s", 0.0) +
                                       _time.perf_counter() - t0)
+            # the placement DP's link wall is device time, not host time
+            self.stats["device_wall_s"] += _pdev["wall_s"] - d0w
+            self.stats["device_calls"] += _pdev["calls"] - d0c
             if n:
                 log("align", "junction consensus polish: %d re-placed", n)
         return rb

@@ -350,6 +350,11 @@ def _constrained_place(qwin: np.ndarray, ref: np.ndarray, L0: int, R0: int,
 _PLACE_M = 192            # max query-window length eligible for the batch
 _PLACE_G = 256            # lane padding quantum
 
+# wall spent blocked on the accelerator link by the placement DP (the jit
+# call + device_get below); BatchAligner folds deltas into its stats so
+# bench's device_wall_s/device_calls cover polish, not just chaining
+device_stats = {"wall_s": 0.0, "calls": 0}
+
 
 def _constrained_place_many(items: List[tuple], ref: np.ndarray
                             ) -> List[Optional[tuple]]:
@@ -400,10 +405,14 @@ def _constrained_place_many(items: List[tuple], ref: np.ndarray
         lwin[:side, g] = ref[L0: L0 + side]
         rwin[:side, g] = ref[R0 - side: R0][::-1]
         m_arr[g] = m
+    import time as _time
+    _t0 = _time.perf_counter()
     SL, SR = jax.device_get(_polish_dp_pair(
         jax.numpy.asarray(q), jax.numpy.asarray(qr),
         jax.numpy.asarray(lwin), jax.numpy.asarray(rwin),
         jax.numpy.asarray(m_arr)))
+    device_stats["wall_s"] += _time.perf_counter() - _t0
+    device_stats["calls"] += 1
     SL = SL.astype(np.float64)
     SR = SR.astype(np.float64)
     for g, t in enumerate(todo):
