@@ -1596,13 +1596,22 @@ extern "C" {
 // port of reference update_gtf.c:717-779).  Returns 0 (no known site),
 // 1 (known: all bam sites identical), 2 (has known site); clears
 // novel_site/exon/junction flags in place.
+//
+// ref_compat=0 (default semantics): annotation acceptors are matched
+// against the bam transcript's true acceptor sites bs[j+1].
+// ref_compat=1 replicates the reference's acceptor off-by-one bit-for-bit
+// (update_gtf.c:746 compares exon[j].start for j in 0..bn-2, i.e. the
+// transcript start plus all-but-the-last acceptor, and clears flag 2j+1
+// for the j it matched) — see ARCHITECTURE.md §5; verified against the
+// compiled reference oracle in tests/test_reference_oracle.py.
 int check_splice_site_c(const int32_t* bs, const int32_t* be, int bn,
                         const int32_t* as_, const int32_t* ae, int an,
                         int64_t bstart, int64_t bend,
                         int64_t astart, int64_t aend, int dis,
                         uint8_t* novel_site_flag,
                         uint8_t* novel_exon_flag,
-                        uint8_t* novel_junction_flag) {
+                        uint8_t* novel_junction_flag,
+                        int ref_compat) {
     int64_t ovs = std::max(bstart, astart);
     int64_t ove = std::min(bend, aend);
     int bam_ovlp = 0, identical = 0;
@@ -1621,7 +1630,8 @@ int check_splice_site_c(const int32_t* bs, const int32_t* be, int bn,
         }
         if (as_[i + 1] >= ovs && as_[i + 1] <= ove) {
             for (int j = 0; j < bn - 1; ++j) {
-                if (std::abs((int64_t)as_[i + 1] - bs[j + 1]) <= dis) {
+                int64_t bacc = ref_compat ? (int64_t)bs[j] : (int64_t)bs[j + 1];
+                if (std::abs((int64_t)as_[i + 1] - bacc) <= dis) {
                     ++identical;
                     novel_site_flag[2 * j + 1] = 0;
                 }
@@ -2311,7 +2321,7 @@ int classify_batch_c(
     const int32_t* a_es, const int32_t* a_ee, int64_t a_w,
     const int32_t* a_en, const int32_t* a_tid,
     const int32_t* a_start, const int32_t* a_end, int64_t an_total,
-    int full_level, int ss_dis, double se_ovlp_frac,
+    int full_level, int ss_dis, double se_ovlp_frac, int ref_compat,
     int64_t* ref_anno) {
     auto exon_overlap = [](int64_t s1, int64_t e1, int64_t s2, int64_t e2) {
         return !(s1 > e2 || s2 > e1);
@@ -2399,7 +2409,8 @@ int classify_batch_c(
                 int ret = check_splice_site_c(
                     bs, be, bcnt, as_, ae, acnt,
                     b_start[bi], b_end[bi], a_start[ai], a_end[ai], ss_dis,
-                    nsf + bi * nsf_w, nef + bi * nef_w, njf + bi * njf_w);
+                    nsf + bi * nsf_w, nef + bi * nef_w, njf + bi * njf_w,
+                    ref_compat);
                 if (ret == 1) {
                     f_known[bi] = 1;
                     refa = ai;

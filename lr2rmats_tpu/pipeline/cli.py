@@ -52,6 +52,12 @@ def _add_update_opts(sp, unique: bool = False):
     sp.add_argument("-f", "--frac", type=float, default=SING_OVLP_FRAC)
     sp.add_argument("-o", "--output", default=None)
     sp.add_argument("-S", "--source", default=PROG)
+    if not unique:
+        sp.add_argument("--ref-compat", action="store_true",
+                        help="replicate the reference's acceptor-site "
+                        "matching off-by-one (update_gtf.c:746) bit-for-bit "
+                        "instead of the corrected default semantics "
+                        "(ARCHITECTURE.md §5); also LR2RMATS_REF_COMPAT=1")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -179,6 +185,8 @@ def _ugp_from_args(args, unique: bool = False) -> UpdateGtfParams:
         ugp.min_sj_cnt = args.min_junc_cnt
         ugp.full_level = args.full_length
         ugp.split_trans = args.split_trans
+        if getattr(args, "ref_compat", False):
+            ugp.ref_acceptor_compat = True
     return ugp
 
 

@@ -186,7 +186,7 @@ def set_full(bam_T: Transcripts, bi: int, level: int) -> None:
 
 
 def check_splice_site(bam_T: Transcripts, bi: int, anno_T: Transcripts, ai: int,
-                      dis: int) -> int:
+                      dis: int, ref_compat: bool = False) -> int:
     """Match bam transcript splice sites vs one annotation transcript.
 
     Returns 0 (no known site), 1 (known), 2 (has known site); clears
@@ -196,6 +196,17 @@ def check_splice_site(bam_T: Transcripts, bi: int, anno_T: Transcripts, ai: int,
     transcript is annotated and inside the overlap — the exon *chain* is
     never compared, so an exon-skipping isoform whose remaining sites are
     all annotated classifies as known, exactly as in the reference.
+
+    DOCUMENTED DEVIATION (default, ref_compat=False): annotation acceptors
+    are matched against the bam transcript's true acceptor sites bs[1:].
+    The reference's loop (update_gtf.c:744-750) instead compares
+    exon[j].start for j in 0..bn-2 — the transcript start plus every
+    acceptor EXCEPT the last — and clears flag 2j+1 for the j it matched.
+    Under that semantics a perfect multi-exon match always scores
+    identical_site_n = 2n-3 < 2n-2, so no multi-exon transcript can ever
+    classify "known".  ref_compat=True replicates the reference
+    bit-for-bit; both modes are fuzz-verified against the compiled
+    reference C in tests/test_reference_oracle.py.  See ARCHITECTURE.md §5.
 
     Dispatches to the native kernel when available (bit-equal; tested).
     """
@@ -220,17 +231,18 @@ def check_splice_site(bam_T: Transcripts, bi: int, anno_T: Transcripts, ai: int,
             bam_T.novel_exon_flag.ctypes.data +
             bi * bam_T.novel_exon_flag.shape[1],
             bam_T.novel_junction_flag.ctypes.data +
-            bi * bam_T.novel_junction_flag.shape[1])
+            bi * bam_T.novel_junction_flag.shape[1],
+            int(ref_compat))
         if ret == 1:
             bam_T.flags["known"][bi] = True
         elif ret == 2:
             bam_T.flags["has_known_site"][bi] = True
         return ret
-    return check_splice_site_np(bam_T, bi, anno_T, ai, dis)
+    return check_splice_site_np(bam_T, bi, anno_T, ai, dis, ref_compat)
 
 
 def check_splice_site_np(bam_T: Transcripts, bi: int, anno_T: Transcripts,
-                         ai: int, dis: int) -> int:
+                         ai: int, dis: int, ref_compat: bool = False) -> int:
     """Numpy reference implementation (see check_splice_site)."""
     bs, be = bam_T.exons(bi)
     as_, ae = anno_T.exons(ai)
@@ -239,12 +251,16 @@ def check_splice_site_np(bam_T: Transcripts, bi: int, anno_T: Transcripts,
     ovlp_end = min(int(bam_T.end[bi]), int(anno_T.end[ai]))
 
     bam_don = be[:-1].astype(np.int64)       # bam donor sites
-    bam_acc = bs[1:].astype(np.int64)        # bam acceptor sites
+    # acceptor candidates: true acceptors bs[1:] by default; the
+    # reference's off-by-one window bs[:-1] in ref_compat mode (matched j
+    # still clears flag 2j+1 — see check_splice_site docstring)
+    bam_acc = bs[:-1].astype(np.int64) if ref_compat else bs[1:].astype(np.int64)
+    bam_acc_ovlp = bs[1:].astype(np.int64)   # ovlp count always uses true sites
     anno_don = ae[:-1].astype(np.int64)
     anno_acc = as_[1:].astype(np.int64)
 
     in_ov = lambda x: (x >= ovlp_start) & (x <= ovlp_end)
-    bam_ovlp_site_n = int(np.sum(in_ov(bam_don))) + int(np.sum(in_ov(bam_acc)))
+    bam_ovlp_site_n = int(np.sum(in_ov(bam_don))) + int(np.sum(in_ov(bam_acc_ovlp)))
     anno_don_ov = in_ov(anno_don)
     anno_acc_ov = in_ov(anno_acc)
 
@@ -252,6 +268,10 @@ def check_splice_site_np(bam_T: Transcripts, bi: int, anno_T: Transcripts,
     # within dis — including duplicate matches, exactly like the C loops.
     don_match = np.abs(anno_don[:, None] - bam_don[None, :]) <= dis  # [an-1, bn-1]
     acc_match = np.abs(anno_acc[:, None] - bam_acc[None, :]) <= dis
+    # the junction loop (update_gtf.c:761-768) uses true acceptors even in
+    # the reference, so it is compat-invariant
+    acc_match_true = (np.abs(anno_acc[:, None] - bam_acc_ovlp[None, :]) <= dis
+                      if ref_compat else acc_match)
     identical_site_n = int(np.sum(don_match[anno_don_ov])) + \
         int(np.sum(acc_match[anno_acc_ov]))
     # clear novel-site flags (don at 2j, acc at 2j+1)
@@ -270,7 +290,7 @@ def check_splice_site_np(bam_T: Transcripts, bi: int, anno_T: Transcripts,
 
     # novel-junction clearing
     if bn > 1 and an > 1:
-        jn_match = don_match & acc_match
+        jn_match = don_match & acc_match_true
         bam_T.novel_junction_flag[bi, : bn - 1][np.any(jn_match, axis=0)] = 0
 
     bam_all_site_n = (bn - 1) * 2
@@ -321,7 +341,8 @@ def check_with_anno_trans(bam_T: Transcripts, bi: int, anno_T: Transcripts,
                     bam_T.flags["known"][bi] = True
                     break
             elif not single_exon and an > 1:
-                ret = check_splice_site(bam_T, bi, anno_T, i, ugp.ss_dis)
+                ret = check_splice_site(bam_T, bi, anno_T, i, ugp.ss_dis,
+                                        ugp.ref_acceptor_compat)
                 if ret == 1:
                     ref_anno_i = i
                     break
@@ -550,6 +571,7 @@ def classify_batch_native(bam_T: Transcripts, anno_T: Transcripts,
         anno_T.exon_n.ctypes.data, anno_T.tid.ctypes.data,
         anno_T.start.ctypes.data, anno_T.end.ctypes.data, anno_T.n,
         ugp.full_level, ugp.ss_dis, ugp.single_exon_ovlp_frac,
+        int(ugp.ref_acceptor_compat),
         ref_anno.ctypes.data)
     # gene/strand adoption (strings stay host-side)
     has = ref_anno >= 0

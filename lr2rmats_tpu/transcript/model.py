@@ -68,6 +68,13 @@ class UpdateGtfParams:
     keep_min_set: bool = False            # -n
     force_strand: bool = False            # -c
     source: str = "lr2rmats_tpu"          # -S
+    # Replicate the reference's acceptor-site matching off-by-one
+    # (update_gtf.c:746) bit-for-bit instead of the corrected default
+    # semantics.  See ARCHITECTURE.md §5 "acceptor-site matching" and
+    # tests/test_reference_oracle.py.  CLI: --ref-compat; env:
+    # LR2RMATS_REF_COMPAT=1 (read per-instantiation so tests can flip it).
+    ref_acceptor_compat: bool = field(default_factory=lambda: __import__(
+        "os").environ.get("LR2RMATS_REF_COMPAT", "0") not in ("", "0"))
 
 
 DEFAULTS = UpdateGtfParams()
