@@ -25,23 +25,85 @@
 #include "htslib/sam.h"
 #include "gtf.h"
 #include "update_gtf.h"
+#include "parse_bam.h"
+#include "bam_fusion.h"
 
 /* ---- data symbols the reference expects from main.c ---- */
 const char PROG[20] = "lr2rmats";
 
-/* ---- aborting stubs for htslib + bam2gtf functions referenced (but
- *      never called) by the compiled translation units ---- */
+/* ---- aborting stubs for htslib I/O referenced (but never called) by the
+ *      compiled translation units ---- */
 samFile *sam_open(const char *fn, const char *mode) { (void)fn; (void)mode; abort(); }
 bam_hdr_t *sam_hdr_read(samFile *fp) { (void)fp; abort(); }
+int sam_hdr_write(samFile *fp, const bam_hdr_t *h) { (void)fp; (void)h; abort(); }
 int sam_close(samFile *fp) { (void)fp; abort(); }
 int sam_read1(samFile *fp, bam_hdr_t *h, bam1_t *b) { (void)fp; (void)h; (void)b; abort(); }
+int sam_write1(samFile *fp, const bam_hdr_t *h, const bam1_t *b) { (void)fp; (void)h; (void)b; abort(); }
 int bam_name2id(bam_hdr_t *h, const char *ref) { (void)h; (void)ref; abort(); }
-bam1_t *bam_init1(void) { abort(); }
-void bam_destroy1(bam1_t *b) { (void)b; abort(); }
 void bam_hdr_destroy(bam_hdr_t *h) { (void)h; abort(); }
-int read_bam_trans(samFile *in, bam_hdr_t *h, bam1_t *b, int min_exon,
-                   int min_intron, int max_delet, read_trans_t *T)
-{ (void)in; (void)h; (void)b; (void)min_exon; (void)min_intron; (void)max_delet; (void)T; abort(); }
+hts_idx_t *sam_index_load(samFile *fp, const char *fn) { (void)fp; (void)fn; abort(); }
+void hts_itr_destroy(hts_itr_t *itr) { (void)itr; abort(); }
+void hts_idx_destroy(hts_idx_t *idx) { (void)idx; abort(); }
+samFile *sam_open_format(const char *fn, const char *mode, void *fmt)
+{ (void)fn; (void)mode; (void)fmt; abort(); }
+
+/* ---- REAL minimal record machinery (stub-layout bam1_t; see sam.h):
+ *      called at oracle runtime by gen_exon / bam_is_uniq_NH /
+ *      copy_bam_seg1 ---- */
+bam1_t *bam_init1(void)
+{
+    bam1_t *b = (bam1_t*)calloc(1, sizeof(bam1_t));
+    return b;
+}
+
+void bam_destroy1(bam1_t *b)
+{
+    if (b) { free(b->data); free(b); }
+}
+
+bam1_t *bam_copy1(bam1_t *bdst, const bam1_t *bsrc)
+{
+    uint8_t *data = bdst->data;
+    int m = bdst->m_data;
+    if (m < bsrc->l_data) {
+        m = bsrc->l_data;
+        data = (uint8_t*)realloc(data, m > 0 ? m : 1);
+    }
+    memcpy(data, bsrc->data, bsrc->l_data);
+    *bdst = *bsrc;
+    bdst->data = data;
+    bdst->m_data = m;
+    return bdst;
+}
+
+/* aux records are packed as tag[2] + type + value (types 'A' and 'i'
+ * only — all the compiled reference code reads) */
+uint8_t *bam_aux_get(const bam1_t *b, const char tag[2])
+{
+    uint8_t *p = bam_get_aux(b);
+    uint8_t *end = b->data + b->l_data;
+    while (p + 3 <= end) {
+        int sz = (p[2] == 'A') ? 1 : (p[2] == 'i') ? 4 : -1;
+        if (sz < 0 || p + 3 + sz > end) return 0;
+        if (p[0] == (uint8_t)tag[0] && p[1] == (uint8_t)tag[1]) return p + 2;
+        p += 3 + sz;
+    }
+    return 0;
+}
+
+int64_t bam_aux2i(const uint8_t *s)
+{
+    if (*s != 'i') return 0;
+    int32_t v;
+    memcpy(&v, s + 1, 4);
+    return v;
+}
+
+char bam_aux2A(const uint8_t *s)
+{
+    if (*s != 'A') return 0;
+    return (char)s[1];
+}
 
 /* ---- externs for non-static reference functions not in headers ---- */
 extern update_gtf_para *update_gtf_init_para(void);
@@ -230,3 +292,183 @@ void o_check_trans(read_trans_t *bam_T, read_trans_t *anno_T, sj_t *sj,
                    read_trans_t *novel_T, read_trans_t *unrecog_T,
                    update_gtf_para *ugp)
 { check_trans(bam_T, anno_T, sj, sj_n, updated_T, known_T, novel_T, unrecog_T, ugp); }
+
+/* =================== bam2gtf / bam2sj / fusion oracle =================== */
+
+extern int gen_trans(bam1_t *b, trans_t *t, int exon_min, int intron_len,
+                     int deletion_max);
+extern uint8_t intr_deri_str(kseq_t *seq, int seq_n, int tid, int start,
+                             int end, uint8_t *motif_i);
+extern int gen_sj(uint8_t is_uniq, int tid, int start, int n_cigar,
+                  uint32_t *c, kseq_t *seq, int seq_n, sj_t **sj, int *sj_m,
+                  void *sjp);
+extern void *sj_init_para(void);
+extern int sj_update_group(sj_t **SJ_group, int *SJ_n, int *SJ_m, sj_t *sj,
+                           int sj_n);
+extern int check_fusion(bam_seg_t *seg, int rlen, int seg_n,
+                        bam_fusion_para *bfp);
+extern int check_with_exist1(bam_seg_t *s1, bam_seg_t *s2,
+                             bam_fusion_para *bfp);
+extern float bam_seg_cov(bam_seg_t *seg, int n, int rlen);
+
+/* Fabricate a record in the stub layout: qname + cigar + optional
+ * XS:A:<xs> and NH:i:<nh> aux records. */
+bam1_t *o_mk_bam(int32_t tid, int32_t pos0, int32_t flag,
+                 const uint32_t *cigar, int32_t n_cigar, const char *qname,
+                 int32_t xs, int32_t nh)
+{
+    bam1_t *b = bam_init1();
+    int l_qname = (int)strlen(qname) + 1;
+    int l_aux = (xs ? 4 : 0) + (nh >= 0 ? 7 : 0);
+    b->core.tid = tid; b->core.pos = pos0; b->core.flag = (uint16_t)flag;
+    b->core.l_qname = l_qname; b->core.n_cigar = n_cigar;
+    b->core.l_qseq = 0;
+    b->l_data = b->m_data = l_qname + 4 * n_cigar + l_aux;
+    b->data = (uint8_t*)malloc(b->l_data);
+    memcpy(b->data, qname, l_qname);
+    memcpy(b->data + l_qname, cigar, 4 * (size_t)n_cigar);
+    uint8_t *p = b->data + l_qname + 4 * n_cigar;
+    if (xs) { p[0] = 'X'; p[1] = 'S'; p[2] = 'A'; p[3] = (uint8_t)xs; p += 4; }
+    if (nh >= 0) {
+        p[0] = 'N'; p[1] = 'H'; p[2] = 'i';
+        memcpy(p + 3, &nh, 4);
+    }
+    return b;
+}
+
+void o_free_bam(bam1_t *b) { bam_destroy1(b); }
+
+/* CIGAR -> exon chain (reference gen_trans/gen_exon, bam2gtf.c:31-87). */
+trans_t *o_gen_trans(bam1_t *b, int32_t exon_min, int32_t intron_len,
+                     int32_t deletion_max)
+{
+    trans_t *t = trans_init(1);
+    gen_trans(b, t, exon_min, intron_len, deletion_max);
+    return t;
+}
+
+static kseq_t *mk_genome(const char **seqs, int n)
+{
+    kseq_t *g = (kseq_t*)calloc(n > 0 ? n : 1, sizeof(kseq_t));
+    int i;
+    for (i = 0; i < n; ++i) {
+        g[i].seq.s = (char*)seqs[i];
+        g[i].seq.l = strlen(seqs[i]);
+    }
+    return g;
+}
+
+/* donor/acceptor dinucleotides -> (strand, motif) — parse_bam.c:319-337 */
+int32_t o_intr_deri_str(const char **seqs, int32_t seq_n, int32_t tid,
+                        int32_t start, int32_t end, uint8_t *motif_i)
+{
+    kseq_t *g = mk_genome(seqs, seq_n);
+    uint8_t strand = intr_deri_str(g, seq_n, tid, start, end, motif_i);
+    free(g);
+    return strand;
+}
+
+/* CIGAR -> junction list (reference gen_sj, parse_bam.c:402-442).
+ * Uses sj_init_para() defaults (intron_len = INTRON_MIN_LEN).  Returns
+ * the junction count; fills parallel out arrays (caller sizes >= n_cigar). */
+int32_t o_gen_sj(int32_t is_uniq, int32_t tid, int32_t start1,
+                 const uint32_t *cigar, int32_t n_cigar,
+                 const char **seqs, int32_t seq_n,
+                 int32_t *don, int32_t *acc, uint8_t *strand,
+                 uint8_t *motif, int32_t *uniq_c, int32_t *multi_c)
+{
+    kseq_t *g = mk_genome(seqs, seq_n);
+    void *sjp = sj_init_para();
+    int sj_m = n_cigar > 0 ? n_cigar : 1;
+    sj_t *sj = (sj_t*)calloc(sj_m, sizeof(sj_t));
+    int n = gen_sj((uint8_t)is_uniq, tid, start1, n_cigar, (uint32_t*)cigar,
+                   g, seq_n, &sj, &sj_m, sjp);
+    int i;
+    for (i = 0; i < n; ++i) {
+        don[i] = sj[i].don; acc[i] = sj[i].acc;
+        strand[i] = sj[i].strand; motif[i] = sj[i].motif;
+        uniq_c[i] = sj[i].uniq_c; multi_c[i] = sj[i].multi_c;
+    }
+    free(sj); free(sjp); free(g);
+    return n;
+}
+
+/* sorted-insert dedup + count accumulation (parse_bam.c:353-380).
+ * in arrays length n are applied one record at a time like bam2sj_core;
+ * returns final group size, fills out arrays (caller sizes >= n). */
+int32_t o_sj_update_group(const int32_t *tid, const int32_t *don,
+                          const int32_t *acc, const uint8_t *strand,
+                          const uint8_t *motif, const int32_t *uniq_c,
+                          const int32_t *multi_c, int32_t n,
+                          int32_t *o_tid, int32_t *o_don, int32_t *o_acc,
+                          uint8_t *o_strand, uint8_t *o_motif,
+                          int32_t *o_uniq, int32_t *o_multi)
+{
+    int SJ_n = 0, SJ_m = 8;
+    sj_t *SJ = (sj_t*)calloc(SJ_m, sizeof(sj_t));
+    int i;
+    for (i = 0; i < n; ++i) {
+        sj_t s;
+        memset(&s, 0, sizeof(s));
+        s.tid = tid[i]; s.don = don[i]; s.acc = acc[i];
+        s.strand = strand[i] & 3; s.motif = motif[i] & 7;
+        s.uniq_c = uniq_c[i]; s.multi_c = multi_c[i];
+        sj_update_group(&SJ, &SJ_n, &SJ_m, &s, 1);
+    }
+    for (i = 0; i < SJ_n; ++i) {
+        o_tid[i] = SJ[i].tid; o_don[i] = SJ[i].don; o_acc[i] = SJ[i].acc;
+        o_strand[i] = SJ[i].strand; o_motif[i] = SJ[i].motif;
+        o_uniq[i] = SJ[i].uniq_c; o_multi[i] = SJ[i].multi_c;
+    }
+    free(SJ);
+    return SJ_n;
+}
+
+/* Greedy fusion segment selection (bam_fusion.c:67-129).  Segments given
+ * as parallel arrays; returns check_fusion's result and writes the
+ * selected segment order's fields back into the arrays (post-qsort). */
+int32_t o_check_fusion(int32_t *tid, int32_t *is_rev, int32_t *score,
+                       int32_t *ed, int32_t *read_start, int32_t *read_end,
+                       int32_t *ref_start, int32_t *ref_end, int32_t seg_n,
+                       int32_t rlen, double ovlp_frac, double each_cov,
+                       double all_cov, int32_t dis)
+{
+    bam_seg_t *seg = bam_seg_init(seg_n);
+    bam_fusion_para bfp;
+    bfp.ovlp_frac = (float)ovlp_frac; bfp.each_cov = (float)each_cov;
+    bfp.all_cov = (float)all_cov; bfp.dis = dis; bfp.fs_fp = NULL;
+    int i;
+    for (i = 0; i < seg_n; ++i) {
+        seg[i].tid = tid[i]; seg[i].is_rev = is_rev[i];
+        seg[i].score = score[i]; seg[i].ed = ed[i];
+        seg[i].read_start = read_start[i]; seg[i].read_end = read_end[i];
+        seg[i].ref_start = ref_start[i]; seg[i].ref_end = ref_end[i];
+    }
+    int ret = check_fusion(seg, rlen, seg_n, &bfp);
+    for (i = 0; i < seg_n; ++i) {
+        tid[i] = seg[i].tid; is_rev[i] = seg[i].is_rev;
+        score[i] = seg[i].score; ed[i] = seg[i].ed;
+        read_start[i] = seg[i].read_start; read_end[i] = seg[i].read_end;
+        ref_start[i] = seg[i].ref_start; ref_end[i] = seg[i].ref_end;
+    }
+    bam_seg_free(seg, seg_n);
+    return ret;
+}
+
+int32_t o_check_with_exist1(int32_t tid1, int32_t rs1, int32_t re1,
+                            int32_t fs1, int32_t fe1,
+                            int32_t tid2, int32_t rs2, int32_t re2,
+                            int32_t fs2, int32_t fe2,
+                            double ovlp_frac, int32_t dis)
+{
+    bam_seg_t s1, s2;
+    memset(&s1, 0, sizeof(s1)); memset(&s2, 0, sizeof(s2));
+    s1.tid = tid1; s1.read_start = rs1; s1.read_end = re1;
+    s1.ref_start = fs1; s1.ref_end = fe1;
+    s2.tid = tid2; s2.read_start = rs2; s2.read_end = re2;
+    s2.ref_start = fs2; s2.ref_end = fe2;
+    bam_fusion_para bfp;
+    memset(&bfp, 0, sizeof(bfp));
+    bfp.ovlp_frac = (float)ovlp_frac; bfp.dis = dis;
+    return check_with_exist1(&s1, &s2, &bfp);
+}

@@ -52,7 +52,10 @@ _SPLIT_LINE = 'sprintf(t->trans_id, "%s.split.%d", bam_t->trans_id, trans_i);'
 _SPLIT_FIX = ('set_trans_name(t, NULL, NULL, NULL, NULL); '
               'sprintf(t->trans_id, "%s.split.%d", bam_t->trans_id, trans_i);')
 
-_SOURCES = ["update_gtf.c", "gtf.c", "utils.c"]
+_SOURCES = ["update_gtf.c", "gtf.c", "utils.c", "parse_bam.c", "bam2gtf.c",
+            "bam_fusion.c", "kstring.c"]
+_HEADERS = ["gtf.h", "update_gtf.h", "utils.h", "parse_bam.h", "bam2gtf.h",
+            "bam_fusion.h", "kseq.h", "kstring.h"]
 
 STATE_FIELDS = ["full", "lfull", "lnoth", "rfull", "rnoth", "known",
                 "has_known_site", "has_unreliable_junction", "partial_read"]
@@ -60,7 +63,7 @@ STATE_FIELDS = ["full", "lfull", "lnoth", "rfull", "rnoth", "known",
 
 def _build_key() -> str:
     h = hashlib.sha256()
-    for src in _SOURCES + ["gtf.h", "update_gtf.h", "utils.h"]:
+    for src in _SOURCES + _HEADERS:
         h.update((REF_SRC / src).read_bytes())
     h.update((STUB_DIR / "shim.c").read_bytes())
     h.update((STUB_DIR / "htslib" / "sam.h").read_bytes())
@@ -70,8 +73,10 @@ def _build_key() -> str:
 def _compile(out: Path, update_gtf_src: Path) -> None:
     cmd = [
         "gcc", "-shared", "-fPIC", "-O1", "-g", "-w",
-        "-I", str(STUB_DIR), "-I", str(REF_SRC),
-        str(update_gtf_src), str(REF_SRC / "gtf.c"), str(REF_SRC / "utils.c"),
+        "-I", str(STUB_DIR), "-I", str(STUB_DIR / "htslib"),
+        "-I", str(REF_SRC),
+        str(update_gtf_src),
+        *[str(REF_SRC / s) for s in _SOURCES[1:]],
         str(STUB_DIR / "shim.c"),
         "-o", str(out), "-lz", "-lm", "-Wl,--no-undefined",
     ]
@@ -257,6 +262,15 @@ class Oracle:
             "o_merge_trans": ([v, v, i, i, i, d], i),
             "o_split_trans": ([v], v),
             "o_check_trans": ([v, v, v, i, v, v, v, v, v], None),
+            "o_mk_bam": ([i, i, i, v, i, ctypes.c_char_p, i, i], v),
+            "o_free_bam": ([v], None),
+            "o_gen_trans": ([v, i, i, i], v),
+            "o_intr_deri_str": ([v, i, i, i, i, v], i),
+            "o_gen_sj": ([i, i, i, v, i, v, i, v, v, v, v, v, v], i),
+            "o_sj_update_group": ([v, v, v, v, v, v, v, i,
+                                   v, v, v, v, v, v, v], i),
+            "o_check_fusion": ([v, v, v, v, v, v, v, v, i, i, d, d, d, i], i),
+            "o_check_with_exist1": ([i, i, i, i, i, i, i, i, i, i, d, i], i),
         }
         for name, (argtypes, restype) in sig.items():
             fn = getattr(lib, name)
@@ -297,6 +311,92 @@ class Oracle:
         return self.lib.o_mk_ugp(min_sj_cnt, ss_dis, end_dis, full_level,
                                  split_trans, use_multi, force_strand,
                                  single_exon_ovlp_frac)
+
+    # --- bam2gtf / bam2sj / fusion oracle entry points ---
+    @staticmethod
+    def pack_cigar(ops) -> np.ndarray:
+        """ops: iterable of (op_char, length); op chars as in SAM."""
+        code = {c: i for i, c in enumerate("MIDNSHP=XB")}
+        return np.asarray([(ln << 4) | code[op] for op, ln in ops], np.uint32)
+
+    def mk_bam(self, tid: int, pos0: int, flag: int, ops, qname: str = "q",
+               xs: str = "", nh: int = -1):
+        cig = self.pack_cigar(ops)
+        return self.lib.o_mk_bam(tid, pos0, flag, _p(cig), len(cig),
+                                 qname.encode(), ord(xs) if xs else 0, nh)
+
+    def gen_trans(self, bam_ptr, exon_min=3, intron_len=3, deletion_max=50):
+        ptr = self.lib.o_gen_trans(bam_ptr, exon_min, intron_len,
+                                   deletion_max)
+        return Trans(self, ptr, anno=True)  # exon-only: free exons
+
+    @staticmethod
+    def _genome_arr(seqs):
+        arr = (ctypes.c_char_p * len(seqs))(*[s.encode() for s in seqs])
+        return arr
+
+    def intr_deri_str(self, seqs, tid, start, end):
+        motif = np.zeros(1, np.uint8)
+        strand = self.lib.o_intr_deri_str(self._genome_arr(seqs), len(seqs),
+                                          tid, start, end, _p(motif))
+        return strand, int(motif[0])
+
+    def gen_sj(self, is_uniq, tid, start1, ops, seqs):
+        cig = self.pack_cigar(ops)
+        cap = max(len(cig), 1)
+        don = np.zeros(cap, np.int32)
+        acc = np.zeros(cap, np.int32)
+        strand = np.zeros(cap, np.uint8)
+        motif = np.zeros(cap, np.uint8)
+        uniq = np.zeros(cap, np.int32)
+        multi = np.zeros(cap, np.int32)
+        n = self.lib.o_gen_sj(is_uniq, tid, start1, _p(cig), len(cig),
+                              self._genome_arr(seqs), len(seqs),
+                              _p(don), _p(acc), _p(strand), _p(motif),
+                              _p(uniq), _p(multi))
+        return [dict(don=int(don[i]), acc=int(acc[i]), strand=int(strand[i]),
+                     motif=int(motif[i]), uniq_c=int(uniq[i]),
+                     multi_c=int(multi[i])) for i in range(n)]
+
+    def sj_update_group(self, rows):
+        """rows: (tid, don, acc, strand, motif, uniq_c, multi_c) per record."""
+        a = np.asarray(rows, np.int64).reshape(-1, 7)
+        n = len(a)
+        tid, don, acc = (np.ascontiguousarray(a[:, k], np.int32)
+                         for k in (0, 1, 2))
+        strand, motif = (np.ascontiguousarray(a[:, k], np.uint8)
+                         for k in (3, 4))
+        uniq, multi = (np.ascontiguousarray(a[:, k], np.int32)
+                       for k in (5, 6))
+        cap = max(n, 1)
+        ot, od, oa = (np.zeros(cap, np.int32) for _ in range(3))
+        os_, om = (np.zeros(cap, np.uint8) for _ in range(2))
+        ou, omu = (np.zeros(cap, np.int32) for _ in range(2))
+        m = self.lib.o_sj_update_group(
+            _p(tid), _p(don), _p(acc), _p(strand), _p(motif), _p(uniq),
+            _p(multi), n, _p(ot), _p(od), _p(oa), _p(os_), _p(om), _p(ou),
+            _p(omu))
+        return [dict(tid=int(ot[i]), don=int(od[i]), acc=int(oa[i]),
+                     strand=int(os_[i]), motif=int(om[i]),
+                     uniq_c=int(ou[i]), multi_c=int(omu[i]))
+                for i in range(m)]
+
+    def check_fusion(self, segs, rlen, ovlp_frac=0.1, each_cov=0.1,
+                     all_cov=0.99, dis=100000):
+        """segs: dicts with tid,is_rev,score,ed,read_start,read_end,
+        ref_start,ref_end.  Returns (ret, selected segments post-sort)."""
+        n = len(segs)
+        cols = {}
+        for k in ("tid", "is_rev", "score", "ed", "read_start", "read_end",
+                  "ref_start", "ref_end"):
+            cols[k] = np.asarray([s[k] for s in segs], np.int32)
+        ret = self.lib.o_check_fusion(
+            *[_p(cols[k]) for k in ("tid", "is_rev", "score", "ed",
+                                    "read_start", "read_end", "ref_start",
+                                    "ref_end")],
+            n, rlen, ovlp_frac, each_cov, all_cov, dis)
+        out = [dict((k, int(cols[k][i])) for k in cols) for i in range(n)]
+        return ret, out
 
 
 _cache: dict = {}

@@ -23,8 +23,11 @@ import pytest
 
 import reforacle
 
+from lr2rmats_tpu.io.sam import AlnRec
 from lr2rmats_tpu.io.sj import SJTable
+from lr2rmats_tpu.junctions import bam2sj as b2s
 from lr2rmats_tpu.transcript import classify as cl
+from lr2rmats_tpu.transcript import exon_chain, fusion
 from lr2rmats_tpu.transcript.merge import merge_trans
 from lr2rmats_tpu.transcript.model import Transcripts, UpdateGtfParams
 
@@ -556,3 +559,199 @@ def test_split_fragment_header_quirk_adjudicated():
     got = cl.split_trans(bT, 0)
     assert got.n == 2
     assert (int(got.tid[0]), int(got.start[0]), int(got.end[0])) == (1, 100, 400)
+
+
+# --------------------------------------- bam2gtf / bam2sj / fusion oracles
+
+def _rand_cigar(rng, clips=True):
+    ops = []
+    if clips and rng.random() < 0.3:
+        ops.append(("S", int(rng.integers(1, 50))))
+    n_blocks = int(rng.integers(1, 6))
+    for b in range(n_blocks):
+        if b > 0:
+            k = rng.random()
+            if k < 0.5:
+                ops.append(("N", int(rng.integers(1, 200))))
+            elif k < 0.8:
+                ops.append(("D", int(rng.integers(1, 120))))
+            else:
+                ops.append(("I", int(rng.integers(1, 20))))
+        ops.append(("M", int(rng.integers(1, 120))))
+    if clips and rng.random() < 0.3:
+        ops.append(("S", int(rng.integers(1, 50))))
+    return ops
+
+
+def test_gen_exons_fuzz():
+    """CIGAR -> exon chain vs reference gen_trans/gen_exon
+    (bam2gtf.c:31-87), incl. XS-tag strand adoption."""
+    o = reforacle.get_oracle("exact")
+    rng = np.random.default_rng(37)
+    for it in range(500):
+        ops = _rand_cigar(rng)
+        pos0 = int(rng.integers(0, 500))
+        flag = 16 if rng.random() < 0.5 else 0
+        xs = ["", "+", "-"][int(rng.integers(0, 3))]
+        me, mi, md = (int(rng.integers(1, 10)), int(rng.integers(1, 30)),
+                      int(rng.integers(10, 120)))
+        b = o.mk_bam(0, pos0, flag, ops, xs=xs)
+        ot = o.gen_trans(b, exon_min=me, intron_len=mi, deletion_max=md)
+        os_, oe = ot.exons()
+        ot.free(); o.lib.o_free_bam(b)
+
+        tags = {"XS": xs} if xs else {}
+        rec = AlnRec(qname="q", flag=flag, tid=0, pos=pos0,
+                     cigar=reforacle.Oracle.pack_cigar(ops), tags=tags)
+        rs, re, is_rev = exon_chain.gen_exons(rec, me, mi, md)
+        ctx = f"iter {it}: {ops} pos {pos0} me={me} mi={mi} md={md} xs={xs!r}"
+        np.testing.assert_array_equal(os_, rs, err_msg=ctx)
+        np.testing.assert_array_equal(oe, re, err_msg=ctx)
+        want_rev = (xs != "+") if xs else bool(flag & 16)
+        assert bool(is_rev) == want_rev, ctx
+
+
+class _FakeGenome:
+    """Duck-typed Genome: .get(tid) -> A=0 C=1 G=2 T=3 codes."""
+
+    _LUT = np.full(256, 4, np.uint8)
+    for _i, _c in enumerate(b"ACGT"):
+        _LUT[_c] = _i
+
+    def __init__(self, seqs):
+        self.seqs = seqs
+        self._codes = [self._LUT[np.frombuffer(s.encode(), np.uint8)]
+                       for s in seqs]
+
+    def get(self, tid):
+        return self._codes[tid]
+
+
+def _rand_genome(rng, n):
+    return "".join("ACGT"[int(c)] for c in rng.integers(0, 4, size=n))
+
+
+def test_intron_motif_fuzz():
+    """Donor/acceptor motif table vs reference intr_deri_str
+    (parse_bam.c:319-337), with planted canonical motifs."""
+    o = reforacle.get_oracle("exact")
+    rng = np.random.default_rng(41)
+    motifs = ["GTAG", "CTAC", "GCAG", "CTGC", "ATAC", "GTAT"]
+    for it in range(400):
+        g = list(_rand_genome(rng, 300))
+        start = int(rng.integers(1, 200))
+        end = start + int(rng.integers(3, 80))
+        if rng.random() < 0.7:  # plant a motif
+            m = motifs[int(rng.integers(0, 6))]
+            g[start - 1], g[start] = m[0], m[1]
+            g[end - 2], g[end - 1] = m[2], m[3]
+        gs = "".join(g)
+        want_strand, want_motif = o.intr_deri_str([gs], 0, start, end)
+        got_strand, got_motif = b2s.intron_motif_of(_FakeGenome([gs]), 0,
+                                                    start, end)
+        assert (want_strand, want_motif) == (got_strand, got_motif), \
+            f"iter {it}: intron {start}-{end} {gs[start-1:start+1]}.." \
+            f"{gs[end-2:end]} want {(want_strand, want_motif)} " \
+            f"got {(got_strand, got_motif)}"
+
+
+def test_bam2sj_stream_fuzz():
+    """gen_sj + sj_update_group over a record stream vs the repo's
+    bam2sj_records (reference parse_bam.c:353-442, 896-924).  The unmap/
+    NH/proper-pair gates (bam2sj_core) are replicated record-wise here;
+    junction extraction and table accumulation run through the compiled
+    reference."""
+    o = reforacle.get_oracle("exact")
+    rng = np.random.default_rng(43)
+    for it in range(60):
+        genomes = [_rand_genome(rng, 3000), _rand_genome(rng, 3000)]
+        fake = _FakeGenome(genomes)
+        recs = []
+        for _ in range(int(rng.integers(3, 20))):
+            ops = _rand_cigar(rng)
+            # bound ref extent to the genome
+            rlen = sum(l for op, l in ops if op in "MDN")
+            if rlen >= 2900:
+                continue
+            pos0 = int(rng.integers(0, 2900 - rlen))
+            tid = int(rng.integers(0, 2))
+            flag = (2 if rng.random() < 0.8 else 0) | \
+                   (4 if rng.random() < 0.1 else 0)
+            nh = 1 if rng.random() < 0.7 else 2
+            recs.append((tid, pos0, flag, ops, nh))
+        recs.sort(key=lambda r: (r[0], r[1]))
+
+        # oracle: replicate bam2sj_core gating, junctions via compiled C
+        rows = []
+        for tid, pos0, flag, ops, nh in recs:
+            if flag & 4:
+                continue
+            if not (flag & 2):  # read_type == PAIR_T default
+                continue
+            uniq = 1 if nh == 1 else 0
+            for sj in o.gen_sj(uniq, tid, pos0 + 1, ops, genomes):
+                rows.append((tid, sj["don"], sj["acc"], sj["strand"],
+                             sj["motif"], sj["uniq_c"], sj["multi_c"]))
+        want = o.sj_update_group(rows) if rows else []
+
+        got = b2s.bam2sj_records(
+            (AlnRec(qname="q", flag=flag, tid=tid, pos=pos0,
+                    cigar=reforacle.Oracle.pack_cigar(ops),
+                    tags={"NH": nh})
+             for tid, pos0, flag, ops, nh in recs),
+            fake, min_intron=3, require_proper_pair=True, use_multi=True)
+
+        ctx = f"iter {it}"
+        assert len(want) == got.n, f"{ctx}: {len(want)} vs {got.n}"
+        for k, w in enumerate(want):
+            for fld in ("tid", "don", "acc", "strand", "motif", "uniq_c",
+                        "multi_c"):
+                assert w[fld] == int(getattr(got, fld)[k]), \
+                    f"{ctx} row {k} field {fld}: {w} vs repo"
+
+
+def test_check_fusion_fuzz():
+    """Greedy fusion segment selection vs reference check_fusion /
+    check_with_exist1 / bam_seg_cov (bam_fusion.c:67-129)."""
+    o = reforacle.get_oracle("exact")
+    rng = np.random.default_rng(47)
+    for it in range(400):
+        rlen = int(rng.integers(100, 1000))
+        n = int(rng.integers(1, 7))
+        segs = []
+        keys = set()
+        for _ in range(n):
+            while True:
+                score, ed = int(rng.integers(0, 500)), int(rng.integers(0, 40))
+                if (score, ed) not in keys:  # qsort order must be unique
+                    keys.add((score, ed))
+                    break
+            rs = int(rng.integers(1, rlen))
+            re_ = int(rng.integers(rs, rlen + 1))
+            fs = int(rng.integers(1, 100000))
+            fe = fs + (re_ - rs)
+            segs.append(dict(tid=int(rng.integers(0, 2)),
+                             is_rev=int(rng.integers(0, 2)), score=score,
+                             ed=ed, read_start=rs, read_end=re_,
+                             ref_start=fs, ref_end=fe))
+        p = fusion.FusionParams(ovlp_frac=0.34, each_cov=0.15, all_cov=0.75,
+                                dis=int(rng.integers(1, 50000)))
+        want_n, want_segs = o.check_fusion(
+            segs, rlen, ovlp_frac=p.ovlp_frac, each_cov=p.each_cov,
+            all_cov=p.all_cov, dis=p.dis)
+
+        rsegs = [fusion.Seg(s["tid"], bool(s["is_rev"]), s["score"], s["ed"],
+                            s["read_start"], s["read_end"], s["ref_start"],
+                            s["ref_end"], None) for s in segs]
+        got = fusion.check_fusion(rsegs, rlen, p)
+        ctx = f"iter {it}: rlen={rlen} segs={segs} dis={p.dis}"
+        if want_n < 0:
+            assert got is None, ctx
+        else:
+            assert got is not None and len(got) == want_n, ctx
+            for k in range(want_n):
+                w, g = want_segs[k], got[k]
+                assert (w["tid"], w["read_start"], w["read_end"],
+                        w["ref_start"], w["ref_end"], w["score"], w["ed"]) == \
+                    (g.tid, g.read_start, g.read_end, g.ref_start, g.ref_end,
+                     g.score, g.ed), f"{ctx} pick {k}"
