@@ -1323,11 +1323,15 @@ class BatchAligner:
             t0 = _time.perf_counter()
             d0w, d0c = _pdev["wall_s"], _pdev["calls"]
             n = polish_batch(rb, self.inner.genome.codes,
-                             self.index.chrom_offsets)
+                             self.index.chrom_offsets,
+                             host_dp=self.backend == "host")
+            dw = _pdev["wall_s"] - d0w
+            # the placement DP's link wall is device time, not host time:
+            # count it under device_wall_s and exclude it from polish_s so
+            # phase walls stay additive
             self.stats["polish_s"] = (self.stats.get("polish_s", 0.0) +
-                                      _time.perf_counter() - t0)
-            # the placement DP's link wall is device time, not host time
-            self.stats["device_wall_s"] += _pdev["wall_s"] - d0w
+                                      (_time.perf_counter() - t0) - dw)
+            self.stats["device_wall_s"] += dw
             self.stats["device_calls"] += _pdev["calls"] - d0c
             if n:
                 log("align", "junction consensus polish: %d re-placed", n)

@@ -352,12 +352,16 @@ _PLACE_G = 256            # lane padding quantum
 
 # wall spent blocked on the accelerator link by the placement DP (the jit
 # call + device_get below); BatchAligner folds deltas into its stats so
-# bench's device_wall_s/device_calls cover polish, not just chaining
+# bench's device_wall_s/device_calls cover polish, not just chaining.
+# Shared module-level state: the before/after delta in batch.py assumes
+# polish runs on the MAIN THREAD of one aligner at a time (true today —
+# polish_batch is called serially from align_seqset_packed); concurrent
+# polishers would need a per-aligner sink instead.
 device_stats = {"wall_s": 0.0, "calls": 0}
 
 
-def _constrained_place_many(items: List[tuple], ref: np.ndarray
-                            ) -> List[Optional[tuple]]:
+def _constrained_place_many(items: List[tuple], ref: np.ndarray,
+                            host_dp: bool = False) -> List[Optional[tuple]]:
     """_constrained_place for a list of (qwin, L0, R0, don, acc) tasks.
 
     The two banded shift-DPs — polish's host hot spot (~2 ms/task) — run
@@ -382,7 +386,7 @@ def _constrained_place_many(items: List[tuple], ref: np.ndarray
     if not todo:
         return out
     import os
-    if os.environ.get("LR2RMATS_POLISH_HOST_DP"):
+    if host_dp or os.environ.get("LR2RMATS_POLISH_HOST_DP"):
         for t in todo:
             qwin, L0, R0, don, acc = items[t]
             out[t] = _constrained_place(qwin, ref, L0, R0, don, acc)
@@ -565,12 +569,15 @@ def _resolve_weight_ties(rb: RecordBatch, jt: dict, holders,
 
 def polish_batch(rb: RecordBatch, genome_codes: np.ndarray,
                  chrom_offsets: np.ndarray,
-                 changed_out: Optional[list] = None) -> int:
+                 changed_out: Optional[list] = None,
+                 host_dp: bool = False) -> int:
     """Snap near-miss junctions to their cross-read consensus placement.
 
     Mutates the batch in place (CIGAR + NM/AS arrays); returns the number
     of junctions re-placed.  `changed_out` collects changed record
-    indices for callers that mirror results elsewhere."""
+    indices for callers that mirror results elsewhere.  `host_dp=True`
+    keeps the placement DP on the host (bit-identical; used by the host
+    aligner backend so 'device' stats keep meaning relay/TPU time)."""
     import os
     jt = _junction_table(rb)
     if not len(jt["j"]):
@@ -612,8 +619,8 @@ def polish_batch(rb: RecordBatch, genome_codes: np.ndarray,
             qwin = q[q0: q1]
             batch_ctx[ri] = (ops2, op_i2, q0, r0, lo, hi, q1, r1, q)
             items.append((qwin, off + r0, off + r1, off + wd, off + wa))
-        for ri, res in zip(singles, _constrained_place_many(items,
-                                                            genome_codes)):
+        for ri, res in zip(singles, _constrained_place_many(
+                items, genome_codes, host_dp=host_dp)):
             batch_place[ri] = res
     for ri in sorted(by_rec):
         todo = sorted(by_rec[ri])
