@@ -537,6 +537,102 @@ def split_trans(bam_T: Transcripts, bi: int) -> Transcripts:
     return out
 
 
+def split_trans_many(bam_T: Transcripts, idx: np.ndarray
+                     ) -> Tuple[Transcripts, np.ndarray]:
+    """Vectorized split_trans over many reads (semantics identical to the
+    per-read path; reference update_gtf.c:837-913).  Returns (frag_T,
+    frag_of): fragments grouped by read in read order, frag_of[k] = the
+    position in `idx` of fragment k's source read.  Fragment naming
+    matches split_trans (`<id>.split.<t>`, t per-read ordinal)."""
+    from ..native import get_lib
+    lib = get_lib()
+    idx = np.ascontiguousarray(idx, np.int64)
+    m = len(idx)
+    out = Transcripts()
+    if m == 0:
+        return out, np.zeros(0, np.int64)
+    stride = max(int(bam_T.exon_n[idx].max()), 1)
+    lo = np.zeros(m * stride, np.int32)
+    hi = np.zeros(m * stride, np.int32)
+    nf = np.zeros(m, np.int32)
+    if lib is not None:
+        lib.split_trans_batch_c(
+            bam_T.exon_n.ctypes.data,
+            bam_T.novel_junction_flag.ctypes.data,
+            bam_T.novel_junction_flag.shape[1],
+            bam_T.unreliable_junction_flag.ctypes.data,
+            bam_T.unreliable_junction_flag.shape[1],
+            idx.ctypes.data, m,
+            lo.ctypes.data, hi.ctypes.data, stride, nf.ctypes.data)
+    else:
+        for t, bi in enumerate(idx.tolist()):
+            for k, (l, h) in enumerate(_split_ranges(bam_T, int(bi))):
+                lo[t * stride + k] = l
+                hi[t * stride + k] = h
+                nf[t] += 1
+    total = int(nf.sum())
+    frag_of = np.repeat(np.arange(m, dtype=np.int64), nf)
+    if total == 0:
+        return out, frag_of
+    # flatten the per-read (lo, hi) slots into fragment rows
+    slot = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(nf)[:-1]]).astype(np.int64), nf)
+    flat = frag_of * stride + slot
+    flo = lo[flat].astype(np.int64)
+    fhi = hi[flat].astype(np.int64)
+    fbi = idx[frag_of]
+    lens = fhi - flo + 1
+    E = int(lens.max())
+    cols = np.arange(E, dtype=np.int64)
+    src = np.minimum(flo[:, None] + cols[None, :],
+                     fhi[:, None])                       # clamp to hi
+    valid = cols[None, :] < lens[:, None]
+    es = np.where(valid, bam_T.exon_start[fbi[:, None], src], 0)
+    ee = np.where(valid, bam_T.exon_end[fbi[:, None], src], 0)
+    out._grow_rows(total)
+    out._grow_exons(E)
+    sl = slice(0, total)
+    out.exon_start[sl, :E] = es
+    out.exon_end[sl, :E] = ee
+    out.exon_n[sl] = lens
+    out.tid[sl] = bam_T.tid[fbi]
+    out.is_rev[sl] = bam_T.is_rev[fbi]
+    out.start[sl] = es[:, 0]
+    out.end[sl] = ee[np.arange(total), lens - 1]
+    out.cov[sl] = 1
+    # flags: full=0, lnoth/rnoth=1, partial_read=1 (update_gtf.c:855-856)
+    out.flags["lnoth"][sl] = True
+    out.flags["rnoth"][sl] = True
+    out.flags["partial_read"][sl] = True
+    # novelty slices: exon flags [lo, hi], site/junction flags [lo, hi)
+    out.novel_exon_flag[sl, :E] = np.where(
+        valid, bam_T.novel_exon_flag[fbi[:, None], src], 0)
+    jcols = np.arange(max(E - 1, 1), dtype=np.int64)
+    jvalid = jcols[None, :] < (lens - 1)[:, None]
+    jsrc = np.minimum(flo[:, None] + jcols[None, :],
+                      np.maximum(fhi - 1, flo)[:, None])
+    out.novel_junction_flag[sl, : max(E - 1, 1)] = np.where(
+        jvalid, bam_T.novel_junction_flag[fbi[:, None], jsrc], 0)
+    out.unreliable_junction_flag[sl, : max(E - 1, 1)] = 0
+    ns = np.where(jvalid, bam_T.novel_site_flag[fbi[:, None], jsrc * 2], 0)
+    na = np.where(jvalid,
+                  bam_T.novel_site_flag[fbi[:, None], jsrc * 2 + 1], 0)
+    site = np.empty((total, 2 * max(E - 1, 1)), np.uint8)
+    site[:, 0::2] = ns
+    site[:, 1::2] = na
+    out.novel_site_flag[sl, : 2 * max(E - 1, 1)] = site
+    # names: per-read fragment ordinal
+    for k in range(total):
+        bi = int(fbi[k])
+        t = int(slot[k])
+        out.gene_id.append(bam_T.gene_id[bi])
+        out.gene_name.append(bam_T.gene_name[bi])
+        out.trans_id.append(f"{bam_T.trans_id[bi]}.split.{t}")
+        out.trans_name.append(f"{bam_T.trans_name[bi]}.split.{t}")
+    out.n = total
+    return out, frag_of
+
+
 def classify_batch_native(bam_T: Transcripts, anno_T: Transcripts,
                           ugp: UpdateGtfParams):
     """Run the whole check_with_anno_trans sweep in one native call
@@ -650,18 +746,52 @@ def check_trans(bam_T: Transcripts, anno_T: Transcripts, sj: SJTable,
             run_idx.extend(has_idx[supported].tolist())
             _flush(bam_T)
             return
-        # -s: unsupported reads split in place; flushes keep novel_T /
-        # updated_T in exact read order (fragments interleave)
-        for t, bi in enumerate(has_idx.tolist()):
-            if supported[t]:
-                run_idx.append(bi)
-                continue
+        # -s: unsupported reads split in place; novel_T / updated_T keep
+        # exact read order (fragments interleave at their read position).
+        # All fragments materialize in ONE vectorized pass and the whole
+        # interleaved candidate sequence goes through ONE append + ONE
+        # sequential native merge — the per-read flush loop cost ~60 us
+        # per read at 100k novels/sample (see tests/test_classify_batch.py
+        # ordering pins)
+        from ..native import get_lib
+        if get_lib() is None:
+            for t, bi in enumerate(has_idx.tolist()):
+                if supported[t]:
+                    run_idx.append(bi)
+                    continue
+                _flush(bam_T)
+                split_T = split_trans(bam_T, bi)
+                if split_T.n:
+                    run_idx.extend(range(split_T.n))
+                    _flush(split_T)
             _flush(bam_T)
-            split_T = split_trans(bam_T, bi)
-            if split_T.n:
-                run_idx.extend(range(split_T.n))
-                _flush(split_T)
-        _flush(bam_T)
+            return
+        unsup_pos = np.nonzero(~supported)[0]
+        frag_T, frag_of = split_trans_many(bam_T, has_idx[unsup_pos])
+        n_sup = int(np.count_nonzero(supported))
+        scratch = Transcripts()
+        scratch.append_many(bam_T, has_idx[supported])     # S rows [0, n_sup)
+        scratch.append_many(frag_T, np.arange(frag_T.n))
+        # interleaved order over has_idx: 1 slot per supported read,
+        # nf slots per unsupported read
+        counts = supported.astype(np.int64).copy()
+        nf = np.bincount(frag_of, minlength=len(unsup_pos)).astype(np.int64)
+        counts[unsup_pos] = nf
+        starts = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        perm = np.empty(starts[-1], np.int64)
+        sup_rank = np.cumsum(supported) - 1
+        perm[starts[:-1][supported]] = sup_rank[supported]
+        if frag_T.n:
+            fstart = np.zeros(len(unsup_pos) + 1, np.int64)
+            np.cumsum(nf, out=fstart[1:])
+            pos = (np.repeat(starts[:-1][unsup_pos], nf) +
+                   np.arange(frag_T.n) - np.repeat(fstart[:-1], nf))
+            perm[pos] = n_sup + np.arange(frag_T.n)
+        cand = Transcripts()
+        cand.append_many(scratch, perm)
+        run_idx.extend(range(cand.n))
+        _flush(cand)
         return
     last_anno_i = 0
     last_sj_i = 0
