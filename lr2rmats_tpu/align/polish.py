@@ -394,12 +394,16 @@ def _constrained_place_many(items: List[tuple], ref: np.ndarray,
     import jax
     M = _PLACE_M
     G = -(-len(todo) // _PLACE_G) * _PLACE_G
-    PAD = np.int32(-9)
-    q = np.full((M, G), PAD, np.int32)
-    qr = np.full((M, G), PAD, np.int32)
-    lwin = np.full((M + B, G), PAD, np.int32)
-    rwin = np.full((M + B, G), PAD, np.int32)
+    # int8 lanes: genome/read codes are 0..4 and PAD=-9, so the H2D
+    # payload is 4x smaller than int32 (the relay charges ~35 ms/MB)
+    PAD = np.int8(-9)
+    q = np.full((M, G), PAD, np.int8)
+    qr = np.full((M, G), PAD, np.int8)
+    lwin = np.full((M + B, G), PAD, np.int8)
+    rwin = np.full((M + B, G), PAD, np.int8)
     m_arr = np.zeros(G, np.int32)
+    dl_arr = np.zeros(G, np.int32)
+    dr_arr = np.zeros(G, np.int32)
     for g, t in enumerate(todo):
         qwin, L0, R0, don, acc = items[t]
         m = len(qwin)
@@ -409,25 +413,25 @@ def _constrained_place_many(items: List[tuple], ref: np.ndarray,
         lwin[:side, g] = ref[L0: L0 + side]
         rwin[:side, g] = ref[R0 - side: R0][::-1]
         m_arr[g] = m
+        dl_arr[g] = don - L0
+        dr_arr[g] = R0 - 1 - acc
     import time as _time
     _t0 = _time.perf_counter()
-    SL, SR = jax.device_get(_polish_dp_pair(
+    # only the per-lane best split SCORE comes back (the full [M+1, W, G]
+    # matrices were ~6.7 MB D2H per call over the relay); the handful of
+    # ACCEPTED placements re-run the ~2 ms host DP for the traceback in
+    # polish_batch.  Scores are integer-valued, so f32 == host f64 exactly.
+    best = np.asarray(jax.device_get(_polish_best_pair(
         jax.numpy.asarray(q), jax.numpy.asarray(qr),
         jax.numpy.asarray(lwin), jax.numpy.asarray(rwin),
-        jax.numpy.asarray(m_arr)))
+        jax.numpy.asarray(m_arr), jax.numpy.asarray(dl_arr),
+        jax.numpy.asarray(dr_arr))), np.float64)
     device_stats["wall_s"] += _time.perf_counter() - _t0
     device_stats["calls"] += 1
-    SL = SL.astype(np.float64)
-    SR = SR.astype(np.float64)
     for g, t in enumerate(todo):
-        qwin, L0, R0, don, acc = items[t]
-        m = len(qwin)
-        side = m + B
-        out[t] = _finish_place(
-            qwin, ref, L0, acc,
-            SL[: m + 1, :, g], SR[: m + 1, :, g],
-            ref[L0: L0 + side], ref[R0 - side: R0][::-1],
-            m, don - L0, R0 - 1 - acc)
+        # host split-choice loop requires sc > NEG/2 to accept any j; the
+        # device max over the same sums preserves that exactly
+        out[t] = ("defer", float(best[g])) if best[g] > NEG / 2 else None
     return out
 
 
@@ -447,6 +451,45 @@ def _polish_dp_pair(q, qr, lwin, rwin, m_arr):
                     _shift_dp_scan(qr, rwin, m_arr, B_))
         _POLISH_DP_JIT = fn
     return fn(q, qr, lwin, rwin, m_arr, B)
+
+
+def _polish_best_pair(q, qr, lwin, rwin, m_arr, dl, dr):
+    """jitted forced-placement score: both flank DPs + the best-split
+    reduction (the host loop in _finish_place) fused on device, returning
+    only [G] best scores.  Split ties are irrelevant here — only the max
+    VALUE is used; the accepted lanes re-run the host DP for the
+    traceback (bit-identical matrices, tested in tests/test_polish.py)."""
+    import functools
+    import jax
+    global _POLISH_BEST_JIT
+    try:
+        fn = _POLISH_BEST_JIT
+    except NameError:
+        from ..ops.splice_device import _shift_dp_scan
+
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("B_",))
+        def fn(q, qr, lwin, rwin, m_arr, dl, dr, B_):
+            SL = _shift_dp_scan(q, lwin, m_arr, B_)    # [M+1, W, G]
+            SR = _shift_dp_scan(qr, rwin, m_arr, B_)
+            M1, W, G = SL.shape
+            j = jnp.arange(M1, dtype=jnp.int32)[:, None]          # [M1, 1]
+            cl = dl[None, :] + B_ - j                             # [M1, G]
+            cr = dr[None, :] + B_ - (m_arr[None, :] - j)
+            okj = ((j <= m_arr[None, :]) & (cl >= 0) & (cl < W) &
+                   (cr >= 0) & (cr < W))
+            slj = jnp.take_along_axis(
+                SL, jnp.clip(cl, 0, W - 1)[:, None, :], axis=1)[:, 0, :]
+            mj = jnp.clip(m_arr[None, :] - j, 0, M1 - 1)          # [M1, G]
+            SRr = jnp.take_along_axis(
+                SR, jnp.broadcast_to(mj[:, None, :], (M1, W, G)), axis=0)
+            srj = jnp.take_along_axis(
+                SRr, jnp.clip(cr, 0, W - 1)[:, None, :], axis=1)[:, 0, :]
+            sc = jnp.where(okj, slj + srj, jnp.float32(NEG))
+            return jnp.max(sc, axis=0)                            # [G]
+        _POLISH_BEST_JIT = fn
+    return fn(q, qr, lwin, rwin, m_arr, dl, dr, B)
 
 
 def _pair_scores(pos, ops, q, op_i, don, acc, wd, wa, off,
@@ -657,7 +700,13 @@ def polish_batch(rb: RecordBatch, genome_codes: np.ndarray,
                           f"({wd},{wa}) infeasible m={q1-q0} DL={gd-L0} "
                           f"DR={R0-1-ga}")
                 continue
-            new_sc, lops, rops, new_match, new_nm = res
+            if res[0] == "defer":
+                # device returned the score only; decide acceptance first
+                # and run the ~2 ms host traceback DP just for winners
+                new_sc = res[1]
+                lops = None
+            else:
+                new_sc, lops, rops, new_match, new_nm = res
             old_sc, old_match, old_nm = _window_score(ops, lo, hi, q, q0,
                                                       genome_codes, L0)
             bonus_old = _motif_bonus(genome_codes, off + don, off + acc)[0]
@@ -673,6 +722,11 @@ def polish_batch(rb: RecordBatch, genome_codes: np.ndarray,
                       f"accept={new_sc + bonus_new >= old_sc + bonus_old - delta}")
             if new_sc + bonus_new < old_sc + bonus_old - delta:
                 continue
+            if lops is None:
+                res = _constrained_place(qwin, genome_codes, L0, R0, gd, ga)
+                if res is None:
+                    continue
+                new_sc, lops, rops, new_match, new_nm = res
             new_seg = [(op, l) for op, l in lops if l > 0]
             new_seg.append((OP_N, wa - wd + 1))
             new_seg += [(op, l) for op, l in rops if l > 0]
