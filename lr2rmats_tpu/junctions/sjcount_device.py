@@ -21,14 +21,20 @@ LR2RMATS_DEVICE_SJCOUNT=1.  Shapes are bucketed (reads to the next
 power-of-two row count, lengths to the next lane multiple) so the jit
 cache stays small across batches.
 
-Measured reality on this rig (scripts/bench_sjcount.py --backend device,
-20k pairs / 5 Mb genome, identical counts both backends): 8.3k reads/s
-on the device vs 267k host — the serialized relay link (~36 ms/call +
-~35 ms/MB, scripts/bench_device_link.py) eats the win, exactly like the
-device junction DP (ops/splice_device.py).  The host C++ path stays the
-default HERE; on direct-attached hardware the verify is ~L*C byte-ops
-against ~C*(L+8) transferred bytes, compute-rich for short-read
-L ~ 100-300.
+DEMOTED on this rig (adjudicated, VERDICT r3 item 7): measured
+scripts/bench_sjcount.py --backend device, 20k pairs / 5 Mb genome,
+identical counts both backends — 8.3k reads/s on the device vs 267k
+host; DEVICE_PARITY.json (real chip, 2026-08-18): 1743.5 ms device vs
+1.7 ms host on a 260-read verify (≥2 relay calls of ~36 ms floor +
+~35 ms/MB each against ~2 ms of host work).  The per-call batching
+lessons from the chain path are already applied here (resident genome
+buffer shipped once, ONE fused verify call per read-batch, bucketed
+shapes) — the residual is the irreducible per-call link floor, which at
+sjcount's ~0.3 ms/batch of compute can never amortize over THIS relay.
+The host C++ path is the production default; on direct-attached silicon
+the verify is ~L*C byte-ops against ~C*(L+8) transferred bytes,
+compute-rich for short-read L ~ 100-300, and this backend becomes
+viable (LR2RMATS_DEVICE_SJCOUNT=1 to enable).
 """
 
 from __future__ import annotations
