@@ -115,6 +115,9 @@ class BatchAligner:
         # perf accounting for bench: wall spent blocked on the device link,
         # anchors dispatched, device calls made
         self.stats = {"device_wall_s": 0.0, "anchors": 0, "device_calls": 0}
+        # device-chunk height multiplier; align_seqset_packed sets 2 when
+        # it auto-doubles the batch on a real accelerator (see _chunk)
+        self.chunk_scale = 1
         # extension is dominated by GIL-releasing native calls, so a small
         # thread pool pays off
         self.n_threads = n_threads if n_threads is not None else min(4, os.cpu_count() or 1)
@@ -338,6 +341,14 @@ class BatchAligner:
                      int(q_max[j]))
                 for j, i in enumerate(np.nonzero(keep)[0])]
 
+    def _chunk(self, A: int) -> int:
+        """Active device-chunk height for bucket A: the tuned CHAIN_CHUNK,
+        times the auto-batch multiplier (rounded up to 128-lane groups)."""
+        v = CHAIN_CHUNK[A]
+        if self.chunk_scale == 1:
+            return v
+        return -(-v * self.chunk_scale // 128) * 128
+
     # ------------------------------------------------------------- chaining
     def _prepare_dispatch(self, rows: List[_Row]):
         """HOST side of the chain dispatch: bucket rows, chain the small
@@ -372,7 +383,7 @@ class BatchAligner:
             # shapes trigger fresh device compiles, slow/flaky over the
             # remote relay); the native small-chain path passes B=len(part)
             if B is None:
-                B = CHAIN_CHUNK[A]
+                B = self._chunk(A)
             qp = np.zeros((B, A), np.int32)
             gp = np.zeros((B, A), np.int32)
             nn = np.zeros(B, np.int32)
@@ -429,7 +440,7 @@ class BatchAligner:
         spills = []
         for A in device_buckets:
             members = buckets.get(A, [])
-            C = CHAIN_CHUNK[A]
+            C = self._chunk(A)
             head = members[:C]
             # an empty bucket head is shed from the fused call instead of
             # shipping a full padded chunk (the 64-bucket is empty on the
@@ -493,7 +504,7 @@ class BatchAligner:
         items = []
         buckets = A_BUCKETS[1:] if get_lib() is not None else A_BUCKETS
         for A in buckets:
-            B = CHAIN_CHUNK[A]
+            B = self._chunk(A)
             qp = np.zeros((B, A), np.int32)
             qp[:, 1] = 1
             gp = np.zeros((B, A), np.int32)
@@ -1237,6 +1248,23 @@ class BatchAligner:
         from .records import RecordBatch
         if polish is None:
             polish = not os.environ.get("LR2RMATS_NO_POLISH")
+        # auto batch: on a real accelerator behind a per-call link, big
+        # inputs dispatch at 2x the batch (half the ~36 ms/call floors;
+        # measured 500k A/B: 204 s vs 223 s end-to-end).  Small inputs
+        # keep the tuned default — at only a few batches in flight the
+        # seed-ahead/build-under-wait pipelining matters more (the bench
+        # A/B at 6144 reads: 3961 r/s at 1536 vs 1023 at 3072).  Explicit
+        # LR2RMATS_BATCH always wins.
+        if (batch_size == DEFAULT_BATCH and "LR2RMATS_BATCH" not in os.environ
+                and self.backend not in ("host", "pallas")
+                and reads.n >= 64 * DEFAULT_BATCH):
+            import jax
+            if jax.devices()[0].platform != "cpu":
+                batch_size = 2 * DEFAULT_BATCH
+                self.chunk_scale = 2
+
+        import threading
+        stats_lock = threading.Lock()
 
         def _seed(lo: int, hi: int):
             names = [reads.names[i] for i in range(lo, hi)]
@@ -1246,12 +1274,11 @@ class BatchAligner:
             # packing + native small-chain run here on the worker too, so
             # the main thread's dispatch is device-put + jit call only
             prep = self._prepare_dispatch(rows)
-            st = self.stats
-            st["seed_s"] = st.get("seed_s", 0.0) + _time.perf_counter() - t0
+            with stats_lock:        # seed workers > 1: lost-update guard
+                st = self.stats
+                st["seed_s"] = (st.get("seed_s", 0.0) +
+                                _time.perf_counter() - t0)
             return names, codes, rows, prep
-
-        import threading
-        stats_lock = threading.Lock()
 
         def _build(names, codes, rows, chained):
             t0 = _time.perf_counter()
@@ -1282,10 +1309,20 @@ class BatchAligner:
             def result(self):
                 return self._v
 
+        # seeding is the longest single-thread lane at 500k scale; extra
+        # seed workers are SAFE (all _seed work is batch-local, the index
+        # is read-only, and the seed_futs deque keeps batch order) but on
+        # THIS 4-core host they lose: measured 500k A/B with 2 workers —
+        # seed 95.5 -> 118.9 s and the starved relay client's device wait
+        # 56 -> 217 s (the native kernels already use every core).  Default
+        # 1 here; raise LR2RMATS_SEED_WORKERS on hosts with spare cores.
+        n_seed = max(int(os.environ.get("LR2RMATS_SEED_WORKERS", "1")), 1)
         if spans:
-            with ThreadPoolExecutor(1) as seed_pool, \
+            with ThreadPoolExecutor(n_seed) as seed_pool, \
                     ThreadPoolExecutor(max(n_build, 1)) as build_pool:
-                fut = seed_pool.submit(_seed, *spans[0])
+                seed_futs = deque(
+                    seed_pool.submit(_seed, *spans[i])
+                    for i in range(min(n_seed, len(spans))))
 
                 def _finish_one():
                     names, codes, rows, pending = inflight.popleft()
@@ -1304,9 +1341,10 @@ class BatchAligner:
                             _build, names, codes, rows, chained))
 
                 for si in range(len(spans)):
-                    names, codes, rows, prep = fut.result()
-                    if si + 1 < len(spans):
-                        fut = seed_pool.submit(_seed, *spans[si + 1])
+                    names, codes, rows, prep = seed_futs.popleft().result()
+                    nxt = si + len(seed_futs) + 1
+                    if nxt < len(spans):
+                        seed_futs.append(seed_pool.submit(_seed, *spans[nxt]))
                     t1 = _time.perf_counter()
                     pending = self._chain_rows_async(rows, prep)
                     st = self.stats

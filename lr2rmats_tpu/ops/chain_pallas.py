@@ -97,14 +97,15 @@ def _kernel(qpos_ref, rpos_ref, n_ref, f_out_ref, parent_ref, f_ref, *, W, k,
 
 @functools.partial(jax.jit, static_argnames=(
     "W", "k", "max_qgap", "max_intron", "gap_open", "gap_scale",
-    "intron_scale", "min_intron_gap", "interpret"))
+    "intron_scale", "min_intron_gap", "interpret", "lane_block"))
 def _chain_pallas(qpos_pad, rpos_pad, n_anchor, W: int, k: int,
                   max_qgap: int, max_intron: int, gap_open: float,
                   gap_scale: float, intron_scale: float,
-                  min_intron_gap: int, interpret: bool = False):
+                  min_intron_gap: int, interpret: bool = False,
+                  lane_block: int = LANE_BLOCK):
     AW, B = qpos_pad.shape
     A = AW - W
-    grid = (B // LANE_BLOCK,)
+    grid = (B // lane_block,)
     kern = functools.partial(
         _kernel, W=W, k=k, max_qgap=max_qgap, max_intron=max_intron,
         gap_open=gap_open, gap_scale=gap_scale, intron_scale=intron_scale,
@@ -113,19 +114,19 @@ def _chain_pallas(qpos_pad, rpos_pad, n_anchor, W: int, k: int,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((AW, LANE_BLOCK), lambda i: (0, i)),
-            pl.BlockSpec((AW, LANE_BLOCK), lambda i: (0, i)),
-            pl.BlockSpec((1, LANE_BLOCK), lambda i: (0, i)),
+            pl.BlockSpec((AW, lane_block), lambda i: (0, i)),
+            pl.BlockSpec((AW, lane_block), lambda i: (0, i)),
+            pl.BlockSpec((1, lane_block), lambda i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((A, LANE_BLOCK), lambda i: (0, i)),
-            pl.BlockSpec((A, LANE_BLOCK), lambda i: (0, i)),
+            pl.BlockSpec((A, lane_block), lambda i: (0, i)),
+            pl.BlockSpec((A, lane_block), lambda i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((A, B), jnp.float32),
             jax.ShapeDtypeStruct((A, B), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((AW, LANE_BLOCK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((AW, lane_block), jnp.float32)],
         interpret=interpret,
     )(qpos_pad, rpos_pad, n_anchor.reshape(1, -1))
     return f, parent
@@ -133,12 +134,26 @@ def _chain_pallas(qpos_pad, rpos_pad, n_anchor, W: int, k: int,
 
 def chain_anchors_batch_pallas(qpos: np.ndarray, rpos: np.ndarray,
                                n_anchor: np.ndarray, p: ChainParams,
-                               interpret: bool = False
+                               interpret: bool = False,
+                               lane_block: int = 0
                                ) -> Tuple[np.ndarray, np.ndarray]:
-    """Pallas chaining; same contract as ops.chain_jax.chain_anchors_batch."""
+    """Pallas chaining; same contract as ops.chain_jax.chain_anchors_batch.
+
+    lane_block = reads per grid program.  The default (LANE_BLOCK=128, one
+    lane group) minimizes VMEM; wider blocks amortize the sequential
+    anchor loop's per-step overhead over more lanes — the whole production
+    chunk in ONE program is the fastest (see scripts/diag_chain_pallas.py
+    and docs/PALLAS_CHAIN.md measurements).  0 = auto: one program over
+    the whole (lane-padded) batch when its VMEM footprint fits."""
     B, A = qpos.shape
     W = p.window
-    Bp = -(-B // LANE_BLOCK) * LANE_BLOCK
+    if lane_block == 0:
+        # whole-batch program if the resident arrays fit well under VMEM:
+        # 2 inputs [W+A, B] i32 + scratch f32 + 2 outputs [A, B] ~ 16 MB
+        Bp0 = -(-B // 128) * 128
+        foot = (3 * (W + A) + 2 * A) * Bp0 * 4
+        lane_block = Bp0 if foot <= 12 * 2 ** 20 else LANE_BLOCK
+    Bp = -(-B // lane_block) * lane_block
     qp = np.full((W + A, Bp), -1, np.int32)
     rp = np.full((W + A, Bp), -1, np.int32)
     qp[W:, :B] = qpos.T
@@ -149,5 +164,5 @@ def chain_anchors_batch_pallas(qpos: np.ndarray, rpos: np.ndarray,
         jnp.asarray(qp), jnp.asarray(rp), jnp.asarray(nn), W, p.k,
         int(p.max_qgap), int(p.max_intron), float(p.gap_open),
         float(p.gap_scale), float(p.intron_scale), int(p.min_intron_gap),
-        interpret=interpret)
+        interpret=interpret, lane_block=lane_block)
     return np.asarray(f).T[:B], np.asarray(parent).T[:B]
