@@ -27,6 +27,7 @@
 #include "update_gtf.h"
 #include "parse_bam.h"
 #include "bam_fusion.h"
+#include "unique_gtf.h"
 
 /* ---- data symbols the reference expects from main.c ---- */
 const char PROG[20] = "lr2rmats";
@@ -453,6 +454,21 @@ int32_t o_check_fusion(int32_t *tid, int32_t *is_rev, int32_t *score,
     }
     bam_seg_free(seg, seg_n);
     return ret;
+}
+
+/* cross-sample dedup (unique_gtf.c:73-84) */
+extern int uniq_trans(read_trans_t *bam_T, read_trans_t *uniq_T,
+                      read_trans_t *shared_T, unique_gtf_para *ugp);
+
+int32_t o_uniq_trans(read_trans_t *bam_T, read_trans_t *uniq_T,
+                     read_trans_t *shared_T, int32_t force_strand,
+                     int32_t ss_dis, int32_t end_dis, double frac)
+{
+    unique_gtf_para ugp;
+    memset(&ugp, 0, sizeof(ugp));
+    ugp.force_strand = force_strand; ugp.ss_dis = ss_dis;
+    ugp.end_dis = end_dis; ugp.single_exon_ovlp_frac = (float)frac;
+    return uniq_trans(bam_T, uniq_T, shared_T, &ugp);
 }
 
 int32_t o_check_with_exist1(int32_t tid1, int32_t rs1, int32_t re1,

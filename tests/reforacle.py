@@ -53,9 +53,9 @@ _SPLIT_FIX = ('set_trans_name(t, NULL, NULL, NULL, NULL); '
               'sprintf(t->trans_id, "%s.split.%d", bam_t->trans_id, trans_i);')
 
 _SOURCES = ["update_gtf.c", "gtf.c", "utils.c", "parse_bam.c", "bam2gtf.c",
-            "bam_fusion.c", "kstring.c"]
+            "bam_fusion.c", "unique_gtf.c", "kstring.c"]
 _HEADERS = ["gtf.h", "update_gtf.h", "utils.h", "parse_bam.h", "bam2gtf.h",
-            "bam_fusion.h", "kseq.h", "kstring.h"]
+            "bam_fusion.h", "unique_gtf.h", "kseq.h", "kstring.h"]
 
 STATE_FIELDS = ["full", "lfull", "lnoth", "rfull", "rnoth", "known",
                 "has_known_site", "has_unreliable_junction", "partial_read"]
@@ -271,6 +271,7 @@ class Oracle:
                                    v, v, v, v, v, v, v], i),
             "o_check_fusion": ([v, v, v, v, v, v, v, v, i, i, d, d, d, i], i),
             "o_check_with_exist1": ([i, i, i, i, i, i, i, i, i, i, d, i], i),
+            "o_uniq_trans": ([v, v, v, i, i, i, d], i),
         }
         for name, (argtypes, restype) in sig.items():
             fn = getattr(lib, name)

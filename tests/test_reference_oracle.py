@@ -710,6 +710,60 @@ def test_bam2sj_stream_fuzz():
                     f"{ctx} row {k} field {fld}: {w} vs repo"
 
 
+def test_uniq_trans_fuzz():
+    """Cross-sample dedup vs reference uniq_trans (unique_gtf.c:73-84):
+    uniq/shared membership, order, cov accumulation and end extension."""
+    from lr2rmats_tpu.transcript.merge import uniq_trans
+    o = reforacle.get_oracle("exact")
+    rng = np.random.default_rng(53)
+    for it in range(80):
+        base_s, base_e = _chain(rng)
+        cands = []
+        for k in range(12):
+            if rng.random() < 0.6:
+                s, e = _perturb(rng, base_s, base_e)
+            else:
+                s, e = _chain(rng)
+            cands.append((s, e))
+        cands.sort(key=lambda c: (c[0][0], c[1][-1]))
+        ss_dis = int(rng.integers(0, 2))
+        end_dis = [5, 0x7FFFFFFF][int(rng.integers(0, 2))]
+        force = int(rng.integers(0, 2))
+
+        obam = o.trans_set()
+        keep = []
+        for k, (s, e) in enumerate(cands):
+            t = o.read_trans(0, s, e, name=f"u{k}",
+                             is_rev=int(rng.integers(0, 2)) if force else 0)
+            obam.add(t)
+            keep.append(t)
+        ouniq, oshared = o.trans_set(), o.trans_set()
+        ugp_frac = 0.80
+        o.lib.o_uniq_trans(obam.ptr, ouniq.ptr, oshared.ptr, force, ss_dis,
+                           end_dis, ugp_frac)
+
+        rbam = Transcripts()
+        for k, (s, e) in enumerate(cands):
+            rbam.append(0, bool(obam[k].is_rev), s, e, trans_id=f"u{k}",
+                        trans_name=f"u{k}")
+        runiq, rshared = Transcripts(), Transcripts()
+        uniq_trans(rbam, runiq, rshared, bool(force), ss_dis, end_dis,
+                   ugp_frac)
+
+        ctx0 = f"iter {it} dis={ss_dis},{end_dis} force={force}"
+        for name, oset, rset in (("uniq", ouniq, runiq),
+                                 ("shared", oshared, rshared)):
+            ctx = f"{ctx0} {name}"
+            assert oset.n == rset.n, f"{ctx}: {oset.n} vs {rset.n}"
+            for k in range(oset.n):
+                _assert_trans_match(oset[k], rset, k, f"{ctx} entry {k}")
+                assert oset[k].trans_id == rset.trans_id[k], f"{ctx} entry {k}"
+        for h in (ouniq, oshared, obam):
+            h.free()
+        for t in keep:
+            t.free()
+
+
 def test_check_fusion_fuzz():
     """Greedy fusion segment selection vs reference check_fusion /
     check_with_exist1 / bam_seg_cov (bam_fusion.c:67-129)."""
