@@ -13,10 +13,13 @@ Run ONE at a time (exclusive chip), under timeout.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def ms(fn, n=5):
@@ -47,7 +50,7 @@ def main():
     n_anchor = rng.integers(65, A + 1, B).astype(np.int32)
     qpos = np.sort(rng.integers(0, 30000, (B, A)), axis=1).astype(np.int32)
     rpos = np.sort(rng.integers(0, 200000, (B, A)), axis=1).astype(np.int32)
-    buf = cj.pack_chain_buf(qpos.T.copy(), rpos.T.copy(), n_anchor)
+    buf = cj.pack_chain_buf(qpos, rpos, n_anchor)
     out["buf_mb"] = round(buf.nbytes / 1e6, 3)
 
     tiny = jax.jit(lambda x: x + 1)
