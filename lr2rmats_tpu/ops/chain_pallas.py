@@ -139,20 +139,16 @@ def chain_anchors_batch_pallas(qpos: np.ndarray, rpos: np.ndarray,
                                ) -> Tuple[np.ndarray, np.ndarray]:
     """Pallas chaining; same contract as ops.chain_jax.chain_anchors_batch.
 
-    lane_block = reads per grid program.  The default (LANE_BLOCK=128, one
-    lane group) minimizes VMEM; wider blocks amortize the sequential
-    anchor loop's per-step overhead over more lanes — the whole production
-    chunk in ONE program is the fastest (see scripts/diag_chain_pallas.py
-    and docs/PALLAS_CHAIN.md measurements).  0 = auto: one program over
-    the whole (lane-padded) batch when its VMEM footprint fits."""
+    lane_block = reads per grid program (0 = the LANE_BLOCK default).
+    Wider blocks would amortize the sequential anchor loop's per-step
+    overhead over more lanes, but this rig's Mosaic toolchain rejects the
+    windowed dynamic-slice loads beyond one 128-lane group (vector.load
+    [W, 256+] fails to compile; docs/PALLAS_CHAIN.md) — the knob exists
+    for direct-attached silicon where the compile can be iterated."""
     B, A = qpos.shape
     W = p.window
     if lane_block == 0:
-        # whole-batch program if the resident arrays fit well under VMEM:
-        # 2 inputs [W+A, B] i32 + scratch f32 + 2 outputs [A, B] ~ 16 MB
-        Bp0 = -(-B // 128) * 128
-        foot = (3 * (W + A) + 2 * A) * Bp0 * 4
-        lane_block = Bp0 if foot <= 12 * 2 ** 20 else LANE_BLOCK
+        lane_block = LANE_BLOCK
     Bp = -(-B // lane_block) * lane_block
     qp = np.full((W + A, Bp), -1, np.int32)
     rp = np.full((W + A, Bp), -1, np.int32)

@@ -154,6 +154,59 @@ def sjcount_device_parity():
     }
 
 
+def polish_place_parity():
+    """The batched forced-placement score path (align/polish.py
+    _constrained_place_many: device shift-DP pair + fused best-split
+    reduction, int8 lanes, score-only D2H) vs the scalar host DP."""
+    from lr2rmats_tpu.align.polish import (B, _constrained_place,
+                                           _constrained_place_many)
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 4, 300_000).astype(np.uint8)
+    items = []
+    for _ in range(400):
+        m = int(rng.integers(0, 150))
+        L0 = int(rng.integers(100, 200_000))
+        span = int(rng.integers(max(m - 5, 1) + 60, m + 4000))
+        R0 = L0 + span
+        qwin = ref[L0: L0 + m].copy()
+        mut = rng.random(m) < 0.12
+        qwin[mut] = (qwin[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        j = int(rng.integers(0, m + 2 * B + 1)) - B
+        don = L0 + max(j, -2)
+        acc = don + max(span - m + int(rng.integers(-B, B + 1)), 10) - 1
+        items.append((qwin, L0, R0, don, acc))
+    hb("polish_place: dispatching batched placement DP")
+    batched, t_dev = _ms(_constrained_place_many, items, ref, repeat=3)
+    n_defer = n_checked = 0
+    same = True
+    for it, got in zip(items, batched):
+        want = _constrained_place(it[0], ref, it[1], it[2], it[3], it[4])
+        if (want is None) != (got is None):
+            same = False
+            break
+        if want is None:
+            continue
+        n_checked += 1
+        if got[0] == "defer":
+            n_defer += 1
+            if want[0] != got[1]:
+                same = False
+                break
+        elif want[0] != got[0]:
+            same = False
+            break
+    return {
+        "kernel": "align/polish.py _constrained_place_many "
+                  "(_polish_best_pair: int8 lanes, score-only D2H)",
+        "mode": "compiled",
+        "n_tasks": len(items),
+        "n_feasible": n_checked,
+        "n_device_lanes": n_defer,
+        "scores_identical": bool(same),
+        "device_call_ms": t_dev,
+    }
+
+
 def main():
     import jax
     platform = jax.devices()[0].platform
@@ -168,10 +221,13 @@ def main():
     hb("splice_device done")
     out["sjcount_device"] = sjcount_device_parity()
     hb("sjcount_device done")
+    out["polish_place"] = polish_place_parity()
+    hb("polish_place done")
     ok = (out["chain_pallas"]["matches_scan_kernel"] and
           out["chain_pallas"]["matches_host_dp"] and
           out["splice_device"]["matches_host_reference"] and
-          out["sjcount_device"]["counts_identical"])
+          out["sjcount_device"]["counts_identical"] and
+          out["polish_place"]["scores_identical"])
     out["all_parity"] = bool(ok)
     path = os.environ.get("PARITY_JSON") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
