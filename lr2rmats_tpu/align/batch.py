@@ -214,8 +214,12 @@ class BatchAligner:
         total = int(cnt.sum())
         starts = np.zeros(len(cnt) + 1, np.int64)
         np.cumsum(cnt, out=starts[1:])
+        # key layout (csrc expand_anchors_c:2604): rid<<52 | strand<<51 |
+        # gp<<19 | qfinal -> rid has 12 bits, so any batch <= 4096 reads
+        # rides the radix key (the old <=2048 guard silently dropped the
+        # auto-batch-3072 path to the ~3x slower 4-key lexsort)
         key_ok = (int(idx.chrom_offsets[-1]) < (1 << 32)
-                  and len(reads) <= (1 << 11)
+                  and len(reads) <= (1 << 12)
                   and int(L.max(initial=0)) < (1 << 19))
         from ..native import get_lib
         lib = get_lib()
@@ -279,7 +283,7 @@ class BatchAligner:
         # top MAX_CLUSTERS_PER_STRAND clusters per (read, strand), ≥2 anchors
         g_rid = ridx[gstart[:-1]]
         g_str = strand[gstart[:-1]]
-        if len(reads) <= (1 << 11) and (not n_g or
+        if len(reads) <= (1 << 12) and (not n_g or
                                         int(counts.max()) < (1 << 32)):
             key2 = ((g_rid.astype(np.uint64) << np.uint64(33)) |
                     (g_str.astype(np.uint64) << np.uint64(32)) |
