@@ -55,3 +55,35 @@ def test_golden_byte_identical(toy_run, name):
     with open(want, "rb") as f:
         w = f.read()
     assert g == w, f"{name} differs from committed golden"
+
+
+def test_ref_compat_flips_known(toy_run, tmp_path):
+    """--ref-compat (ARCHITECTURE.md §5 deviation #1): under exact
+    reference acceptor semantics NO multi-exon transcript can classify
+    known, so the toy CCS read flips known -> novel-with-known-sites.
+    Machine-checked against the compiled C in test_reference_oracle; this
+    pins the end-to-end CLI surface."""
+    from lr2rmats_tpu.pipeline.commands import cmd_update_gtf
+    from lr2rmats_tpu.transcript.model import UpdateGtfParams
+
+    sam = os.path.join(toy_run, "alignment", "samp1.filtered.sam")
+    if not os.path.exists(sam):
+        pytest.skip("filtered SAM not kept by this pipeline config")
+
+    def counts(compat):
+        summ = str(tmp_path / f"sum_{compat}.txt")
+        cmd_update_gtf(sam, f"{REF}/gtf/original.gtf",
+                       UpdateGtfParams(ref_acceptor_compat=compat),
+                       out_path=os.devnull, summary=summ)
+        known = novel = -1
+        for line in open(summ):
+            if line.startswith("Known_Transcripts_from_BAM"):
+                known = int(line.split()[-1])
+            if line.startswith("Novel_Transcript_from_BAM\t"):
+                novel = int(line.split()[-1])
+        return known, novel
+
+    k0, n0 = counts(False)
+    k1, n1 = counts(True)
+    assert k0 == 1 and k1 == 0
+    assert n1 == n0 + 1
