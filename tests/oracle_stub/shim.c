@@ -106,6 +106,19 @@ char bam_aux2A(const uint8_t *s)
     return (char)s[1];
 }
 
+/* htslib bam_cigar2rlen: reference-consuming ops are M/D/N/=/X */
+int bam_cigar2rlen(int n_cigar, const uint32_t *cigar)
+{
+    int l = 0;
+    for (int i = 0; i < n_cigar; ++i) {
+        int op = bam_cigar_op(cigar[i]);
+        if (op == BAM_CMATCH || op == BAM_CDEL || op == BAM_CREF_SKIP ||
+            op == BAM_CEQUAL || op == BAM_CDIFF)
+            l += bam_cigar_oplen(cigar[i]);
+    }
+    return l;
+}
+
 /* ---- externs for non-static reference functions not in headers ---- */
 extern update_gtf_para *update_gtf_init_para(void);
 extern int check_splice_site(trans_t *bam_t, trans_t anno_t, int dis);
@@ -313,17 +326,19 @@ extern int check_with_exist1(bam_seg_t *s1, bam_seg_t *s2,
 extern float bam_seg_cov(bam_seg_t *seg, int n, int rlen);
 
 /* Fabricate a record in the stub layout: qname + cigar + optional
- * XS:A:<xs> and NH:i:<nh> aux records. */
+ * XS:A:<xs>, NH:i:<nh>, NM:i:<nm> aux records (negative int tag =
+ * absent).  l_qseq is carried in core only (no packed seq needed by the
+ * compiled reference paths). */
 bam1_t *o_mk_bam(int32_t tid, int32_t pos0, int32_t flag,
                  const uint32_t *cigar, int32_t n_cigar, const char *qname,
-                 int32_t xs, int32_t nh)
+                 int32_t xs, int32_t nh, int32_t nm, int32_t l_qseq)
 {
     bam1_t *b = bam_init1();
     int l_qname = (int)strlen(qname) + 1;
-    int l_aux = (xs ? 4 : 0) + (nh >= 0 ? 7 : 0);
+    int l_aux = (xs ? 4 : 0) + (nh >= 0 ? 7 : 0) + (nm >= 0 ? 7 : 0);
     b->core.tid = tid; b->core.pos = pos0; b->core.flag = (uint16_t)flag;
     b->core.l_qname = l_qname; b->core.n_cigar = n_cigar;
-    b->core.l_qseq = 0;
+    b->core.l_qseq = l_qseq;
     b->l_data = b->m_data = l_qname + 4 * n_cigar + l_aux;
     b->data = (uint8_t*)malloc(b->l_data);
     memcpy(b->data, qname, l_qname);
@@ -333,6 +348,11 @@ bam1_t *o_mk_bam(int32_t tid, int32_t pos0, int32_t flag,
     if (nh >= 0) {
         p[0] = 'N'; p[1] = 'H'; p[2] = 'i';
         memcpy(p + 3, &nh, 4);
+        p += 7;
+    }
+    if (nm >= 0) {
+        p[0] = 'N'; p[1] = 'M'; p[2] = 'i';
+        memcpy(p + 3, &nm, 4);
     }
     return b;
 }
@@ -454,6 +474,17 @@ int32_t o_check_fusion(int32_t *tid, int32_t *is_rev, int32_t *score,
     }
     bam_seg_free(seg, seg_n);
     return ret;
+}
+
+/* filter gates (bam_filter.c:49-86): coverage / identity / rm-overlap */
+extern int gtf_filter(bam1_t *b, int *score, int *intron_n, float cov_rate,
+                      float map_qual, read_trans_t *r);
+
+int32_t o_gtf_filter(bam1_t *b, read_trans_t *rm, double cov_rate,
+                     double map_qual, int32_t *score, int32_t *intron_n)
+{
+    return gtf_filter(b, (int*)score, (int*)intron_n, (float)cov_rate,
+                      (float)map_qual, rm);
 }
 
 /* cross-sample dedup (unique_gtf.c:73-84) */

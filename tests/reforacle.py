@@ -53,9 +53,9 @@ _SPLIT_FIX = ('set_trans_name(t, NULL, NULL, NULL, NULL); '
               'sprintf(t->trans_id, "%s.split.%d", bam_t->trans_id, trans_i);')
 
 _SOURCES = ["update_gtf.c", "gtf.c", "utils.c", "parse_bam.c", "bam2gtf.c",
-            "bam_fusion.c", "unique_gtf.c", "kstring.c"]
+            "bam_fusion.c", "unique_gtf.c", "bam_filter.c", "kstring.c"]
 _HEADERS = ["gtf.h", "update_gtf.h", "utils.h", "parse_bam.h", "bam2gtf.h",
-            "bam_fusion.h", "unique_gtf.h", "kseq.h", "kstring.h"]
+            "bam_fusion.h", "unique_gtf.h", "bam_filter.h", "kseq.h", "kstring.h"]
 
 STATE_FIELDS = ["full", "lfull", "lnoth", "rfull", "rnoth", "known",
                 "has_known_site", "has_unreliable_junction", "partial_read"]
@@ -262,7 +262,8 @@ class Oracle:
             "o_merge_trans": ([v, v, i, i, i, d], i),
             "o_split_trans": ([v], v),
             "o_check_trans": ([v, v, v, i, v, v, v, v, v], None),
-            "o_mk_bam": ([i, i, i, v, i, ctypes.c_char_p, i, i], v),
+            "o_mk_bam": ([i, i, i, v, i, ctypes.c_char_p, i, i, i, i], v),
+            "o_gtf_filter": ([v, v, d, d, v, v], i),
             "o_free_bam": ([v], None),
             "o_gen_trans": ([v, i, i, i], v),
             "o_intr_deri_str": ([v, i, i, i, i, v], i),
@@ -321,10 +322,19 @@ class Oracle:
         return np.asarray([(ln << 4) | code[op] for op, ln in ops], np.uint32)
 
     def mk_bam(self, tid: int, pos0: int, flag: int, ops, qname: str = "q",
-               xs: str = "", nh: int = -1):
+               xs: str = "", nh: int = -1, nm: int = -1, l_qseq: int = 0):
         cig = self.pack_cigar(ops)
         return self.lib.o_mk_bam(tid, pos0, flag, _p(cig), len(cig),
-                                 qname.encode(), ord(xs) if xs else 0, nh)
+                                 qname.encode(), ord(xs) if xs else 0, nh,
+                                 nm, l_qseq)
+
+    def gtf_filter(self, bam_ptr, rm_set, cov_rate: float, map_qual: float):
+        """(keep, score, intron_n) via the compiled reference gate."""
+        score = np.zeros(1, np.int32)
+        intron = np.zeros(1, np.int32)
+        ret = self.lib.o_gtf_filter(bam_ptr, rm_set.ptr, cov_rate, map_qual,
+                                    _p(score), _p(intron))
+        return ret == 0, int(score[0]), int(intron[0])
 
     def gen_trans(self, bam_ptr, exon_min=3, intron_len=3, deletion_max=50):
         ptr = self.lib.o_gen_trans(bam_ptr, exon_min, intron_len,
@@ -404,13 +414,17 @@ _cache: dict = {}
 
 
 def get_oracle(variant: str = "exact") -> Optional[Oracle]:
-    """variant: 'exact' (reference bit-for-bit) or 'fixed' (acceptor fix)."""
+    """variant: 'exact' (reference bit-for-bit) or 'fixed' (the two
+    documented-deviation patches).  Returns None only when the reference
+    checkout or a compiler is genuinely absent; a COMPILE failure
+    propagates (the fuzz suite must fail loudly, not skip)."""
     assert variant in ("exact", "fixed")
     if variant not in _cache:
-        try:
+        import shutil
+        if not REF_SRC.is_dir() or shutil.which("gcc") is None:
+            _cache["exact"] = _cache["fixed"] = None
+        else:
             exact, fixed = _build()
             _cache["exact"] = Oracle(exact)
             _cache["fixed"] = Oracle(fixed)
-        except (OSError, subprocess.CalledProcessError, AssertionError):
-            _cache["exact"] = _cache["fixed"] = None
     return _cache[variant]

@@ -31,8 +31,13 @@ from lr2rmats_tpu.transcript import exon_chain, fusion
 from lr2rmats_tpu.transcript.merge import merge_trans
 from lr2rmats_tpu.transcript.model import Transcripts, UpdateGtfParams
 
+# skip ONLY when the environment genuinely lacks the pieces; an oracle
+# COMPILE failure must fail these tests loudly, not silently skip them
+# (get_oracle propagates CalledProcessError)
+import shutil as _shutil
+
 pytestmark = pytest.mark.skipif(
-    reforacle.get_oracle() is None,
+    not reforacle.REF_SRC.is_dir() or _shutil.which("gcc") is None,
     reason="reference checkout or C compiler unavailable")
 
 VARIANTS = [("exact", True), ("fixed", False)]
@@ -708,6 +713,65 @@ def test_bam2sj_stream_fuzz():
                         "multi_c"):
                 assert w[fld] == int(getattr(got, fld)[k]), \
                     f"{ctx} row {k} field {fld}: {w} vs repo"
+
+
+def test_gtf_filter_fuzz():
+    """Filter gates vs reference gtf_filter/remove_overlap
+    (bam_filter.c:49-86): coverage (incl. the 0/0-NaN pass quirk),
+    NM identity, deletion credit, intron count, rm-gtf overlap
+    (0-based pos vs 1-based rm coords, faithful quirk)."""
+    from lr2rmats_tpu.transcript.filter import FilterParams
+    from lr2rmats_tpu.transcript.filter import gtf_filter as repo_gate
+    o = reforacle.get_oracle("exact")
+    rng = np.random.default_rng(59)
+
+    # sorted rm set on two tids
+    rm_chains = []
+    base = 500
+    for tid in (0, 1):
+        for _ in range(3):
+            s, e = _chain(rng, base=base)
+            rm_chains.append((tid, s, e))
+            base += 4000
+    orm = o.trans_set(anno=True)
+    keep = []
+    for tid, s, e in rm_chains:
+        t = o.anno_trans(tid, s, e)
+        orm.add(t)
+        keep.append(t)
+    rrm = Transcripts()
+    for tid, s, e in rm_chains:
+        rrm.append(tid, False, s, e, init_novel=False)
+
+    for it in range(500):
+        ops = _rand_cigar(rng)
+        qlen_cigar = sum(l for op, l in ops if op in "MIS")
+        l_qseq = qlen_cigar if rng.random() < 0.8 else \
+            max(qlen_cigar + int(rng.integers(-20, 50)), 0)
+        pos0 = int(rng.integers(0, 30000))
+        tid = int(rng.integers(0, 2))
+        flag = 4 if rng.random() < 0.05 else 0
+        nm = int(rng.integers(0, 60))
+        cov = float(rng.choice([0.0, 0.5, 0.67, 0.9]))
+        mq = float(rng.choice([0.5, 0.75, 0.9]))
+
+        b = o.mk_bam(tid, pos0, flag, ops, nm=nm, l_qseq=l_qseq)
+        want = o.gtf_filter(b, orm, cov, mq)
+        o.lib.o_free_bam(b)
+
+        rec = AlnRec(qname="q", flag=flag, tid=tid, pos=pos0,
+                     cigar=reforacle.Oracle.pack_cigar(ops),
+                     seq="A" * l_qseq if l_qseq else "*", tags={"NM": nm})
+        got = repo_gate(rec, FilterParams(cov_rate=cov, map_qual=mq), rrm)
+        ctx = f"iter {it}: {ops} pos {pos0} tid {tid} nm {nm} " \
+              f"l_qseq {l_qseq} cov {cov} mq {mq}"
+        assert want[0] == got[0], f"{ctx}: keep {want} vs {got}"
+        if want[0]:
+            assert want[1] == got[1], f"{ctx}: score {want} vs {got}"
+            assert want[2] == got[2], f"{ctx}: intron_n {want} vs {got}"
+    for t in keep:
+        t.free()
+    orm.free()
 
 
 def test_uniq_trans_fuzz():
