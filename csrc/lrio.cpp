@@ -1669,6 +1669,14 @@ int check_splice_site_c(const int32_t* bs, const int32_t* be, int bn,
 
 extern "C" {
 
+namespace lrflt {
+struct Rec {  // one line that passed the per-line gates (pass A)
+    int64_t off, len, tid, pos, score;
+    int64_t qoff, qlen;
+    int intron;
+};
+}  // namespace lrflt
+
 int64_t filter_sam_c(const char* buf, int64_t n,
                      double cov_rate, double map_qual, double sec_rat,
                      int min_intron_n,
@@ -1677,7 +1685,8 @@ int64_t filter_sam_c(const char* buf, int64_t n,
                      const int64_t* rm_tid, const int64_t* rm_start,
                      const int64_t* rm_end, int64_t rm_n,
                      int64_t* keep_off, int64_t* keep_len,
-                     int64_t* keep_tid, int64_t* keep_pos, int64_t cap) {
+                     int64_t* keep_tid, int64_t* keep_pos, int64_t cap,
+                     int n_threads) {
     // pass 1: header @SQ order -> tid map
     std::unordered_map<std::string, int64_t> tid_of;
     int64_t pos = 0;
@@ -1731,25 +1740,16 @@ int64_t filter_sam_c(const char* buf, int64_t n,
         return rm_maxend[j - 1] >= p0;
     };
 
-    int64_t kept = 0;
-    std::string lqname;
-    int64_t best_off = -1, best_len = 0;
-    int64_t best_tid = -1, best_pos = 0;
-    int64_t b_score = 0, s_score = 0;
-    int b_intron = 0;
-
-    auto flush = [&]() {
-        if (!lqname.empty() && (double)s_score < sec_rat * (double)b_score &&
-            b_intron >= min_intron_n && best_off >= 0 && kept < cap) {
-            keep_off[kept] = best_off;
-            keep_len[kept] = best_len;
-            keep_tid[kept] = best_tid;
-            keep_pos[kept] = best_pos;
-            ++kept;
-        }
-    };
-
-    while (pos < n) {
+    // PASS A (parallel over newline-aligned chunks): the per-line gates —
+    // CIGAR walk, coverage/NM math, rm overlap — carry no cross-line
+    // state, so each worker emits its kept-candidate lines in order and
+    // the concatenation equals the sequential scan exactly.  PASS B (the
+    // reference's per-qname best/second-best bookkeeping, bam_filter.c:
+    // 130-159) then runs sequentially over just the surviving lines.
+    auto parse_range = [&](int64_t lo, int64_t hi,
+                           std::vector<lrflt::Rec>& out) {
+    int64_t pos = lo;
+    while (pos < hi) {
         int64_t eol = pos;
         while (eol < n && buf[eol] != '\n') ++eol;
         int64_t llen = eol - pos;
@@ -1848,24 +1848,82 @@ int64_t filter_sam_c(const char* buf, int64_t n,
             }
         }
         if (keep_line) {
-            std::string qname(f[0], fl[0]);
-            if (qname == lqname) {
-                if (score > b_score) {
-                    best_off = pos; best_len = llen;
-                    best_tid = tid; best_pos = p0;
-                    s_score = b_score; b_score = score; b_intron = intron_n;
-                } else if (score > s_score) {
-                    s_score = score;
+            lrflt::Rec r;
+            r.off = pos; r.len = llen; r.tid = tid; r.pos = p0;
+            r.score = score; r.intron = intron_n;
+            r.qoff = pos; r.qlen = fl[0];
+            out.push_back(r);
+        }
+        pos = eol + 1;
+    }
+    };  // parse_range
+
+    int T = n_threads < 1 ? 1 : n_threads;
+    if (T > 8) T = 8;
+    int64_t body = pos;
+    std::vector<std::vector<lrflt::Rec>> parts(T);
+    if (T == 1 || n - body < (1 << 20)) {
+        parse_range(body, n, parts[0]);
+    } else {
+        std::vector<int64_t> cut(T + 1);
+        cut[0] = body;
+        cut[T] = n;
+        for (int t = 1; t < T; ++t) {
+            int64_t c = body + (n - body) * t / T;
+            while (c < n && buf[c] != '\n') ++c;
+            cut[t] = (c < n) ? c + 1 : n;
+        }
+        std::vector<std::thread> ths;
+        for (int t = 0; t < T; ++t)
+            ths.emplace_back([&, t]() {
+                parse_range(cut[t], cut[t + 1], parts[t]);
+            });
+        for (auto& th : ths) th.join();
+    }
+
+    // PASS B: exact reference bookkeeping (bam_filter.c:130-159) over the
+    // kept-candidate lines, in file order
+    int64_t kept = 0;
+    const char* lq = nullptr;
+    int64_t lql = -1;
+    int64_t best_off = -1, best_len = 0;
+    int64_t best_tid = -1, best_pos = 0;
+    int64_t b_score = 0, s_score = 0;
+    int b_intron = 0;
+
+    auto flush = [&]() {
+        if (lql > 0 && (double)s_score < sec_rat * (double)b_score &&
+            b_intron >= min_intron_n && best_off >= 0 && kept < cap) {
+            keep_off[kept] = best_off;
+            keep_len[kept] = best_len;
+            keep_tid[kept] = best_tid;
+            keep_pos[kept] = best_pos;
+            ++kept;
+        }
+    };
+
+    for (int t = 0; t < T; ++t) {
+        for (const lrflt::Rec& r : parts[t]) {
+            bool same = (lql == r.qlen &&
+                         std::memcmp(buf + r.qoff, lq, (size_t)lql) == 0);
+            if (same) {
+                if (r.score > b_score) {
+                    best_off = r.off; best_len = r.len;
+                    best_tid = r.tid; best_pos = r.pos;
+                    s_score = b_score; b_score = r.score;
+                    b_intron = r.intron;
+                } else if (r.score > s_score) {
+                    s_score = r.score;
                 }
             } else {
                 flush();
-                best_off = pos; best_len = llen;
-                best_tid = tid; best_pos = p0;
-                b_score = score; s_score = 0; b_intron = intron_n;
-                lqname = qname;
+                best_off = r.off; best_len = r.len;
+                best_tid = r.tid; best_pos = r.pos;
+                b_score = r.score; s_score = 0; b_intron = r.intron;
+                lq = buf + r.qoff;
+                lql = r.qlen;
             }
         }
-        pos = eol + 1;
     }
     flush();
     return kept;

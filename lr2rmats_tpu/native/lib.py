@@ -314,7 +314,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u8p, ctypes.c_int64,
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
             c_i64p, c_i64p, c_i64p, ctypes.c_int64,
-            c_i64p, c_i64p, c_i64p, c_i64p, ctypes.c_int64]
+            c_i64p, c_i64p, c_i64p, c_i64p, ctypes.c_int64,
+            ctypes.c_int]
 
         lib.sam_to_exons_c.restype = ctypes.c_int64
         lib.sam_to_exons_c.argtypes = [
