@@ -92,10 +92,8 @@ def _filter_sam_native(in_path: Optional[str], params: FilterParams,
     # chunked newline count: `buf == 10` on a GB-scale SAM buffer would
     # materialize a same-size bool temporary (doubling peak RSS on the
     # exact path built to avoid large-buffer costs)
-    cap = 1
-    _CH = 1 << 24
-    for _off in range(0, len(buf), _CH):
-        cap += int(np.count_nonzero(buf[_off: _off + _CH] == 10))
+    from ..utils.fileio import count_newlines
+    cap = 1 + count_newlines(buf)
     keep_off = np.zeros(cap, np.int64)
     keep_len = np.zeros(cap, np.int64)
     keep_tid = np.zeros(cap, np.int64)

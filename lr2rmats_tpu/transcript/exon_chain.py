@@ -66,7 +66,8 @@ def read_sam_trans_native(path: str, min_exon: int, min_intron: int,
     if buf[:2].tobytes() == b"\x1f\x8b":
         return None
     import ctypes
-    cap_rec = int(np.count_nonzero(buf == 10)) + 1
+    from ..utils.fileio import count_newlines
+    cap_rec = count_newlines(buf) + 1
     cap_exon = 4 * cap_rec + len(buf) // 64 + 16
     rec_tid = np.zeros(cap_rec, np.int32)
     rec_rev = np.zeros(cap_rec, np.uint8)

@@ -47,3 +47,16 @@ def read_bytes(path: str) -> bytes:
     if len(chunks) == 1:
         return chunks[0]
     return b"".join(chunks)
+
+
+def count_newlines(buf) -> int:
+    """Chunked newline count.  One `buf == 10` over a GB-scale buffer both
+    materializes a same-size bool temporary AND hits this image's
+    pathological large-reduction path (measured 5.1 s vs 0.19 s chunked on
+    an 845 MB SAM)."""
+    import numpy as np
+    n = 0
+    CH = 1 << 24
+    for off in range(0, len(buf), CH):
+        n += int(np.count_nonzero(buf[off: off + CH] == 10))
+    return n
