@@ -112,6 +112,15 @@ class BatchAligner:
                                       "device-pallas" else "scan")
         self.junction_backend = ("device" if junction_backend.startswith(
             "device") else "host")
+        # seeding lookup twin (index/seed_device.py): device-resident
+        # sorted hash table + fused searchsorted.  Host default on this
+        # rig (see the module's adjudication docstring); opt in with
+        # LR2RMATS_DEVICE_SEED=1.
+        self._seed_lookup = None
+        if os.environ.get("LR2RMATS_DEVICE_SEED") == "1":
+            from ..index.seed_device import DeviceSeedLookup
+            if DeviceSeedLookup.supports(self.index):
+                self._seed_lookup = DeviceSeedLookup(self.index)
         # perf accounting for bench: wall spent blocked on the device link,
         # anchors dispatched, device calls made
         self.stats = {"device_wall_s": 0.0, "anchors": 0, "device_calls": 0}
@@ -198,8 +207,14 @@ class BatchAligner:
         if h is None:
             return []
         # sharded indexes expose the batch-level (possibly collective)
-        # lookup separately (parallel/shard_index.py)
-        lo, hi = getattr(idx, "lookup_collective", idx.lookup)(h)
+        # lookup separately (parallel/shard_index.py); the device twin
+        # (index/seed_device.py, LR2RMATS_DEVICE_SEED=1) slots in only
+        # for plain single-shard indexes
+        look = getattr(idx, "lookup_collective", None)
+        if look is None:
+            look = (self._seed_lookup.lookup if self._seed_lookup is not None
+                    else idx.lookup)
+        lo, hi = look(h)
         cnt = (hi - lo).astype(np.int64)
         keep = cnt > 0
         if not keep.any():

@@ -154,6 +154,39 @@ def sjcount_device_parity():
     }
 
 
+def seed_lookup_parity():
+    """The seeding twin (index/seed_device.py): device-resident sorted
+    hash table + fused searchsorted vs the threaded host bucketed binary
+    search, at a production-shaped payload (~2M query hashes against a
+    multi-million-entry table)."""
+    from lr2rmats_tpu.index.minimizer import MinimizerIndex
+    from test_seed_device import _genome
+    genome, rng = _genome(seed=5, mb=8.0, repeats=60)
+    idx = MinimizerIndex.build(genome)
+    from lr2rmats_tpu.index.seed_device import DeviceSeedLookup
+    dev = DeviceSeedLookup(idx)
+    nq = 2_000_000
+    q = np.concatenate([
+        rng.choice(idx.hashes, nq // 2),
+        rng.integers(0, 1 << (2 * idx.k), nq // 2).astype(np.uint64)])
+    rng.shuffle(q)
+    hb(f"seed_lookup: table={len(idx.hashes)} queries={nq}")
+    (lo_d, hi_d), _ = _ms(dev.lookup, q, repeat=1)
+    (_, t_dev) = _ms(dev.lookup, q, repeat=3)
+    (lo_h, hi_h), t_host = _ms(idx.lookup, q, repeat=3)
+    same = (np.array_equal(lo_d, lo_h) and np.array_equal(hi_d, hi_h))
+    return {
+        "kernel": "index/seed_device.py DeviceSeedLookup "
+                  "(resident int32 table, fused lo/hi searchsorted)",
+        "mode": "compiled",
+        "table_entries": int(len(idx.hashes)),
+        "n_queries": nq,
+        "ranges_identical": bool(same),
+        "host_ms": t_host,
+        "device_ms": t_dev,
+    }
+
+
 def polish_place_parity():
     """The batched forced-placement score path (align/polish.py
     _constrained_place_many: device shift-DP pair + fused best-split
@@ -223,11 +256,14 @@ def main():
     hb("sjcount_device done")
     out["polish_place"] = polish_place_parity()
     hb("polish_place done")
+    out["seed_lookup"] = seed_lookup_parity()
+    hb("seed_lookup done")
     ok = (out["chain_pallas"]["matches_scan_kernel"] and
           out["chain_pallas"]["matches_host_dp"] and
           out["splice_device"]["matches_host_reference"] and
           out["sjcount_device"]["counts_identical"] and
-          out["polish_place"]["scores_identical"])
+          out["polish_place"]["scores_identical"] and
+          out["seed_lookup"]["ranges_identical"])
     out["all_parity"] = bool(ok)
     path = os.environ.get("PARITY_JSON") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
