@@ -25,7 +25,10 @@ direct-attached TPU-host silicon the same call is ~24 gather passes
 over a resident 60 MB table at HBM bandwidth (~1 ms) + PCIe/ICI
 transfers, and this backend becomes the natural fast path
 (LR2RMATS_DEVICE_SEED=1 to enable).  Measured on the real chip
-2026-08-19: see DEVICE_PARITY.json section "seed_lookup".
+2026-08-19 (DEVICE_PARITY.json "seed_lookup"): 2.7M-entry table, 2M
+queries, ranges bit-identical, device 1675.6 ms vs host 26.8 ms — the
+~24 MB round trip at the ~30-56 MB/s relay, exactly the link-bound
+loss the model above predicts.
 """
 
 from __future__ import annotations
