@@ -128,8 +128,15 @@ class BatchAligner:
         # it auto-doubles the batch on a real accelerator (see _chunk)
         self.chunk_scale = 1
         # extension is dominated by GIL-releasing native calls, so a small
-        # thread pool pays off
-        self.n_threads = n_threads if n_threads is not None else min(4, os.cpu_count() or 1)
+        # thread pool pays off.  LR2RMATS_THREADS overrides for bigger
+        # hosts (the 4-cap is tuned to THIS 4-core rig, where one extra
+        # worker already starves the relay client — see the
+        # LR2RMATS_SEED_WORKERS note in CLAUDE.md)
+        if n_threads is None:
+            env_t = os.environ.get("LR2RMATS_THREADS")
+            n_threads = (int(env_t) if env_t
+                         else min(4, os.cpu_count() or 1))
+        self.n_threads = max(1, n_threads)
         self._pool = None
         import threading
         self._pool_lock = threading.Lock()
