@@ -143,6 +143,32 @@ class Genome(SeqSet):
         return self.codes[o + s: o + e]
 
 
+def _gather_names(buf: np.ndarray, name_off: np.ndarray,
+                  name_len: np.ndarray) -> list:
+    """Record names via ONE vectorized gather + ONE decode.
+
+    A per-record `buf[o:o+l].tobytes().decode()` loop costs ~20 s at
+    500k records on this host; gathering every name byte into one
+    newline-separated buffer and splitting the single decoded string is
+    ~1 s.  Names never contain whitespace (the parser cuts at the first
+    space/tab/newline), so '\\n' is a safe separator."""
+    nr = len(name_off)
+    if nr == 0:
+        return []
+    if not isinstance(buf, np.ndarray):
+        buf = np.frombuffer(buf, np.uint8)
+    lens = name_len.astype(np.int64)
+    tot = int(lens.sum())
+    out_start = np.zeros(nr + 1, np.int64)
+    np.cumsum(lens + 1, out=out_start[1:])          # +1 separator slot
+    out = np.full(int(out_start[-1]), 10, np.uint8)
+    inner = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens[:-1])]), lens)
+    out[np.repeat(out_start[:-1], lens) + inner] = \
+        buf[np.repeat(name_off, lens) + inner]
+    return out.tobytes().decode()[:-1].split("\n")
+
+
 def _parse_fasta_native(buf: bytes) -> Optional[SeqSet]:
     """One-pass native FASTA parse (csrc fasta_parse_c); None when the
     native lib is unavailable.  numpy elementwise ops run at an erratic
@@ -153,8 +179,9 @@ def _parse_fasta_native(buf: bytes) -> Optional[SeqSet]:
     if lib is None:
         return None
     import ctypes
+    from ..utils.fileio import count_byte
     n = len(buf)
-    cap_rec = max(int(np.count_nonzero(buf == ord(">"))), 1)
+    cap_rec = max(count_byte(buf, ord(">")), 1)
     codes = np.empty(n, np.uint8)
     rec_off = np.empty(cap_rec + 1, np.int64)
     name_off = np.empty(cap_rec, np.int64)
@@ -162,8 +189,7 @@ def _parse_fasta_native(buf: bytes) -> Optional[SeqSet]:
     total = ctypes.c_int64()
     nr = int(lib.fasta_parse_c(buf, n, codes, rec_off, name_off, name_len,
                                ctypes.byref(total)))
-    names = [buf[name_off[i]: name_off[i] + name_len[i]].tobytes().decode()
-             for i in range(nr)]
+    names = _gather_names(buf, name_off[:nr], name_len[:nr])
     # views, not copies: a fresh copy of an N-byte buffer pays the
     # ~150 MB/s first-touch cost again
     return SeqSet(names, codes[: int(total.value)],

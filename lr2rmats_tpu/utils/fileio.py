@@ -49,14 +49,19 @@ def read_bytes(path: str) -> bytes:
     return b"".join(chunks)
 
 
-def count_newlines(buf) -> int:
-    """Chunked newline count.  One `buf == 10` over a GB-scale buffer both
-    materializes a same-size bool temporary AND hits this image's
+def count_byte(buf, byte: int) -> int:
+    """Chunked single-byte count.  One `buf == b` over a GB-scale buffer
+    both materializes a same-size bool temporary AND hits this image's
     pathological large-reduction path (measured 5.1 s vs 0.19 s chunked on
-    an 845 MB SAM)."""
+    an 845 MB SAM; 6.9 s vs 0.36 s counting '>' in an 835 MB FASTA)."""
     import numpy as np
     n = 0
     CH = 1 << 24
     for off in range(0, len(buf), CH):
-        n += int(np.count_nonzero(buf[off: off + CH] == 10))
+        n += int(np.count_nonzero(buf[off: off + CH] == byte))
     return n
+
+
+def count_newlines(buf) -> int:
+    """Chunked newline count (see count_byte)."""
+    return count_byte(buf, 10)

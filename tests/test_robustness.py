@@ -24,6 +24,31 @@ def test_empty_fasta(tmp_path):
     assert s.n == 0
 
 
+def test_fasta_names_and_parsers_agree(tmp_path):
+    """Native parse (vectorized _gather_names) == numpy parse on header
+    edge cases: description after space/tab (cut), empty name, multiline
+    records, no trailing newline."""
+    from lr2rmats_tpu.io.fasta import (_parse_fasta_native, _parse_fasta_vec,
+                                       decode_seq)
+    from lr2rmats_tpu.utils.fileio import read_into_array
+    text = (">r1 description words\nACGT\nACG\n"
+            ">\nTTTT\n"
+            ">r3\ttab-desc\nGG\n"
+            ">r4\nACGTACGT")
+    p = tmp_path / "edge.fa"
+    p.write_text(text)
+    buf = read_into_array(str(p))
+    nat = _parse_fasta_native(buf)
+    vec = _parse_fasta_vec(buf.tobytes())
+    if nat is not None:
+        assert nat.names == vec.names
+        np.testing.assert_array_equal(nat.codes, vec.codes)
+        np.testing.assert_array_equal(nat.offsets, vec.offsets)
+    assert vec.names == ["r1", "", "r3", "r4"]
+    assert decode_seq(vec.get(0)) == "ACGTACG"
+    assert decode_seq(vec.get(3)) == "ACGTACGT"
+
+
 def test_missing_sj_is_empty():
     assert read_sj_group(None, ChrNames()).n == 0
 
