@@ -233,15 +233,88 @@ def _parse_fasta_vec(buf: bytes) -> SeqSet:
     return SeqSet(names, codes, offs)
 
 
+def _newline_positions(buf: np.ndarray) -> np.ndarray:
+    """Chunked np.flatnonzero(buf == 10) — the one-shot compare over a
+    GB-scale buffer hits this image's pathological large-elementwise path
+    (see utils/fileio.count_byte)."""
+    CH = 1 << 24
+    parts = [np.flatnonzero(buf[off: off + CH] == 10) + off
+             for off in range(0, len(buf), CH)]
+    if not parts:
+        return np.zeros(0, np.int64)
+    return np.concatenate(parts).astype(np.int64, copy=False)
+
+
+def _parse_fastq_vec(buf: np.ndarray) -> Optional[SeqSet]:
+    """Vectorized 4-line-record FASTQ parse; None for the (legacy)
+    multiline layout, which falls back to the line loop."""
+    if len(buf) == 0:
+        return SeqSet([], np.zeros(0, np.uint8), np.zeros(1, np.int64))
+    nl = _newline_positions(buf)
+    if len(buf) and (not len(nl) or nl[-1] != len(buf) - 1):
+        nl = np.concatenate([nl, [len(buf)]])   # virtual trailing newline
+    if len(nl) % 4:
+        return None
+    starts = np.empty(len(nl), np.int64)
+    starts[0] = 0
+    starts[1:] = nl[:-1] + 1
+    hdr, seq_s, plus = starts[0::4], starts[1::4], starts[2::4]
+    if not (buf[hdr] == ord("@")).all() or not (buf[plus] == ord("+")).all():
+        return None
+    seq_e = nl[1::4]
+    # qual length must equal seq length (guards against multiline records
+    # that happen to hit the '@'/'+' checks)
+    if not ((nl[3::4] - starts[3::4]) == (seq_e - seq_s)).all():
+        return None
+    lens = seq_e - seq_s
+    offs = np.zeros(len(hdr) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    tot = int(offs[-1])
+    inner = np.arange(tot, dtype=np.int64) - np.repeat(offs[:-1], lens)
+    codes = _CODE[buf[np.repeat(seq_s, lens) + inner]]
+    # header lines (minus '@') in one decode; cut at first whitespace
+    full = _gather_names(buf, hdr + 1, (nl[0::4] - hdr - 1).astype(np.int64))
+    names = [h.split(None, 1)[0] if (" " in h or "\t" in h) else h
+             for h in full]
+    return SeqSet(names, codes, offs)
+
+
+def _gunzip_to_array(path: str) -> np.ndarray:
+    """Whole gzip member chain decompressed to one uint8 array (zlib's C
+    inflate at ~200 MB/s — the gzip.open line loop is >10x slower)."""
+    import zlib
+    from ..utils.fileio import read_bytes
+    raw = read_bytes(path)
+    chunks = []
+    while raw:
+        d = zlib.decompressobj(31)
+        chunks.append(d.decompress(raw))
+        raw = d.unused_data       # concatenated gzip members (bgzip etc.)
+    joined = b"".join(chunks) if len(chunks) != 1 else chunks[0]
+    return np.frombuffer(joined, np.uint8)
+
+
 def read_fasta(path: str) -> SeqSet:
-    # fast path: plain (uncompressed) FASTA
+    """FASTA or FASTQ, plain or gzipped — vectorized/native parse on
+    every path; the iter_fastx line loop remains only as the fallback
+    for legacy multiline FASTQ."""
     with open(path, "rb") as f:
-        head = f.read(1)
-    if head == b">":
+        head = f.read(2)
+    buf = None
+    if head[:2] == b"\x1f\x8b":
+        buf = _gunzip_to_array(path)
+    elif head[:1] in (b">", b"@"):
         from ..utils.fileio import read_into_array
         buf = read_into_array(path)
+    if buf is not None and len(buf) and buf[0] == ord(">"):
         s = _parse_fasta_native(buf)
         return s if s is not None else _parse_fasta_vec(buf.tobytes())
+    if buf is not None and len(buf) and buf[0] == ord("@"):
+        s = _parse_fastq_vec(buf)
+        if s is not None:
+            return s
+    elif buf is not None and len(buf) == 0:
+        return SeqSet([], np.zeros(0, np.uint8), np.zeros(1, np.int64))
     names, bufs = [], []
     for name, seq in iter_fastx(path):
         names.append(name)

@@ -1,0 +1,79 @@
+"""Fast ingestion paths (io/fasta.py): FASTA/FASTQ x plain/gzip all take
+a vectorized or native parse (the reference accepts the same four input
+shapes via kseq.h, README.md:161-163); odd layouts fall back to the
+legacy line loop with identical results."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from lr2rmats_tpu.io.fasta import (SeqSet, _parse_fastq_vec, decode_seq,
+                                   read_fasta)
+
+
+FA = ">r1 desc words\nACGT\nAC\n>r2\nGGTT\n"
+FQ = "@q1 d\nACGTN\n+\nIIIII\n@q2\nTT\n+x\nII\n"
+
+
+def _write(tmp_path, name, text, gz=False):
+    p = tmp_path / name
+    if gz:
+        with gzip.open(str(p), "wb") as f:
+            f.write(text.encode())
+    else:
+        p.write_text(text)
+    return str(p)
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_fasta_plain_and_gz(tmp_path, gz):
+    s = read_fasta(_write(tmp_path, "t.fa.gz" if gz else "t.fa", FA, gz))
+    assert s.names == ["r1", "r2"]
+    assert decode_seq(s.get(0)) == "ACGTAC"
+    assert decode_seq(s.get(1)) == "GGTT"
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_fastq_plain_and_gz(tmp_path, gz):
+    s = read_fasta(_write(tmp_path, "t.fq.gz" if gz else "t.fq", FQ, gz))
+    assert s.names == ["q1", "q2"]
+    assert decode_seq(s.get(0)) == "ACGTN"
+    assert decode_seq(s.get(1)) == "TT"
+
+
+def test_fastq_no_trailing_newline(tmp_path):
+    s = read_fasta(_write(tmp_path, "nt.fq", "@n1\nACG\n+\nIII"))
+    assert s.names == ["n1"] and decode_seq(s.get(0)) == "ACG"
+
+
+def test_fastq_vec_declines_odd_layouts():
+    """Multiline / mis-framed records return None (legacy loop takes
+    over) rather than mis-parsing."""
+    for text in ("@m1\nACGT\nACGT\n+\nIIIIIIII\n",        # 5 lines
+                 "@a\nAC\n+\nII\nxx\nAC\n+\nII\n",        # non-@ record
+                 "@a\nACGT\n+\nII\n"):                    # qual != seq len
+        buf = np.frombuffer(text.encode(), np.uint8)
+        assert _parse_fastq_vec(buf) is None
+
+
+def test_fastq_gz_at_500_records(tmp_path):
+    """Round-trip a bigger synthetic FASTQ through the gz fast path."""
+    rng = np.random.default_rng(0)
+    recs = []
+    seqs = []
+    for i in range(500):
+        sq = "".join("ACGT"[c] for c in rng.integers(0, 4, 80))
+        seqs.append(sq)
+        recs.append(f"@read{i} extra\n{sq}\n+\n{'I' * 80}\n")
+    p = _write(tmp_path, "big.fq.gz", "".join(recs), gz=True)
+    s = read_fasta(p)
+    assert s.n == 500
+    assert s.names[17] == "read17"
+    assert decode_seq(s.get(499)) == seqs[499]
+
+
+def test_empty_gz(tmp_path):
+    p = _write(tmp_path, "e.fa.gz", "", gz=True)
+    s = read_fasta(p)
+    assert s.n == 0
