@@ -218,10 +218,16 @@ class BatchAligner:
         # (index/seed_device.py, LR2RMATS_DEVICE_SEED=1) slots in only
         # for plain single-shard indexes
         look = getattr(idx, "lookup_collective", None)
-        if look is None:
-            look = (self._seed_lookup.lookup if self._seed_lookup is not None
-                    else idx.lookup)
-        lo, hi = look(h)
+        if look is None and self._seed_lookup is not None:
+            tw = self._seed_lookup
+            w0, c0 = tw.wall_s, tw.calls
+            lo, hi = tw.lookup(h)
+            # count the twin's link time like every other device path so
+            # device_fraction stays honest under LR2RMATS_DEVICE_SEED=1
+            self.stats["device_wall_s"] += tw.wall_s - w0
+            self.stats["device_calls"] += tw.calls - c0
+        else:
+            lo, hi = (look or idx.lookup)(h)
         cnt = (hi - lo).astype(np.int64)
         keep = cnt > 0
         if not keep.any():

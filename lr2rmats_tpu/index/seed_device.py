@@ -66,8 +66,12 @@ class DeviceSeedLookup:
 
     @staticmethod
     def supports(index) -> bool:
-        return (2 * int(index.k) <= 31
-                and len(index.hashes) < (1 << 31) - 1)
+        # sharded indexes (parallel/shard_index.py) duck-type lookup but
+        # hold no flat .hashes table — they keep their collective path
+        hashes = getattr(index, "hashes", None)
+        return (hashes is not None
+                and 2 * int(index.k) <= 31
+                and len(hashes) < (1 << 31) - 1)
 
     def _build(self):
         import jax

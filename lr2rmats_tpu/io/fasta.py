@@ -201,7 +201,7 @@ def _parse_fasta_vec(buf: bytes) -> SeqSet:
     a = np.frombuffer(buf, np.uint8)
     if len(a) and buf[-1:] != b"\n":
         a = np.concatenate([a, np.frombuffer(b"\n", np.uint8)])
-    nl = np.where(a == 10)[0]
+    nl = _newline_positions(a)   # chunked (GB-scale one-shot compare trap)
     starts = np.empty(len(nl), np.int64)
     starts[0] = 0
     starts[1:] = nl[:-1] + 1
@@ -286,10 +286,17 @@ def _gunzip_to_array(path: str) -> np.ndarray:
     from ..utils.fileio import read_bytes
     raw = read_bytes(path)
     chunks = []
+    d = None
     while raw:
         d = zlib.decompressobj(31)
         chunks.append(d.decompress(raw))
         raw = d.unused_data       # concatenated gzip members (bgzip etc.)
+    if d is not None and not d.eof:
+        # truncated member: zlib returns the partial output silently, and
+        # any prefix of a FASTA is valid FASTA — fail loudly instead of
+        # parsing a silently shortened dataset (gzip.open raised here too)
+        raise EOFError(f"{path}: compressed file ended before the "
+                       "end-of-stream marker")
     joined = b"".join(chunks) if len(chunks) != 1 else chunks[0]
     return np.frombuffer(joined, np.uint8)
 
@@ -306,6 +313,11 @@ def read_fasta(path: str) -> SeqSet:
     elif head[:1] in (b">", b"@"):
         from ..utils.fileio import read_into_array
         buf = read_into_array(path)
+    if buf is not None and len(buf):
+        from ..utils.fileio import count_byte
+        if count_byte(buf, 13):
+            buf = None      # CRLF input: the line loop strips '\r'; the
+            #                 vectorized parsers would encode it as N
     if buf is not None and len(buf) and buf[0] == ord(">"):
         s = _parse_fasta_native(buf)
         return s if s is not None else _parse_fasta_vec(buf.tobytes())

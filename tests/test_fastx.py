@@ -77,3 +77,30 @@ def test_empty_gz(tmp_path):
     p = _write(tmp_path, "e.fa.gz", "", gz=True)
     s = read_fasta(p)
     assert s.n == 0
+
+
+def test_truncated_gz_raises(tmp_path):
+    """A gzip member cut mid-stream must fail loudly: any prefix of a
+    FASTA is valid FASTA, so silent partial decompression would parse as
+    a silently shortened dataset."""
+    whole = _write(tmp_path, "t.fa.gz", FA * 200, gz=True)
+    data = open(whole, "rb").read()
+    cut = tmp_path / "cut.fa.gz"
+    cut.write_bytes(data[: len(data) // 2])
+    with pytest.raises(EOFError):
+        read_fasta(str(cut))
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_crlf_input_matches_unix(tmp_path, gz):
+    """CRLF files route to the '\\r'-stripping line loop, not the
+    vectorized parsers (which would encode '\\r' as an N base)."""
+    for name, text in (("c.fa", FA), ("c.fq", FQ)):
+        crlf = text.replace("\n", "\r\n")
+        a = read_fasta(_write(tmp_path, name + (".gz" if gz else ""),
+                              text, gz))
+        b = read_fasta(_write(tmp_path, "crlf_" + name +
+                              (".gz" if gz else ""), crlf, gz))
+        assert a.names == b.names
+        np.testing.assert_array_equal(a.codes, b.codes)
+        np.testing.assert_array_equal(a.offsets, b.offsets)

@@ -64,6 +64,45 @@ def test_supports_gate():
         DeviceSeedLookup(idx16)
 
 
+def test_sharded_index_keeps_collective_path(monkeypatch):
+    """LR2RMATS_DEVICE_SEED=1 with a sharded index (no flat .hashes)
+    must not crash aligner construction — the collective lookup wins."""
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.parallel.shard_index import ShardedMinimizerIndex
+    genome, _ = _genome(seed=11, mb=0.5, repeats=5)
+    sh = ShardedMinimizerIndex.build(genome, 2)
+    assert not DeviceSeedLookup.supports(sh)
+    monkeypatch.setenv("LR2RMATS_DEVICE_SEED", "1")
+    al = BatchAligner(genome, index=sh, backend="host")
+    try:
+        assert al._seed_lookup is None
+    finally:
+        al.close()
+
+
+def test_twin_wall_counted_in_device_stats(monkeypatch):
+    """The twin's link time lands in BatchAligner.stats like every other
+    device path (device_fraction honesty under LR2RMATS_DEVICE_SEED=1)."""
+    import bench
+    from lr2rmats_tpu.align.batch import BatchAligner
+    from lr2rmats_tpu.io.fasta import SeqSet
+    genome, rng = _genome(seed=9, mb=1.0, repeats=5)
+    reads, _ = bench.simulate_reads(genome, 40, rng)
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    ss = SeqSet([f"r{i}" for i in range(len(reads))],
+                np.concatenate(reads), offs)
+    monkeypatch.setenv("LR2RMATS_DEVICE_SEED", "1")
+    al = BatchAligner(genome, backend="host")
+    try:
+        al.align_seqset_packed(ss, batch_size=32)
+        assert al._seed_lookup is not None and al._seed_lookup.calls > 0
+        assert al.stats["device_calls"] >= al._seed_lookup.calls
+        assert al.stats["device_wall_s"] >= al._seed_lookup.wall_s > 0
+    finally:
+        al.close()
+
+
 def test_aligner_sam_byte_identical(monkeypatch):
     """BatchAligner under LR2RMATS_DEVICE_SEED=1 emits byte-identical SAM
     to the host seeding path (production wiring in _batch_anchors)."""
