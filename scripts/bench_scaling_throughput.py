@@ -62,22 +62,34 @@ def split_samples(sim: str, work: str):
     return long_list, short_list, n_reads
 
 
-def run_arm(sim, long_list, short_list, out_dir, nproc, port):
+def run_arm(sim, long_list, short_list, out_dir, nproc, port, pin=0):
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
            "XLA_FLAGS": ""}
+    if pin:
+        # equal-resources-per-"host" mode: every process owns a disjoint
+        # pin-core slice, and the aligner thread pool matches it
+        env["LR2RMATS_THREADS"] = str(pin)
+
+    def wrap(cmd, pid):
+        if not pin:
+            return cmd
+        cores = ",".join(str(c) for c in range(pid * pin, (pid + 1) * pin))
+        return ["taskset", "-c", cores] + cmd
+
     base = [sys.executable, "-m", "lr2rmats_tpu", "run",
             "--genome", f"{sim}/genome.fa", "--gtf", f"{sim}/anno.gtf",
             "--long-read-list", long_list, "--short-read-list", short_list,
             "--out-dir", out_dir, "--cpu"]
     t0 = time.perf_counter()
     if nproc == 1:
-        r = subprocess.run(base, env=env, capture_output=True, text=True,
-                           timeout=3600)
+        r = subprocess.run(wrap(base, 0), env=env, capture_output=True,
+                           text=True, timeout=3600)
         assert r.returncode == 0, r.stderr[-3000:]
     else:
         procs = [subprocess.Popen(
-            base + ["--coordinator", f"127.0.0.1:{port}",
-                    "--num-processes", str(nproc), "--process-id", str(pid)],
+            wrap(base + ["--coordinator", f"127.0.0.1:{port}",
+                         "--num-processes", str(nproc),
+                         "--process-id", str(pid)], pid),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=REPO) for pid in range(nproc)]
         for p in procs:
@@ -92,6 +104,12 @@ def main():
     ap.add_argument("--procs", default="1,2,4")
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
     ap.add_argument("--work", default="/tmp/sim500k_scaling")
+    ap.add_argument("--pin-cores", type=int, default=0, metavar="N",
+                    help="give every process its own disjoint N-core slice "
+                         "(taskset) + an N-thread aligner pool — the "
+                         "equal-resources-per-host analog of multi-host "
+                         "scaling (north-star metric).  procs*N must not "
+                         "exceed the machine's cores.")
     args = ap.parse_args()
 
     long_list, short_list, n_reads = split_samples(args.sim, args.work)
@@ -104,7 +122,7 @@ def main():
         out_dir = os.path.join(args.work, f"out_p{nproc}")
         subprocess.run(["rm", "-rf", out_dir], check=True)
         wall = run_arm(args.sim, long_list, short_list, out_dir, nproc,
-                       29650 + i)
+                       29650 + i, pin=args.pin_cores)
         with open(os.path.join(out_dir, "output", "updated.gtf"), "rb") as f:
             gtf = f.read()
         if ref_gtf is None:
@@ -120,13 +138,23 @@ def main():
     for nproc, a in arms.items():
         a["efficiency_vs_1proc"] = round(
             a["reads_per_s"] / (base_rps * nproc / min(arms)), 3)
+    if args.pin_cores:
+        backend = (f"jax.distributed (Gloo), CPU, {args.pin_cores} pinned "
+                   "cores + matching thread pool per process (taskset)")
+        caveat = ("equal-resources-per-host analog: every process owns a "
+                  "disjoint core slice, so efficiency measures the "
+                  "coordination + merge cost itself (the multi-host "
+                  "north-star), not core contention")
+    else:
+        backend = "jax.distributed (Gloo), CPU, single 4-core host"
+        caveat = ("all processes share one 4-core host: per-process host "
+                  "phases contend, so efficiency here is a lower bound on "
+                  "multi-host scaling where each process owns its cores")
     doc = dict(
-        metric="multiprocess_scaling_500k",
+        metric=("multiprocess_scaling_500k_pinned" if args.pin_cores
+                else "multiprocess_scaling_500k"),
         n_reads=n_reads, n_samples=N_SAMPLES,
-        backend="jax.distributed (Gloo), CPU, single 4-core host",
-        caveat="all processes share one 4-core host: per-process host "
-               "phases contend, so efficiency here is a lower bound on "
-               "multi-host scaling where each process owns its cores",
+        backend=backend, caveat=caveat,
         arms={str(k): v for k, v in sorted(arms.items())})
     with open(args.out, "w") as f:
         f.write(json.dumps(doc) + "\n")
