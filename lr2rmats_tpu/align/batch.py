@@ -124,6 +124,11 @@ class BatchAligner:
         # perf accounting for bench: wall spent blocked on the device link,
         # anchors dispatched, device calls made
         self.stats = {"device_wall_s": 0.0, "anchors": 0, "device_calls": 0}
+        # mid-run device/relay failure recovery: once a device call dies
+        # (the axon relay has documented multi-hour outage modes that can
+        # START mid-run), the rest of the run rides the bit-equal host
+        # paths instead of killing the pipeline (_device_fallback)
+        self.device_failed = False
         # device-chunk height multiplier; align_seqset_packed sets 2 when
         # it auto-doubles the batch on a real accelerator (see _chunk)
         self.chunk_scale = 1
@@ -221,11 +226,16 @@ class BatchAligner:
         if look is None and self._seed_lookup is not None:
             tw = self._seed_lookup
             w0, c0 = tw.wall_s, tw.calls
-            lo, hi = tw.lookup(h)
-            # count the twin's link time like every other device path so
-            # device_fraction stays honest under LR2RMATS_DEVICE_SEED=1
-            self.stats["device_wall_s"] += tw.wall_s - w0
-            self.stats["device_calls"] += tw.calls - c0
+            try:
+                lo, hi = tw.lookup(h)
+            except Exception as e:
+                self._device_fallback("seed lookup twin", e)
+                lo, hi = idx.lookup(h)
+            else:
+                # count the twin's link time like every other device path
+                # so device_fraction stays honest (LR2RMATS_DEVICE_SEED=1)
+                self.stats["device_wall_s"] += tw.wall_s - w0
+                self.stats["device_calls"] += tw.calls - c0
         else:
             lo, hi = (look or idx.lookup)(h)
         cnt = (hi - lo).astype(np.int64)
@@ -491,6 +501,17 @@ class BatchAligner:
         return dict(pre=pending, multi_bufs=multi_items,
                     multi_parts=multi_parts, shapes=shapes, spills=spills,
                     host_rows=host_rows)
+
+    def _device_fallback(self, where: str, err: BaseException) -> None:
+        """Record a mid-run device failure and route the remainder of the
+        run to the bit-equal host paths (outputs stay byte-identical —
+        every device kernel has an exact host twin)."""
+        if not self.device_failed:
+            log("align", "DEVICE FAILURE in %s (%r) — falling back to the "
+                "bit-equal host path for the rest of this run", where, err)
+        self.device_failed = True
+        self._seed_lookup = None
+        self.junction_backend = "host"
 
     def _chain_rows_async(self, rows: List[_Row], prep=None):
         """Dispatch fused chain-DP + backtrack for all rows; returns the
@@ -1364,10 +1385,22 @@ class BatchAligner:
                     # so for that backend the WHOLE build runs here on the
                     # main thread — a worker-thread device call racing the
                     # main thread's dispatch deadlocks the relay client.
-                    chained = self._materialize_chains(rows, pending)
+                    try:
+                        chained = self._materialize_chains(rows, pending)
+                    except Exception as e:
+                        if pending in ("host", "pallas"):
+                            raise       # nothing to fall back to
+                        self._device_fallback("chain fetch", e)
+                        chained = self._materialize_chains(rows, "host")
                     if device_junc:
-                        build_futs.append(
-                            _Done(_build(names, codes, rows, chained)))
+                        try:
+                            built = _build(names, codes, rows, chained)
+                        except Exception as e:
+                            if self.junction_backend != "device":
+                                raise
+                            self._device_fallback("junction build", e)
+                            built = _build(names, codes, rows, chained)
+                        build_futs.append(_Done(built))
                     else:
                         build_futs.append(build_pool.submit(
                             _build, names, codes, rows, chained))
@@ -1378,7 +1411,16 @@ class BatchAligner:
                     if nxt < len(spans):
                         seed_futs.append(seed_pool.submit(_seed, *spans[nxt]))
                     t1 = _time.perf_counter()
-                    pending = self._chain_rows_async(rows, prep)
+                    if self.device_failed:
+                        pending = "host"
+                    else:
+                        try:
+                            pending = self._chain_rows_async(rows, prep)
+                        except Exception as e:
+                            if prep in ("host", "pallas"):
+                                raise
+                            self._device_fallback("chain dispatch", e)
+                            pending = "host"
                     st = self.stats
                     st["dispatch_s"] = (st.get("dispatch_s", 0.0) +
                                         _time.perf_counter() - t1)
@@ -1400,7 +1442,8 @@ class BatchAligner:
             d0w, d0c = _pdev["wall_s"], _pdev["calls"]
             n = polish_batch(rb, self.inner.genome.codes,
                              self.index.chrom_offsets,
-                             host_dp=self.backend == "host")
+                             host_dp=(self.backend == "host"
+                                      or self.device_failed))
             dw = _pdev["wall_s"] - d0w
             # the placement DP's link wall is device time, not host time:
             # count it under device_wall_s and exclude it from polish_s so

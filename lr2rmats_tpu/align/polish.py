@@ -421,11 +421,21 @@ def _constrained_place_many(items: List[tuple], ref: np.ndarray,
     # matrices were ~6.7 MB D2H per call over the relay); the handful of
     # ACCEPTED placements re-run the ~2 ms host DP for the traceback in
     # polish_batch.  Scores are integer-valued, so f32 == host f64 exactly.
-    best = np.asarray(jax.device_get(_polish_best_pair(
-        jax.numpy.asarray(q), jax.numpy.asarray(qr),
-        jax.numpy.asarray(lwin), jax.numpy.asarray(rwin),
-        jax.numpy.asarray(m_arr), jax.numpy.asarray(dl_arr),
-        jax.numpy.asarray(dr_arr))), np.float64)
+    try:
+        best = np.asarray(jax.device_get(_polish_best_pair(
+            jax.numpy.asarray(q), jax.numpy.asarray(qr),
+            jax.numpy.asarray(lwin), jax.numpy.asarray(rwin),
+            jax.numpy.asarray(m_arr), jax.numpy.asarray(dl_arr),
+            jax.numpy.asarray(dr_arr))), np.float64)
+    except Exception as e:  # device/relay failure mid-run: the scalar
+        #                     host DP is bit-identical — recover, don't die
+        from ..utils.log import log
+        log("polish", "DEVICE FAILURE in placement DP (%r) — "
+            "host DP for this batch", e)
+        for t in todo:
+            qwin, L0, R0, don, acc = items[t]
+            out[t] = _constrained_place(qwin, ref, L0, R0, don, acc)
+        return out
     device_stats["wall_s"] += _time.perf_counter() - _t0
     device_stats["calls"] += 1
     for g, t in enumerate(todo):

@@ -1,0 +1,125 @@
+"""Mid-run device/relay failure recovery (align/batch.py _device_fallback,
+polish.py _constrained_place_many): a device call dying mid-run must NOT
+kill the pipeline — the remainder rides the bit-equal host paths and the
+output stays byte-identical.  (Motivated by a real capture: a 500k TPU
+run died mid-align with a relay FailedPrecondition, 2026-08-19.)"""
+
+import numpy as np
+
+from lr2rmats_tpu.align.batch import BatchAligner
+from lr2rmats_tpu.index.minimizer import MinimizerIndex
+from lr2rmats_tpu.io.fasta import Genome, SeqSet
+
+
+def _workload(seed=3, mb=2.0, n_reads=150):
+    import bench
+    rng = np.random.default_rng(seed)
+    n = int(mb * 1e6)
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    genome = Genome(["c1"], codes, np.array([0, n], np.int64))
+    reads, _ = bench.simulate_reads(genome, n_reads, rng)
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    ss = SeqSet([f"r{i}" for i in range(len(reads))],
+                np.concatenate(reads), offs)
+    return genome, ss
+
+
+def _run(genome, ss, backend):
+    idx = MinimizerIndex.build(genome)
+    al = BatchAligner(genome, index=idx, backend=backend)
+    try:
+        rb = al.align_seqset_packed(ss, batch_size=32)
+        return rb.emit_sam(al.refs), al
+    finally:
+        al.close()
+
+
+def test_chain_dispatch_failure_recovers(monkeypatch):
+    """dispatch_multi_packed dying on the 3rd batch: run completes on the
+    host path, SAM byte-identical, device_failed set."""
+    genome, ss = _workload()
+    sam_host, _ = _run(genome, ss, "host")
+
+    import lr2rmats_tpu.ops.chain_jax as cj
+    real = cj.dispatch_multi_packed
+    calls = {"n": 0}
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cj, "dispatch_multi_packed", dying)
+    sam_dev, al = _run(genome, ss, "jax")
+    assert al.device_failed
+    assert calls["n"] >= 3          # device really was in use first
+    assert sam_dev == sam_host
+
+
+def test_chain_fetch_failure_recovers(monkeypatch):
+    """A pending device result that explodes at materialize time falls
+    back to host chaining for that batch and the rest of the run."""
+    genome, ss = _workload(seed=5)
+    sam_host, _ = _run(genome, ss, "host")
+
+    import lr2rmats_tpu.ops.chain_jax as cj
+    real = cj.dispatch_multi_packed
+
+    class Grenade:
+        """Detonates when the fetch side first touches it."""
+        def __getattr__(self, name):
+            raise RuntimeError("relay died mid-fetch")
+        def __iter__(self):
+            raise RuntimeError("relay died mid-fetch")
+        def __getitem__(self, i):
+            raise RuntimeError("relay died mid-fetch")
+
+    calls = {"n": 0}
+
+    def arming(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            return Grenade()
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cj, "dispatch_multi_packed", arming)
+    sam_dev, al = _run(genome, ss, "jax")
+    assert al.device_failed
+    assert sam_dev == sam_host
+
+
+def test_polish_dp_failure_recovers(monkeypatch):
+    """_polish_best_pair dying routes that polish batch through the
+    scalar host DP — results identical (it is bit-equal by design)."""
+    genome, ss = _workload(seed=7)
+    sam_host, _ = _run(genome, ss, "host")
+
+    import lr2rmats_tpu.align.polish as pol
+
+    def dying(*a, **kw):
+        raise RuntimeError("FAILED_PRECONDITION")
+
+    monkeypatch.setattr(pol, "_polish_best_pair", dying)
+    sam_dev, al = _run(genome, ss, "jax")
+    assert sam_dev == sam_host
+
+
+def test_seed_twin_failure_recovers(monkeypatch):
+    """A dying device seed twin drops back to the host lookup."""
+    genome, ss = _workload(seed=9)
+    monkeypatch.setenv("LR2RMATS_DEVICE_SEED", "1")
+    sam_ok, _ = _run(genome, ss, "host")
+
+    from lr2rmats_tpu.index.seed_device import DeviceSeedLookup
+
+    def dying(self, q, n_threads=0):
+        raise RuntimeError("relay down")
+
+    monkeypatch.setattr(DeviceSeedLookup, "lookup", dying)
+    sam_rec, al = _run(genome, ss, "host")
+    assert al.device_failed and al._seed_lookup is None
+    monkeypatch.delenv("LR2RMATS_DEVICE_SEED")
+    sam_plain, _ = _run(genome, ss, "host")
+    assert sam_rec == sam_plain == sam_ok
