@@ -397,6 +397,9 @@ class BatchAligner:
         bucket natively, pack the fixed device chunks into the kernel's
         delta format.  Pure numpy/C — safe on the seed worker thread, so
         none of it sits on the main thread's device critical path."""
+        if self.device_failed:
+            return "host"    # post-fallback: skip the (discarded) device
+            #                  packing on the seed workers entirely
         if self.backend in ("host", "pallas"):
             return self.backend
         from ..ops.chain_jax import EXC_ROWS, pack_chain_buf
@@ -1388,15 +1391,22 @@ class BatchAligner:
                     try:
                         chained = self._materialize_chains(rows, pending)
                     except Exception as e:
-                        if pending in ("host", "pallas"):
+                        if pending == "host":
                             raise       # nothing to fall back to
+                        # device OR pallas path: the host chain is the
+                        # bit-equal twin either way
                         self._device_fallback("chain fetch", e)
                         chained = self._materialize_chains(rows, "host")
                     if device_junc:
+                        # local snapshot: a concurrent fallback (e.g. the
+                        # seed twin dying on the seed worker) may flip
+                        # junction_backend mid-build; THIS build still used
+                        # the device and deserves its retry
+                        used_device = self.junction_backend == "device"
                         try:
                             built = _build(names, codes, rows, chained)
                         except Exception as e:
-                            if self.junction_backend != "device":
+                            if not used_device:
                                 raise
                             self._device_fallback("junction build", e)
                             built = _build(names, codes, rows, chained)
@@ -1417,7 +1427,7 @@ class BatchAligner:
                         try:
                             pending = self._chain_rows_async(rows, prep)
                         except Exception as e:
-                            if prep in ("host", "pallas"):
+                            if prep == "host":
                                 raise
                             self._device_fallback("chain dispatch", e)
                             pending = "host"

@@ -386,7 +386,11 @@ def _constrained_place_many(items: List[tuple], ref: np.ndarray,
     if not todo:
         return out
     import os
-    if host_dp or os.environ.get("LR2RMATS_POLISH_HOST_DP"):
+    if (host_dp or os.environ.get("LR2RMATS_POLISH_HOST_DP")
+            or device_stats.get("failed")):
+        # device_stats["failed"]: a device/relay death in an earlier call
+        # pins every later polish batch to the host DP too (don't pay a
+        # fresh relay timeout per sample once the link is known-dead)
         for t in todo:
             qwin, L0, R0, don, acc = items[t]
             out[t] = _constrained_place(qwin, ref, L0, R0, don, acc)
@@ -431,11 +435,9 @@ def _constrained_place_many(items: List[tuple], ref: np.ndarray,
         #                     host DP is bit-identical — recover, don't die
         from ..utils.log import log
         log("polish", "DEVICE FAILURE in placement DP (%r) — "
-            "host DP for this batch", e)
-        for t in todo:
-            qwin, L0, R0, don, acc = items[t]
-            out[t] = _constrained_place(qwin, ref, L0, R0, don, acc)
-        return out
+            "host DP from here on", e)
+        device_stats["failed"] = True
+        return _constrained_place_many(items, ref, host_dp=True)
     device_stats["wall_s"] += _time.perf_counter() - _t0
     device_stats["calls"] += 1
     for g, t in enumerate(todo):

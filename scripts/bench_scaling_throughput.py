@@ -156,8 +156,25 @@ def main():
         n_reads=n_reads, n_samples=N_SAMPLES,
         backend=backend, caveat=caveat,
         arms={str(k): v for k, v in sorted(arms.items())})
+    # the committed artifact holds BOTH framings: shared-host arms at the
+    # top level, pinned arms nested under "pinned_equal_resources" — a
+    # re-run of either mode merges into the other rather than clobbering
+    merged = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    if args.pin_cores:
+        merged["pinned_equal_resources"] = doc
+    else:
+        pinned = merged.get("pinned_equal_resources")
+        merged = doc
+        if pinned is not None:
+            merged["pinned_equal_resources"] = pinned
     with open(args.out, "w") as f:
-        f.write(json.dumps(doc) + "\n")
+        f.write(json.dumps(merged) + "\n")
     print(json.dumps(doc))
 
 

@@ -11,13 +11,13 @@ from lr2rmats_tpu.index.minimizer import MinimizerIndex
 from lr2rmats_tpu.io.fasta import Genome, SeqSet
 
 
-def _workload(seed=3, mb=2.0, n_reads=150):
+def _workload(seed=3, mb=2.0, n_reads=150, profile=None):
     import bench
     rng = np.random.default_rng(seed)
     n = int(mb * 1e6)
     codes = rng.integers(0, 4, n).astype(np.uint8)
     genome = Genome(["c1"], codes, np.array([0, n], np.int64))
-    reads, _ = bench.simulate_reads(genome, n_reads, rng)
+    reads, _ = bench.simulate_reads(genome, n_reads, rng, profile=profile)
     offs = np.zeros(len(reads) + 1, np.int64)
     np.cumsum([len(r) for r in reads], out=offs[1:])
     ss = SeqSet([f"r{i}" for i in range(len(reads))],
@@ -92,8 +92,10 @@ def test_chain_fetch_failure_recovers(monkeypatch):
 
 def test_polish_dp_failure_recovers(monkeypatch):
     """_polish_best_pair dying routes that polish batch through the
-    scalar host DP — results identical (it is bit-equal by design)."""
-    genome, ss = _workload(seed=7)
+    scalar host DP — results identical (it is bit-equal by design).
+    The ONT error profile guarantees near-miss junctions so the batched
+    device DP actually runs (vacuous otherwise)."""
+    genome, ss = _workload(seed=7, n_reads=400, profile="ont")
     sam_host, _ = _run(genome, ss, "host")
 
     import lr2rmats_tpu.align.polish as pol
@@ -102,8 +104,31 @@ def test_polish_dp_failure_recovers(monkeypatch):
         raise RuntimeError("FAILED_PRECONDITION")
 
     monkeypatch.setattr(pol, "_polish_best_pair", dying)
-    sam_dev, al = _run(genome, ss, "jax")
+    try:
+        sam_dev, al = _run(genome, ss, "jax")
+        # the module-level flag pins later polish batches to the host DP
+        # (no fresh relay timeout per sample once the link is known-dead)
+        assert pol.device_stats.get("failed") is True
+    finally:
+        pol.device_stats["failed"] = False   # don't poison other tests
     assert sam_dev == sam_host
+
+
+def test_pallas_chain_failure_recovers(monkeypatch):
+    """The pallas backend gets the same recovery — its host chain twin is
+    bit-equal too."""
+    genome, ss = _workload(seed=11)
+    sam_host, _ = _run(genome, ss, "host")
+
+    import lr2rmats_tpu.ops.chain_pallas as cp
+
+    def dying(*a, **kw):
+        raise RuntimeError("MosaicError: HTTP 500")
+
+    monkeypatch.setattr(cp, "chain_anchors_batch_pallas", dying)
+    sam_pal, al = _run(genome, ss, "pallas")
+    assert al.device_failed
+    assert sam_pal == sam_host
 
 
 def test_seed_twin_failure_recovers(monkeypatch):
