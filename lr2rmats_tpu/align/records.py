@@ -142,12 +142,19 @@ class RecordBatch:
 
     # ------------------------------------------------------------ SAM emit
     def emit_sam(self, refs: List[Tuple[str, int]]) -> bytes:
-        """All records as SAM text body bytes (no header) — one native
-        call when the library is available, byte-identical fallback."""
+        """All records as SAM text body bytes (no header)."""
+        out = self.emit_sam_array(refs)
+        return out.tobytes() if isinstance(out, np.ndarray) else out
+
+    def emit_sam_array(self, refs: List[Tuple[str, int]]):
+        """SAM body as a uint8 array view — the zero-copy variant the
+        pipeline uses (a .tobytes() of a ~900 MB body costs seconds on
+        this host's first-touch-slow VM).  One native call when the
+        library is available, byte-identical fallback."""
         from ..native import get_lib
         lib = get_lib()
         if lib is None or not self.n:
-            return self._emit_sam_py(refs)
+            return np.frombuffer(self._emit_sam_py(refs), np.uint8)
         qname_blob = "\x00".join(self.qname).encode() + b"\x00"
         qname_offs = np.zeros(self.n + 1, np.int64)
         np.cumsum([len(q.encode()) + 1 for q in self.qname],
@@ -178,8 +185,8 @@ class RecordBatch:
             np.frombuffer(ref_blob, np.uint8), ref_offs,
             self.n, out, cap)
         if nw < 0:
-            return self._emit_sam_py(refs)
-        return out[:nw].tobytes()
+            return np.frombuffer(self._emit_sam_py(refs), np.uint8)
+        return out[:nw]
 
     def _emit_sam_py(self, refs) -> bytes:
         lines = []

@@ -286,16 +286,21 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         filter_pool = ThreadPoolExecutor(1)
         filter_futs: Dict[str, Future] = {}
 
-        def _rb_filter(sample: str, sam_path: str, hdr: bytes, body: bytes):
+        def _rb_filter(sample: str, sam_path: str, hdr: bytes, body):
             filtered = A("alignment", f"{sample}.filtered.sam")
             with Timer(f"stage/filter[{sample}]",
                        benchmark_file=A("benchmark",
                                         f"{sample}.novel_gtf.benchmark.txt")):
+                # body is the emit_sam_array view: ONE concat builds the
+                # header+body buffer (the old bytes path paid two extra
+                # ~900 MB copies at 500k-read scale)
                 cmd_filter(None, filtered,
                            FilterParams(cfg.aln_cov, cfg.iden_frac,
                                         cfg.sec_rat),
                            rm_gtf=cfg.rm_gtf or None, out_format="sam",
-                           data=np.frombuffer(hdr + body, np.uint8))
+                           data=np.concatenate(
+                               [np.frombuffer(hdr, np.uint8),
+                                np.asarray(body, np.uint8)]))
                 _done(filtered, sam_path)
 
         for sample, reads in items:
@@ -337,10 +342,10 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                         st.get("polish_s", 0.0))
                     from ..io.sam import sam_header
                     hdr = sam_header(aligner.refs).encode()
-                    body = rb.emit_sam(aligner.refs)
+                    body = rb.emit_sam_array(aligner.refs)
                     with open(sam_path + ".tmp", "wb") as f:
                         f.write(hdr)
-                        f.write(body)
+                        f.write(memoryview(body))
                     os.replace(sam_path + ".tmp", sam_path)
                     _done(sam_path, cfg.genome_fasta, reads.long_read)
                     log("align", "%s: %d alignment records", sample, n)
