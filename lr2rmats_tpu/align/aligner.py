@@ -200,7 +200,7 @@ class SpliceAligner:
             vals, counts = np.unique(diag, return_counts=True)
             best_d = vals[int(np.argmax(counts))]
             m = diag == best_d
-            if int(counts.max()) < 1:
+            if int(counts.max()) < 2:
                 return None
             return cq[m], cg[m]
 
@@ -575,14 +575,15 @@ class SpliceAligner:
             has_intron = any(op == OP_N for op, _ in ops)
             if has_intron and vote != 0:
                 tags["XS"] = "+" if vote > 0 else "-"
-            from .mapq import MAPQ_UNIQUE, mapq_from_scores
-            mapq = (MAPQ_UNIQUE if len(cands) == 1 else
-                    mapq_from_scores(cands[0][0], cands[1][0]))
             recs.append(AlnRec(
                 qname=name, flag=flag, tid=tid, pos=pos,
-                mapq=mapq if rank == 0 else 0, cigar=cigar,
+                mapq=0, cigar=cigar,
                 seq=decode_seq(seq_codes), qual="*", tags=tags))
-        return recs
+        from .mapq import MAPQ_UNIQUE, mapq_from_scores
+        from .batch import BatchAligner
+        mapq = (MAPQ_UNIQUE if len(cands) == 1 else
+                mapq_from_scores(cands[0][0], cands[1][0]))
+        return BatchAligner._apply_survivor_ranks(recs, mapq)
 
     def align_seqset(self, reads: SeqSet) -> Iterator[AlnRec]:
         for i in range(reads.n):

@@ -74,6 +74,22 @@ CHAIN_CHUNK = {8: _scaled_chunk(2048), 64: _scaled_chunk(320),
 MAX_CLUSTERS_PER_STRAND = 4
 
 
+def _survivor_ranks(rid_kept: np.ndarray):
+    """Effective rank among each read's SURVIVING records + survivor
+    count per record.  Assumes rows grouped by read in candidate-rank
+    order (the `flat` layout).  The first survivor is the primary even
+    when the top-scoring chain failed the extension gate."""
+    n = len(rid_kept)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int32)
+    new = np.concatenate([[True], rid_kept[1:] != rid_kept[:-1]])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.concatenate([starts, [n]]))
+    eff = np.arange(n) - np.repeat(starts, counts)
+    nh = np.repeat(counts, counts).astype(np.int32)
+    return eff, nh
+
+
 @dataclass
 class _Row:
     read_i: int
@@ -505,6 +521,22 @@ class BatchAligner:
                     multi_parts=multi_parts, shapes=shapes, spills=spills,
                     host_rows=host_rows)
 
+    @staticmethod
+    def _apply_survivor_ranks(out, mapq_primary):
+        """Scalar twin of _survivor_ranks for the AlnRec build paths:
+        `out` is one read's surviving records in candidate-rank order —
+        the first survivor becomes the primary."""
+        from ..io.sam import FSECONDARY
+        for si, r in enumerate(out):
+            r.tags["NH"] = len(out)
+            if si == 0:
+                r.flag &= ~FSECONDARY
+                r.mapq = mapq_primary
+            else:
+                r.flag |= FSECONDARY
+                r.mapq = 0
+        return out
+
     def _device_fallback(self, where: str, err: BaseException) -> None:
         """Record a mid-run device failure and route the remainder of the
         run to the bit-equal host paths (outputs stay byte-identical —
@@ -762,14 +794,14 @@ class BatchAligner:
                 has_intron = any(op == OP_N for op, _ in ops)
                 if has_intron and vote != 0:
                     tags["XS"] = "+" if vote > 0 else "-"
-                from .mapq import MAPQ_UNIQUE, mapq_from_scores
-                mapq = (MAPQ_UNIQUE if len(cands) == 1 else
-                        mapq_from_scores(cands[0][0], cands[1][0]))
                 out.append(AlnRec(
                     qname=names[ri], flag=flag, tid=tid, pos=pos,
-                    mapq=mapq if rank == 0 else 0, cigar=cigar,
+                    mapq=0, cigar=cigar,
                     seq=decode_seq(seq_codes), qual="*", tags=tags))
-            return out
+            from .mapq import MAPQ_UNIQUE, mapq_from_scores
+            mapq = (MAPQ_UNIQUE if len(cands) == 1 else
+                    mapq_from_scores(cands[0][0], cands[1][0]))
+            return self._apply_survivor_ranks(out, mapq)
 
         order = sorted(per_read)
         from ..native import get_lib
@@ -1165,16 +1197,23 @@ class BatchAligner:
         cig_offs = np.zeros(len(kept) + 1, np.int64)
         np.cumsum(counts_kept, out=cig_offs[1:])
         tid, pos = self.index.global_to_chrom(pos_g[kept])
-        ranks = np.array([rank for _, rank in flat], np.int64)[kept]
-        nh = np.array([len(cands_by_read[ri]) for ri, _ in flat],
-                      np.int32)[kept]
+        # primary/secondary + NH are decided among SURVIVORS: when the
+        # top-scoring chain fails the extension gate, the next kept
+        # candidate is the read's primary (not an orphaned secondary with
+        # MAPQ 0 and an overcounted NH).  The MAPQ margin still uses the
+        # original candidate scores — a competing chain that failed
+        # extension is still ambiguity evidence (mapq.py calibration).
+        rid_kept = np.array([flat[i][0] for i in kept], np.int64)
+        ranks, nh = _survivor_ranks(rid_kept)
+        nh_cands = np.array([len(cands_by_read[ri]) for ri, _ in flat],
+                            np.int32)[kept]
         s1 = np.array([cands_by_read[ri][0][0] for ri, _ in flat],
                       np.float64)[kept]
         s2 = np.array([cands_by_read[ri][1][0]
                        if len(cands_by_read[ri]) > 1 else 0.0
                        for ri, _ in flat], np.float64)[kept]
         from .mapq import mapq_from_scores_vec
-        mq = mapq_from_scores_vec(s1, s2, nh, ranks)
+        mq = mapq_from_scores_vec(s1, s2, nh_cands, ranks)
         if self.record_margins:
             margin = 1.0 - s2 / np.maximum(s1, 1e-9)
             qn = [names[flat[i][0]] for i in kept]
@@ -1201,7 +1240,23 @@ class BatchAligner:
          rc_out) = ext
         recs: List[AlnRec] = []
         MIN_RESCUE = p.k + p.w + 4
+        from .mapq import MAPQ_UNIQUE, mapq_from_scores
+
+        cur_ri = None
+        cur_out: List[AlnRec] = []
+
+        def _flush():
+            if cur_ri is None or not cur_out:
+                return
+            cands = cands_by_read[cur_ri]
+            mapq = (MAPQ_UNIQUE if len(cands) == 1 else
+                    mapq_from_scores(cands[0][0], cands[1][0]))
+            recs.extend(self._apply_survivor_ranks(cur_out, mapq))
+
         for i, (ri, rank) in enumerate(flat):
+            if ri != cur_ri:
+                _flush()
+                cur_ri, cur_out = ri, []
             cands = cands_by_read[ri]
             score, s, cq, cg = cands[rank]
             codes = reads[ri]
@@ -1232,13 +1287,11 @@ class BatchAligner:
                     "NH": len(cands)}
             if vote != 0 and any(op == OP_N for op, _ in ops):
                 tags["XS"] = "+" if vote > 0 else "-"
-            from .mapq import MAPQ_UNIQUE, mapq_from_scores
-            mapq = (MAPQ_UNIQUE if len(cands) == 1 else
-                    mapq_from_scores(cands[0][0], cands[1][0]))
-            recs.append(AlnRec(
+            cur_out.append(AlnRec(
                 qname=names[ri], flag=flag, tid=tid, pos=pos,
-                mapq=mapq if rank == 0 else 0, cigar=cigar,
+                mapq=0, cigar=cigar,
                 seq=decode_seq(seq_codes), qual="*", tags=tags))
+        _flush()
         return recs
 
     def dispatch_batch(self, names: Sequence[str], reads: List[np.ndarray]):
@@ -1311,6 +1364,16 @@ class BatchAligner:
         # seed-ahead/build-under-wait pipelining matters more (the bench
         # A/B at 6144 reads: 3961 r/s at 1536 vs 1023 at 3072).  Explicit
         # LR2RMATS_BATCH always wins.
+        if getattr(self.index, "local_only", False):
+            raise ValueError(
+                "align_seqset_packed cannot drive a local_only "
+                "(multi-process) sharded index: the seed-ahead worker "
+                "would race the collective lookup's per-call pos/strand "
+                "state (parallel/shard_index.py).  Drive batches in "
+                "lockstep with dispatch_batch/finish_batch instead.")
+        self.chunk_scale = 1    # per-seqset: an aligner is reused across
+        #                         samples, and a small sample after a big
+        #                         one must not inherit 2x-padded chunks
         if (batch_size == DEFAULT_BATCH and "LR2RMATS_BATCH" not in os.environ
                 and self.backend not in ("host", "pallas")
                 and reads.n >= 64 * DEFAULT_BATCH):

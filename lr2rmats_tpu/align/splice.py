@@ -89,7 +89,6 @@ def refine_splice_np(q: np.ndarray, ref: np.ndarray, left_ref: int,
     +1 for '+'-motifs, -1 for '-'-motifs, 0 for non-canonical.
     """
     m = len(q)
-    span = right_ref - left_ref
     j = np.arange(m + 1)
     # matches of left prefix q[:j] vs ref[left_ref : left_ref+j]
     if m > 0:
