@@ -68,15 +68,27 @@ def iter_fastx(path: str) -> Iterator[Tuple[str, bytes]]:
                 else:
                     chunks.append(raw.strip())
             yield name, b"".join(chunks)
-        elif first == b"@":  # FASTQ
+        elif first == b"@":  # FASTQ (incl. legacy wrapped seq/qual lines)
             while True:
                 name_line = fp.readline()
-                if not name_line:
+                if not name_line or not name_line.strip():
                     break
                 name = name_line.split()[0].decode()
-                seq = fp.readline().strip()
-                fp.readline()  # '+'
-                fp.readline()  # qual
+                # sequence: lines until the '+' separator
+                seq_parts = []
+                line = fp.readline()
+                while line and not line.startswith(b"+"):
+                    seq_parts.append(line.strip())
+                    line = fp.readline()
+                seq = b"".join(seq_parts)
+                # quality: lines until the accumulated length covers the
+                # sequence (a wrapped qual line may itself start with '@')
+                ql = 0
+                while ql < len(seq):
+                    line = fp.readline()
+                    if not line:
+                        break
+                    ql += len(line.strip())
                 yield name, seq
                 nxt = fp.read(1)
                 if nxt != b"@":
@@ -112,25 +124,13 @@ class Genome(SeqSet):
 
     @classmethod
     def load(cls, path: str) -> "Genome":
+        """Delegates to read_fasta: one parser carries the CRLF guard,
+        the gzip fast path and the native/vec dispatch for genomes and
+        read sets alike (a hand-rolled copy here once diverged — CRLF
+        genomes corrupted on the no-native path)."""
         log("load_genome", "loading genome fasta file ...")
-        with open(path, "rb") as f:
-            head = f.read(1)
-        if head == b">":
-            from ..utils.fileio import read_into_array
-            buf = read_into_array(path)
-            s = _parse_fasta_native(buf)
-            if s is None:
-                s = _parse_fasta_vec(buf.tobytes())
-            g = cls(s.names, s.codes, s.offsets)
-            log("load_genome", "loading genome fasta file done!")
-            return g
-        names, bufs = [], []
-        for name, seq in iter_fastx(path):
-            names.append(name)
-            bufs.append(encode_seq(seq))
-        offs = np.zeros(len(bufs) + 1, np.int64)
-        np.cumsum([len(b) for b in bufs], out=offs[1:])
-        g = cls(names, np.concatenate(bufs) if bufs else np.zeros(0, np.uint8), offs)
+        s = read_fasta(path)
+        g = cls(s.names, s.codes, s.offsets)
         log("load_genome", "loading genome fasta file done!")
         return g
 

@@ -115,8 +115,30 @@ class AlnRec:
         return cigar_rlen(self.cigar)
 
 
+class TagArray(list):
+    """A SAM/BAM `B`-typed array tag value.  Subclasses list so existing
+    consumers can index it; `sub` carries the element type char
+    (c/C/s/S/i/I/f) so round-trips preserve the declared type."""
+
+    def __init__(self, vals, sub: str = "i"):
+        super().__init__(vals)
+        self.sub = sub
+
+
+class HexStr(str):
+    """A SAM/BAM `H`-typed hex string (round-trips as H, not Z)."""
+
+
+def _parse_tag_B(val: str) -> TagArray:
+    sub = val[0]
+    conv = float if sub == "f" else int
+    items = val.split(",")[1:]
+    return TagArray([conv(x) for x in items], sub)
+
+
 _TAG_PARSERS = {
-    "i": int, "A": str, "Z": str, "f": float,
+    "i": int, "A": str, "Z": str, "f": float, "H": HexStr,
+    "B": _parse_tag_B,
 }
 
 
@@ -168,10 +190,18 @@ class SamReader:
 
 
 def _tag_sam(name: str, val) -> str:
+    if isinstance(val, bool):
+        return f"{name}:i:{int(val)}"
     if isinstance(val, int):
         return f"{name}:i:{val}"
     if isinstance(val, float):
         return f"{name}:f:{val}"
+    if isinstance(val, HexStr):
+        return f"{name}:H:{val}"
+    if isinstance(val, (list, tuple)):
+        sub = getattr(val, "sub", None) or (
+            "f" if any(isinstance(x, float) for x in val) else "i")
+        return f"{name}:B:{sub}," + ",".join(str(x) for x in val)
     if isinstance(val, str) and len(val) == 1:
         return f"{name}:A:{val}"
     return f"{name}:Z:{val}"
@@ -252,6 +282,12 @@ def bgzf_decompress(path: str) -> bytes:
         else:  # plain gzip member: decompress the rest in one go
             d = zlib.decompressobj(31)
             out += d.decompress(raw[off:])
+            if not d.eof:
+                # truncated member: zlib hands back the partial inflate
+                # silently — fail loudly instead of dropping the tail
+                # (mirrors io/fasta._gunzip_to_array)
+                raise EOFError(f"{path}: compressed stream ended before "
+                               "the end-of-stream marker")
             off = n - len(d.unused_data)
             if d.unused_data == raw[off:] and not d.unused_data:
                 break
@@ -280,26 +316,41 @@ def _decode_tags(buf: bytes) -> dict:
             tags[name] = struct.unpack_from("<f", buf, p)[0]; p += 4
         elif typ in "ZH":
             e = buf.index(b"\x00", p)
-            tags[name] = buf[p:e].decode(); p = e + 1
+            s = buf[p:e].decode()
+            tags[name] = HexStr(s) if typ == "H" else s
+            p = e + 1
         elif typ == "B":
             sub = chr(buf[p]); cnt = struct.unpack_from("<i", buf, p + 1)[0]
             size = dict(c=1, C=1, s=2, S=2, i=4, I=4, f=4)[sub]
             fmt = "<" + str(cnt) + dict(c="b", C="B", s="h", S="H", i="i", I="I", f="f")[sub]
-            tags[name] = list(struct.unpack_from(fmt, buf, p + 5))
+            tags[name] = TagArray(struct.unpack_from(fmt, buf, p + 5), sub)
             p += 5 + cnt * size
         else:
             break
     return tags
 
 
+_B_PACK = dict(c="b", C="B", s="h", S="H", i="i", I="I", f="f")
+
+
 def _encode_tags(tags: dict) -> bytes:
     out = bytearray()
     for name, val in tags.items():
         nb = name.encode()
-        if isinstance(val, int):
+        if isinstance(val, bool):
+            out += nb + b"i" + struct.pack("<i", int(val))
+        elif isinstance(val, int):
             out += nb + b"i" + struct.pack("<i", val)
         elif isinstance(val, float):
             out += nb + b"f" + struct.pack("<f", val)
+        elif isinstance(val, HexStr):
+            out += nb + b"H" + val.encode() + b"\x00"
+        elif isinstance(val, (list, tuple)):
+            sub = getattr(val, "sub", None) or (
+                "f" if any(isinstance(x, float) for x in val) else "i")
+            out += (nb + b"B" + sub.encode() +
+                    struct.pack("<i", len(val)) +
+                    struct.pack("<" + str(len(val)) + _B_PACK[sub], *val))
         elif isinstance(val, str) and len(val) == 1:
             out += nb + b"A" + val.encode()
         elif isinstance(val, str):
@@ -351,6 +402,11 @@ def read_bam(path: str) -> Tuple[List[Tuple[str, int]], List[str], Iterator[AlnR
             qstr = ("*" if not l_seq or qual[0] == 0xFF
                     else "".join(chr(c + 33) for c in qual))
             tags = _decode_tags(data[q: p + 4 + block])
+            if ("CG" in tags and len(cig) == 2
+                    and (cig[0] & 0xF) == OP_S and (cig[1] & 0xF) == OP_N):
+                # spec long-CIGAR workaround: kSmN placeholder, real
+                # CIGAR in CG:B,I (see encode_bam_rec)
+                cig = np.asarray(tags.pop("CG"), np.uint32)
             yield AlnRec(qname, flag, tid, pos, mapq, cig, mtid, mpos, isize,
                          seq, qstr, tags)
             p += 4 + block
@@ -371,11 +427,25 @@ def encode_bam_rec(r: AlnRec) -> bytes:
         seqbuf = b""
     qual = (bytes([0xFF] * l_seq) if r.qual == "*" else
             bytes((ord(c) - 33) & 0xFF for c in r.qual[:l_seq]))
-    tags = _encode_tags(r.tags)
+    if len(qname) > 255:
+        raise ValueError(
+            f"BAM l_read_name is a uint8: qname {r.qname[:40]!r}... is "
+            f"{len(qname) - 1} bytes (max 254)")
+    cigar = r.cigar
+    rec_tags = r.tags
+    if len(cigar) > 0xFFFF:
+        # BAM n_cigar_op is a uint16: spec workaround moves the real
+        # CIGAR to a CG:B,I tag behind a kSmN placeholder (htslib does
+        # the same for ultra-long reads)
+        rec_tags = dict(rec_tags)
+        rec_tags["CG"] = TagArray([int(x) for x in cigar], "I")
+        cigar = np.array([(cigar_qlen(r.cigar) << 4) | OP_S,
+                          (cigar_rlen(r.cigar) << 4) | OP_N], np.uint32)
+    tags = _encode_tags(rec_tags)
     body = struct.pack("<iiBBHHHiiii", r.tid, r.pos, len(qname), r.mapq,
-                       4680, len(r.cigar), r.flag, l_seq, r.mtid, r.mpos,
+                       4680, len(cigar), r.flag, l_seq, r.mtid, r.mpos,
                        r.isize)
-    body += qname + r.cigar.astype("<u4").tobytes() + seqbuf + qual + tags
+    body += qname + cigar.astype("<u4").tobytes() + seqbuf + qual + tags
     return struct.pack("<i", len(body)) + body
 
 

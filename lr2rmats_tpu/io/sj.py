@@ -68,8 +68,6 @@ def read_sj_group(path: Optional[str], cname: ChrNames) -> SJTable:
                     int(f[5]), int(f[6]), int(f[7]), int(f[8]))
             for c, v in zip(cols, vals):
                 c.append(v)
-    dt = (np.int32, np.int32, np.int32, np.int8, np.int8, np.int8,
-          np.int32, np.int32, np.int32)
     # STAR column order: chrom start end strand motif annotated uniq multi over
     t = SJTable(
         tid=np.asarray(cols[0], np.int32),

@@ -34,6 +34,10 @@ from ..transcript.model import Transcripts
 from ..utils import log
 from .bam2sj import intron_motif_of
 
+# peak combos materialized at once by count_pairs_batched's mate
+# cross-product (~7 int64/bool arrays of this length ≈ 200 MB)
+_PAIR_COMBO_CHUNK = 1 << 22
+
 
 @dataclass
 class SJCountParams:
@@ -479,29 +483,48 @@ class JunctionCounter:
         offs1, offs2 = r1[8], r2[8]
         n1 = np.diff(offs1)
         n2 = np.diff(offs2)
-        ncomb = n1 * n2
+        ncomb = (n1 * n2).astype(np.int64)
         tot = int(ncomb.sum())
         if tot == 0:
             return
-        pair_of = np.repeat(np.arange(R), ncomb)
         cstart = np.zeros(R + 1, np.int64)
         np.cumsum(ncomb, out=cstart[1:])
-        within = np.arange(tot) - cstart[pair_of]
-        i1 = offs1[pair_of] + within // np.maximum(n2[pair_of], 1)
-        i2 = offs2[pair_of] + within % np.maximum(n2[pair_of], 1)
-        concord = ((r1[1][i1] != r2[1][i2]) &
-                   (r1[2][i1] == r2[2][i2]) &
-                   (np.abs(r1[3][i1] - r2[3][i2]) <= p.max_mates_gap))
-        # reduceat needs in-bounds indices; empty pair groups (ncomb == 0)
-        # are clipped then zeroed
-        n_concord = np.add.reduceat(
-            concord.astype(np.int64), np.minimum(cstart[:-1], tot - 1))
-        n_concord[ncomb == 0] = 0
-        # placements participating in >= 1 concordant combo
+        # the placement cross-product is evaluated in bounded chunks of
+        # reads: repeat-heavy pairs can hold 10^2-10^3 tied best
+        # placements per mate, and one dense n1*n2 materialization over a
+        # whole read set would be tens of GB — chunking keeps the peak at
+        # ~_PAIR_COMBO_CHUNK combos with results identical to one pass
+        n_concord = np.zeros(R, np.int64)
         part1 = np.zeros(len(r1[0]), bool)
         part2 = np.zeros(len(r2[0]), bool)
-        np.logical_or.at(part1, i1, concord)
-        np.logical_or.at(part2, i2, concord)
+        lo_r = 0
+        while lo_r < R:
+            hi_r = int(np.searchsorted(
+                cstart, cstart[lo_r] + _PAIR_COMBO_CHUNK, side="left"))
+            hi_r = min(max(hi_r, lo_r + 1), R)
+            g0, g1 = int(cstart[lo_r]), int(cstart[hi_r])
+            nt = g1 - g0
+            if nt:
+                pair_of = np.repeat(np.arange(lo_r, hi_r),
+                                    ncomb[lo_r: hi_r])
+                within = np.arange(g0, g1) - cstart[pair_of]
+                i1 = offs1[pair_of] + within // np.maximum(n2[pair_of], 1)
+                i2 = offs2[pair_of] + within % np.maximum(n2[pair_of], 1)
+                concord = ((r1[1][i1] != r2[1][i2]) &
+                           (r1[2][i1] == r2[2][i2]) &
+                           (np.abs(r1[3][i1] - r2[3][i2])
+                            <= p.max_mates_gap))
+                # reduceat needs in-bounds indices; empty pair groups
+                # (ncomb == 0) are clipped then zeroed
+                nc = np.add.reduceat(
+                    concord.astype(np.int64),
+                    np.minimum(cstart[lo_r: hi_r] - g0, nt - 1))
+                nc[ncomb[lo_r: hi_r] == 0] = 0
+                n_concord[lo_r: hi_r] = nc
+                # placements participating in >= 1 concordant combo
+                np.logical_or.at(part1, i1, concord)
+                np.logical_or.at(part2, i2, concord)
+            lo_r = hi_r
         uniq_pair = n_concord == 1
         ok_pair = n_concord >= 1
         for (ri_m, ori_m, tid_m, anc_m, cross_m, c0_m, over_m, ing_m,
@@ -605,17 +628,11 @@ class JunctionCounter:
             return
         # Hamming verify: rc candidates compare the rc read buffer
         mm = np.empty(len(cr), np.int32)
-        if self._dev_verifier is not None:
-            comb = np.concatenate([fwd, rc_all])
-            comb_off = np.empty(2 * R + 1, np.int64)
-            comb_off[: R + 1] = offs
-            comb_off[R + 1:] = 2 * total - offs[R - 1:: -1].astype(np.int64)
-            rc_seg = 2 * R - 1 - ri
-            rid_comb = np.where(ori == 1, rc_seg, ri).astype(np.int32)
-            mm = self._dev_verifier.verify(comb, comb_off, rid_comb, cp)
-        elif lib is not None:
+        if self._dev_verifier is not None or lib is not None:
             # unified reads buffer: fwd ++ rc; segment R+j is the rc of
-            # read R-1-j, so rc of read i = segment 2R-1-i
+            # read R-1-j, so rc of read i = segment 2R-1-i.  ONE shared
+            # construction — the device and native verifiers must stay
+            # bit-equal, so they must read identical candidate layouts.
             comb = np.concatenate([fwd, rc_all])
             comb_off = np.empty(2 * R + 1, np.int64)
             comb_off[: R + 1] = offs
@@ -623,6 +640,9 @@ class JunctionCounter:
             # read id for candidate: fwd -> ri, rc -> index of rc segment
             rc_seg = 2 * R - 1 - ri
             rid_comb = np.where(ori == 1, rc_seg, ri).astype(np.int32)
+        if self._dev_verifier is not None:
+            mm = self._dev_verifier.verify(comb, comb_off, rid_comb, cp)
+        elif lib is not None:
             lib.hamming_pairs_c(self.buf, nbuf, comb,
                                 np.ascontiguousarray(comb_off),
                                 np.ascontiguousarray(rid_comb),

@@ -55,6 +55,10 @@ def count_byte(buf, byte: int) -> int:
     pathological large-reduction path (measured 5.1 s vs 0.19 s chunked on
     an 845 MB SAM; 6.9 s vs 0.36 s counting '>' in an 835 MB FASTA)."""
     import numpy as np
+    if not isinstance(buf, np.ndarray):
+        # bytes slicing compares `bytes == int` -> always False; a silent
+        # zero count here under-allocated native output buffers once
+        buf = np.frombuffer(buf, np.uint8)
     n = 0
     CH = 1 << 24
     for off in range(0, len(buf), CH):

@@ -104,3 +104,38 @@ def test_crlf_input_matches_unix(tmp_path, gz):
         assert a.names == b.names
         np.testing.assert_array_equal(a.codes, b.codes)
         np.testing.assert_array_equal(a.offsets, b.offsets)
+
+
+def test_multiline_fastq_parses_correctly(tmp_path):
+    """Legacy wrapped FASTQ (seq/qual split over lines) parses fully —
+    the old line loop silently truncated it (review finding)."""
+    text = ("@m1 desc\nACGTACGT\nACGT\n+\nIIIIIIII\nIIII\n"
+            "@m2\nGG\nTT\n+m2\nII\nII\n")
+    s = read_fasta(_write(tmp_path, "ml.fq", text))
+    assert s.names == ["m1", "m2"]
+    assert decode_seq(s.get(0)) == "ACGTACGTACGT"
+    assert decode_seq(s.get(1)) == "GGTT"
+    # wrapped qual line starting with '@' must not be taken as a header
+    text2 = "@q\nACGTACGT\nACGT\n+\nIIIIIIII\n@III\n@q2\nAC\n+\nII\n"
+    s2 = read_fasta(_write(tmp_path, "ml2.fq", text2))
+    assert s2.names == ["q", "q2"]
+    assert decode_seq(s2.get(0)) == "ACGTACGTACGT"
+
+
+def test_genome_load_crlf_no_native(tmp_path, monkeypatch):
+    """Genome.load delegates to read_fasta: CRLF genomes decode
+    identically with and without the native parser (review finding: the
+    old hand-rolled copy encoded '\\r' as N on the numpy path)."""
+    from lr2rmats_tpu.io.fasta import Genome
+    text = ">chr1 d\nACGTACGT\nACGT\n>chr2\nGGTT\n"
+    unix = _write(tmp_path, "g.fa", text)
+    crlf = _write(tmp_path, "gc.fa", text.replace("\n", "\r\n"))
+    monkeypatch.setenv("LR2RMATS_NO_NATIVE", "1")
+    import lr2rmats_tpu.native.lib as nl
+    monkeypatch.setattr(nl, "_LIB", None, raising=False)
+    a = Genome.load(unix)
+    b = Genome.load(crlf)
+    assert a.names == b.names == ["chr1", "chr2"]
+    np.testing.assert_array_equal(a.codes, b.codes)
+    np.testing.assert_array_equal(a.offsets, b.offsets)
+    assert decode_seq(a.get(0)) == "ACGTACGTACGT"

@@ -197,3 +197,78 @@ class TestFusion:
             self.seg(1, 200, 1000, 99000, 99800, 90),
         ]
         assert check_fusion(segs, 1000, FusionParams()) is None
+
+
+def test_tag_types_roundtrip(tmp_path):
+    """B-array and H-hex tags survive SAM text and BAM binary round
+    trips with their declared types (review finding: B dropped from BAM,
+    B/H re-emitted as Z in SAM)."""
+    from lr2rmats_tpu.io.sam import (HexStr, SamReader, SamWriter, TagArray,
+                                     sam_header)
+    tags = {"NM": 3, "ZF": 1.5, "XA": "q", "XZ": "hello world",
+            "XH": HexStr("1AE301"), "XB": TagArray([1, -2, 300], "s"),
+            "XF": TagArray([0.5, 1.25], "f"),
+            "XL": [7, 8, 9]}                      # plain list -> B:i
+    r = mk_rec(tags=tags)
+    refs = [("chr1", 10_000)]
+    # SAM text round trip
+    import io as _io
+    buf = _io.StringIO()
+    w = SamWriter(buf, refs)
+    w.write(r)
+    text = sam_header(refs) + buf.getvalue()
+    assert "XB:B:s,1,-2,300" in text and "XH:H:1AE301" in text \
+        and "XF:B:f,0.5,1.25" in text and "XL:B:i,7,8,9" in text
+    rd = SamReader(_io.StringIO(text))
+    r2 = next(iter(rd))
+    assert list(r2.tags["XB"]) == [1, -2, 300]
+    assert r2.tags["XB"].sub == "s"
+    assert isinstance(r2.tags["XH"], HexStr) and r2.tags["XH"] == "1AE301"
+    assert list(r2.tags["XF"]) == [0.5, 1.25]
+    # BAM binary round trip
+    p = str(tmp_path / "t.bam")
+    write_bam(p, refs, ["@HD\tVN:1.6"], [r])
+    _, _, it = read_bam(p)
+    r3 = next(iter(it))
+    assert list(r3.tags["XB"]) == [1, -2, 300] and r3.tags["XB"].sub == "s"
+    assert isinstance(r3.tags["XH"], HexStr) and r3.tags["XH"] == "1AE301"
+    assert list(r3.tags["XL"]) == [7, 8, 9]
+    assert r3.tags["NM"] == 3 and r3.tags["XA"] == "q"
+
+
+def test_bam_long_cigar_cg_tag(tmp_path):
+    """>65535 CIGAR ops ride the spec's CG:B,I workaround (kSmN
+    placeholder) and decode back to the original CIGAR."""
+    import numpy as np
+    from lr2rmats_tpu.io.sam import OP_D, OP_M, cigar_qlen, cigar_rlen
+    n_ops = 70_001                         # odd -> ends on M
+    ops = np.empty(n_ops, np.uint32)
+    ops[0::2] = (2 << 4) | OP_M
+    ops[1::2] = (1 << 4) | OP_D
+    qlen = cigar_qlen(ops)
+    r = AlnRec(qname="long1", flag=0, tid=0, pos=10, mapq=60, cigar=ops,
+               seq="A" * qlen, qual="*", tags={"NM": 5})
+    refs = [("chr1", 10_000_000)]
+    p = str(tmp_path / "long.bam")
+    write_bam(p, refs, ["@HD\tVN:1.6"], [r])
+    _, _, it = read_bam(p)
+    r2 = next(iter(it))
+    np.testing.assert_array_equal(r2.cigar, ops)
+    assert "CG" not in r2.tags and r2.tags["NM"] == 5
+    assert cigar_rlen(r2.cigar) == cigar_rlen(ops)
+
+
+def test_bam_truncated_gzip_raises(tmp_path):
+    """A BAM cut mid-stream fails loudly instead of yielding a silently
+    shortened record set."""
+    import pytest
+    from lr2rmats_tpu.io.sam import bgzf_decompress
+    import gzip
+    p = tmp_path / "t.sam.gz"
+    with gzip.open(str(p), "wb") as f:
+        f.write(b"@HD\tVN:1.6\n" + b"x" * 100_000)
+    data = p.read_bytes()
+    cut = tmp_path / "cut.gz"
+    cut.write_bytes(data[: len(data) // 2])
+    with pytest.raises(EOFError):
+        bgzf_decompress(str(cut))

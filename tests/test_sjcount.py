@@ -206,3 +206,44 @@ def test_paired_mate_consistency_gating():
                           np.array([0], np.int32), SJCountParams())
     jc2.count_pairs_batched(_mk_seqset([crossing]), _mk_seqset([mate_far]))
     assert jc2.uniq_c[0] == 0 and jc2.multi_c[0] == 0
+
+
+def test_paired_chunked_crossproduct_identical(monkeypatch):
+    """The bounded-memory chunked mate cross-product (sjcount.py
+    _PAIR_COMBO_CHUNK) produces counts identical to one dense pass,
+    including empty placement groups interleaved between pairs."""
+    import numpy as np
+    import lr2rmats_tpu.junctions.sjcount as sj
+    from lr2rmats_tpu.io.fasta import Genome, revcomp
+    from lr2rmats_tpu.junctions.sjcount import JunctionCounter, SJCountParams
+    rng = np.random.default_rng(31)
+    codes = rng.integers(0, 4, 40_000).astype(np.uint8)
+    genome = Genome(["c1"], codes, np.array([0, 40_000], np.int64))
+    don, acc = 1200, 1999
+    genome.codes[1200:1202] = (2, 3)
+    genome.codes[1998:2000] = (0, 2)
+    args = (genome, np.array([0], np.int32), np.array([don + 1], np.int32),
+            np.array([acc + 1], np.int32), np.array([0], np.int32),
+            SJCountParams())
+    m1, m2 = [], []
+    for i in range(12):
+        o = 4 * i
+        m1.append(np.concatenate([genome.codes[1160 - o:1200],
+                                  genome.codes[2000:2040 + o]]).copy())
+        if i % 3 == 2:  # unplaceable mate -> empty group
+            m2.append(rng.integers(0, 4, 80).astype(np.uint8))
+        else:
+            m2.append(revcomp(genome.codes[2100 + o:2180 + o].copy()))
+    results = []
+    for chunk in (None, 1, 7):
+        if chunk is not None:
+            monkeypatch.setattr(sj, "_PAIR_COMBO_CHUNK", chunk)
+        jc = JunctionCounter(*args)
+        jc.count_pairs_batched(_mk_seqset(m1), _mk_seqset(m2))
+        r = jc.result()
+        results.append((r.uniq_c.copy(), r.multi_c.copy(),
+                        r.max_over.copy()))
+    assert results[0][0].sum() + results[0][1].sum() > 0  # not vacuous
+    for got in results[1:]:
+        for a, b in zip(results[0], got):
+            np.testing.assert_array_equal(a, b)
