@@ -2587,6 +2587,12 @@ int64_t format_detail_c(
         if (w_uj > uj_w) w_uj = uj_w;
         if (w_uj < 0) w_uj = 0;
         put_flags(uj_flag + i * uj_w, w_uj);
+        // faithful byte quirk (update_gtf.c:404-414): an EMPTY column 16
+        // prints "NA\t" (tab kept) while a non-empty index list drops
+        // its trailing tab — so zero-unreliable lines end "NA\t\n"
+        int64_t uj_cnt = 0;
+        for (int64_t j = 0; j < w_uj; ++j) uj_cnt += uj_flag[i * uj_w + j] ? 1 : 0;
+        if (uj_cnt == 0) out[o++] = '\t';
         out[o++] = '\n';
     }
     return o;

@@ -26,6 +26,9 @@ _OP_IDX = {c: i for i, c in enumerate(CIGAR_OPS)}
 
 # bit 0: consumes query; bit 1: consumes reference (BAM spec table)
 _CONSUME = [3, 1, 2, 2, 1, 0, 0, 3, 3]
+# reference BAM_CIGAR_QUERY_TYPE 0x3C5A7 (parse_bam.c:258): H consumes
+# query — AlnRec.query_len() replicates that quirk for the fusion paths
+_CONSUME_REF = [3, 1, 2, 2, 1, 1, 0, 3, 3]
 
 FUNMAP = 0x4
 FREVERSE = 0x10
@@ -107,9 +110,14 @@ class AlnRec:
         return 0 if self.seq == "*" else len(self.seq)
 
     def query_len(self) -> int:
-        """CIGAR-consumed query length incl. clips (reference bam_query_len,
-        parse_bam.c:261-270)."""
-        return cigar_qlen(self.cigar)
+        """CIGAR-consumed query length incl. BOTH clip kinds — faithful
+        to reference bam_query_len (parse_bam.c:258-270, mask 0x3C5A7):
+        hard clips consume query there, a deliberate quirk its fusion /
+        bam2seg coordinate flips depend on.  `cigar_qlen` is the plain
+        SAM-spec query length (H excluded)."""
+        ops = self.cigar & 0xF
+        lens = self.cigar >> 4
+        return int(lens[(np.array(_CONSUME_REF)[ops] & 1) > 0].sum())
 
     def ref_len(self) -> int:
         return cigar_rlen(self.cigar)

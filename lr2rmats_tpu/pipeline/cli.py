@@ -96,7 +96,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-n", "--min-output", action="store_true")
     sp.add_argument("-E", "--exon-bed", default=None)
     sp.add_argument("-a", "--bam-gtf", default=None)
-    sp.add_argument("-A", "--bam-detial", dest="bam_detail", default=None)
+    sp.add_argument("-A", "--bam-detail", "--bam-detial",
+                    dest="bam_detail", default=None)
     sp.add_argument("-k", "--known-gtf", default=None)
     sp.add_argument("-v", "--novel-gtf", default=None)
     sp.add_argument("-u", "--unrecog", default=None)
@@ -134,12 +135,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--long-read", default=None, help="single-sample long reads")
     sp.add_argument("--short-read-1", default=None)
     sp.add_argument("--short-read-2", default=None)
-    sp.add_argument("--aln-cov", type=float, default=0.67)
-    sp.add_argument("--iden-frac", type=float, default=0.75)
-    sp.add_argument("--sec-rat", type=float, default=0.98)
-    sp.add_argument("--sup-cnt", type=int, default=1)
-    sp.add_argument("--split-trans", action="store_true", default=True)
-    sp.add_argument("--full-level", type=int, default=3)
+    # algorithm knobs: default None so a config.yaml's `lr2rmats:` values
+    # survive unless the flag is given explicitly (PipelineConfig holds
+    # the reference defaults 0.67/0.75/0.98/1/-s/3)
+    sp.add_argument("--aln-cov", type=float, default=None)
+    sp.add_argument("--iden-frac", type=float, default=None)
+    sp.add_argument("--sec-rat", type=float, default=None)
+    sp.add_argument("--sup-cnt", type=int, default=None)
+    sp.add_argument("--split-trans", action="store_true", default=None,
+                    dest="split_trans")
+    sp.add_argument("--no-split-trans", action="store_false", default=None,
+                    dest="split_trans",
+                    help="disable -s splitting (yaml: split_trans: \"\")")
+    sp.add_argument("--full-level", type=int, default=None)
     sp.add_argument("--out-dir", default=".")
     sp.add_argument("--jobs", type=int, default=None,
                     help="per-sample host-stage parallelism (Snakemake "
@@ -299,12 +307,13 @@ def _main(argv=None) -> int:
             cfg.samples["samp1"] = SampleReads(
                 args.long_read, args.short_read_1, args.short_read_2)
         cfg.rm_gtf = args.rm_gtf or cfg.rm_gtf
-        cfg.aln_cov = args.aln_cov
-        cfg.iden_frac = args.iden_frac
-        cfg.sec_rat = args.sec_rat
-        cfg.sup_cnt = args.sup_cnt
-        cfg.split_trans = args.split_trans
-        cfg.full_level = args.full_level
+        # explicit CLI flags win; otherwise the config.yaml (or the
+        # PipelineConfig reference defaults) stand
+        for knob in ("aln_cov", "iden_frac", "sec_rat", "sup_cnt",
+                     "split_trans", "full_level"):
+            v = getattr(args, knob)
+            if v is not None:
+                setattr(cfg, knob, v)
         cfg.out_dir = args.out_dir
         cfg.jobs = args.jobs
         cfg.index_shards = args.index_shards

@@ -406,10 +406,11 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
             new_gtf = A("gtf", f"{sample}_new.gtf")
             if not _fresh(new_gtf, cfg.gtf, sam_novel):
                 tmp = A("gtf", f"{sample}_tmp.gtf")
-                with open(tmp, "w") as out:
+                with open(tmp, "wb") as out:
+                    import shutil
                     for p in (cfg.gtf, sam_novel):
-                        with open(p) as src:
-                            out.write(src.read())
+                        with open(p, "rb") as src:
+                            shutil.copyfileobj(src, out)  # constant-memory
                 sort_gtf_file(tmp, new_gtf)
                 os.remove(tmp)
                 _done(new_gtf, cfg.gtf, sam_novel)
@@ -492,10 +493,11 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
         # ---- stage: update_gtf (cross-sample merge, Snakefile:172-192)
         with Timer("stage/final_merge", benchmark_file=A("benchmark", "update_gtf.benchmark.txt")):
             tmp = A("gtf", "tmp.gtf")
-            with open(tmp, "w") as out:
+            with open(tmp, "wb") as out:
+                import shutil
                 for p in gtf_novel_paths:
-                    with open(p) as src:
-                        out.write(src.read())
+                    with open(p, "rb") as src:
+                        shutil.copyfileobj(src, out)  # constant-memory
             uniq_gtf = A("gtf", "uniq.gtf")
             ugp = UpdateGtfParams(input_mode="gtf")
             # multi-device: route candidate tensors through the dp all-gather

@@ -45,6 +45,10 @@ def sort_gtf_lines(lines: Iterable[str]) -> List[str]:
                 next_rank += 1
                 chrom_rank[f[0]] = r = next_rank
             cur = (r, int(f[3]), int(f[4]))
+        if not line.endswith("\n"):
+            # a final line without its newline would otherwise be glued
+            # to whatever line sorts after it
+            line += "\n"
         kept.append(line)
         chr_key.append(cur[0])
         start_key.append(cur[1])

@@ -131,6 +131,11 @@ def write_bam_detail(bam_T: Transcripts, cname: ChrNames, fp: IO[str]) -> None:
                            bam_T.novel_junction_flag[i, : en - 1])
         cols += _flag_cols(int(uj_cnt[i]),
                            bam_T.unreliable_junction_flag[i, : en - 1])
+        if int(uj_cnt[i]) == 0:
+            # faithful byte quirk (update_gtf.c:404-414): an empty last
+            # column prints "NA\t" (its tab kept) while a non-empty index
+            # list drops the trailing tab — empty-16 lines end "NA\t\n"
+            cols.append("")
         parts.append("\t".join(cols))
         if len(parts) >= 8192:
             fp.write("\n".join(parts) + "\n")

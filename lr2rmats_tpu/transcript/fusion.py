@@ -137,14 +137,18 @@ def detect_fusions(records: Iterable[AlnRec], p: FusionParams,
     segs: List[Seg] = []
     rlen = 0
 
-    def _flush():
+    def _flush(final=False):
         nonlocal cnt
         if lqname is None or len(segs) < 2:
             return []
         picked = check_fusion(segs, rlen, p)
         if picked is not None and len(picked) == 2:
             cnt += 1
-            if fs_fp and target_names:
+            # faithful quirk: the reference's end-of-stream flush
+            # (bam_fusion.c:196-203) writes the SAM records and counts the
+            # fusion but never calls fusion_write — the LAST read group's
+            # fusion-site line is silently omitted from the -f file
+            if not final and fs_fp and target_names:
                 a, b = picked
                 left, right = (a, b) if a.read_start < b.read_start else (b, a)
                 fs_fp.write(
@@ -166,5 +170,5 @@ def detect_fusions(records: Iterable[AlnRec], p: FusionParams,
             lqname = rec.qname
             rlen = rec.query_len()
             segs = [s]
-    yield from _flush()
+    yield from _flush(final=True)
     log("bam_fusion", "Candidate gene-fusion transcripts: %d", cnt)

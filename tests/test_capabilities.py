@@ -187,22 +187,27 @@ def test_fusion_cli(world, tmp_path):
     g = Genome.load(str(world["genome"]))
     refs = [(g.names[0], int(g.lengths()[0]))]
     sam = tmp_path / "fus.sam"
-    # two segments of one read mapping 100kb apart
+    # TWO chimeric reads, each two segments mapping 100kb apart.  The
+    # reference's end-of-stream flush never calls fusion_write
+    # (bam_fusion.c:196-203), so only the NON-final group's site line is
+    # written — a faithful quirk this test pins.
     with open(sam, "w") as f:
         w = SamWriter(f, refs)
-        w.write(AlnRec("chimera", 0, 0, 10_000, 60, parse_cigar("500M500S"),
-                       seq="A" * 1000, tags={"AS": 500, "NM": 0}))
-        w.write(AlnRec("chimera", 2048, 0, 130_000, 60, parse_cigar("500S500M"),
-                       seq="A" * 1000, tags={"AS": 480, "NM": 1}))
+        for qn, p1, p2 in (("chimeraA", 10_000, 130_000),
+                           ("chimeraB", 20_000, 160_000)):
+            w.write(AlnRec(qn, 0, 0, p1, 60, parse_cigar("500M500S"),
+                           seq="A" * 1000, tags={"AS": 500, "NM": 0}))
+            w.write(AlnRec(qn, 2048, 0, p2, 60, parse_cigar("500S500M"),
+                           seq="A" * 1000, tags={"AS": 480, "NM": 1}))
     fs = tmp_path / "fusion_sites.txt"
     out = tmp_path / "fusion.bam"
     assert main(["fusion", str(sam), "--output", str(out),
                  "-f", str(fs)]) == 0
     sites = fs.read_text().splitlines()
     assert sites[0].startswith("#fusion_id")
-    assert len(sites) == 2
+    assert len(sites) == 2          # chimeraB (final group) omitted
     f = sites[1].split("\t")
-    assert f[0] == "chimera"
+    assert f[0] == "chimeraA"
 
 
 def test_update_gtf_gtf_input_mode(world, tmp_path):
@@ -392,3 +397,48 @@ def test_gtf2bed_cli(tmp_path, ref_data):
         assert len(sizes) == int(f[9]) == len(starts)
         assert starts[0] == 0
         assert int(f[1]) + starts[-1] + sizes[-1] == int(f[2])
+
+
+def test_run_config_knobs_survive_cli_defaults(tmp_path, monkeypatch):
+    """`run --config` must honor the yaml's lr2rmats knobs unless the
+    flag is given explicitly (review finding: argparse defaults silently
+    clobbered sup_cnt/aln_cov/...)."""
+    import lr2rmats_tpu.pipeline.stages as stages
+    from lr2rmats_tpu.pipeline.cli import main
+    y = tmp_path / "config.yaml"
+    y.write_text(
+        "genome:\n  fasta: g.fa\ngtf: anno.gtf\n"
+        "sample:\n  samp1:\n    long_read:\n      1: lr.fa\n"
+        "lr2rmats:\n  sup_cnt: 5\n  aln_cov: 0.8\n  split_trans: \"\"\n")
+    got = {}
+
+    def fake_run(cfg, *a, **kw):
+        got.update(sup_cnt=cfg.sup_cnt, aln_cov=cfg.aln_cov,
+                   split_trans=cfg.split_trans, sec_rat=cfg.sec_rat)
+        return "x"
+
+    monkeypatch.setattr(stages, "run_pipeline", fake_run)
+    assert main(["run", "--config", str(y)]) == 0
+    assert got == dict(sup_cnt=5, aln_cov=0.8, split_trans=False,
+                       sec_rat=0.98)          # yaml wins; default stands
+    got.clear()
+    assert main(["run", "--config", str(y), "--sup-cnt", "2",
+                 "--split-trans"]) == 0
+    assert got["sup_cnt"] == 2 and got["split_trans"] is True  # flags win
+    got.clear()
+    y2 = tmp_path / "c2.yaml"
+    y2.write_text(y.read_text().replace('split_trans: ""',
+                                        'split_trans: "-s"'))
+    assert main(["run", "--config", str(y2), "--no-split-trans"]) == 0
+    assert got["split_trans"] is False
+
+
+def test_query_len_counts_hard_clips():
+    """AlnRec.query_len replicates the reference's 0x3C5A7 quirk (H
+    consumes query, parse_bam.c:258) — the fusion coordinate flips
+    depend on it; cigar_qlen stays SAM-spec (H excluded)."""
+    from lr2rmats_tpu.io.sam import AlnRec, cigar_qlen, parse_cigar
+    c = parse_cigar("100H50M10S")
+    r = AlnRec("q", 0, 0, 0, 60, c, seq="*", qual="*", tags={})
+    assert cigar_qlen(c) == 60
+    assert r.query_len() == 160
