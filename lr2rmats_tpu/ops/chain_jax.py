@@ -364,7 +364,8 @@ def pack_chain_buf(qpos: np.ndarray, rpos: np.ndarray, n_anchor: np.ndarray
         first = np.ones(len(over_c), bool)
         first[1:] = over_c[1:] != over_c[:-1]
         starts = np.nonzero(first)[0]
-        slot = np.arange(len(over_c)) - starts[np.cumsum(first) - 1]
+        slot = np.arange(len(over_c)) - starts[
+            np.cumsum(first, dtype=np.int64) - 1]
         if int(slot.max()) >= EXC_ROWS:
             # a bare assert is stripped under -O, and the overflowing
             # write would land in (and be clobbered by) the n_anchor row

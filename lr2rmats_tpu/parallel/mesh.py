@@ -100,6 +100,13 @@ def sharded_align_step(mesh: Mesh, chain_params: Optional[ChainParams] = None,
     Each tp shard looks up its local table, emits up to hits_per_seed
     anchors per seed, all-gathers anchors over tp, sorts by ref pos, runs
     the chain DP, and returns per-read best chain scores [B] (dp-sharded).
+
+    SCOPE: idx_pos rides int32 lanes with an invalid-anchor sentinel of
+    2**30, so positions must stay below 2**30 (~1 Gbp buffer) — callers
+    are guarded.  The PRODUCTION pipeline never hits this: its device
+    chain runs on cluster-relative int32 positions (align/batch.py,
+    CLAUDE.md invariant); this step is the mesh/ICI data-plane
+    validation kernel (dryrun_multichip, tests/test_parallel.py).
     """
     p = chain_params or ChainParams()
 
@@ -145,7 +152,20 @@ def sharded_align_step(mesh: Mesh, chain_params: Optional[ChainParams] = None,
         in_specs=(P("tp"), P("tp"), P("dp", None), P("dp", None)),
         out_specs=P("dp"),
         check_vma=False)
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+
+    def guarded(idx_hash, idx_pos, read_hash, read_qpos):
+        mx = int(np.max(idx_pos)) if len(idx_pos) else 0
+        if mx >= 2 ** 30:
+            raise ValueError(
+                f"sharded_align_step: idx_pos max {mx} >= 2**30 — global "
+                "positions past ~1 Gbp collide with the invalid-anchor "
+                "sentinel on int32 lanes.  Human-scale genomes go through "
+                "the production cluster-relative chain path "
+                "(align/batch.py), not this mesh validation kernel.")
+        return jitted(idx_hash, idx_pos, read_hash, read_qpos)
+
+    return guarded
 
 
 def mesh_exchange_candidates(T, mesh: Optional[Mesh] = None):
@@ -156,10 +176,12 @@ def mesh_exchange_candidates(T, mesh: Optional[Mesh] = None):
     Rows are padded to the dp size, placed dp-sharded, all-gathered over
     ICI, and written back in (shard, ordinal) order — byte-identical to the
     host concatenation, which the mesh pipeline test asserts.  On one
-    device this is a no-op.  In a multi-host deployment each host holds its
-    own shard of candidates and this collective is the merge's data plane;
-    string attributes (gene/transcript names) ride the host side keyed by
-    the same (shard, ordinal) order.
+    device this is a no-op.  SINGLE-PROCESS scope: T holds the full
+    candidate set and this collective validates the on-mesh merge data
+    plane (shard → all-gather → identical order).  Across jax.distributed
+    HOSTS the merge's data plane is parallel.distributed.gather_blobs
+    (pipeline/stages.py routes there; per-host row counts differ, which a
+    fixed dp padding cannot express).
     """
     devs = jax.devices()
     if len(devs) < 2 or T.n == 0:
@@ -168,9 +190,8 @@ def mesh_exchange_candidates(T, mesh: Optional[Mesh] = None):
     n_dp = mesh.devices.size
     n = T.n
     pad = (-n) % n_dp
-    E = T.exon_start.shape[1]
 
-    def padded(a, width=None):
+    def padded(a):
         a = a[:n]
         if pad:
             shape = (pad,) + a.shape[1:]

@@ -184,6 +184,14 @@ class ShardedMinimizerIndex:
         (lo, hi) index into them."""
         from .distributed import gather_blobs, multihost_info
         pid, nproc = multihost_info()
+        if nproc != self.n_shards:
+            # every hash range needs exactly one answering host: with
+            # fewer processes than shards, queries in unowned ranges
+            # would come back empty (lo == hi) and ~(1 - nproc/n_shards)
+            # of all seeds would silently vanish
+            raise ValueError(
+                f"sharded collective lookup needs one process per shard: "
+                f"{nproc} processes != {self.n_shards} shards")
         sid_local = self.local_shard
         shard = self.shards[sid_local]
         q = np.ascontiguousarray(qhashes, np.uint64)

@@ -519,10 +519,11 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                 device_gather = False
             cmd_unique_gtf(tmp, ugp, hdr_bam=first_sam, out_path=uniq_gtf,
                            device_gather=device_gather)
-            with open(tmp, "w") as out:
+            with open(tmp, "wb") as out:
+                import shutil
                 for p in (cfg.gtf, uniq_gtf):
-                    with open(p) as src:
-                        out.write(src.read())
+                    with open(p, "rb") as src:
+                        shutil.copyfileobj(src, out)  # constant-memory
             sort_gtf_file(tmp, updated_gtf)
             os.remove(tmp)
         if nproc > 1:
