@@ -1885,6 +1885,12 @@ int64_t filter_sam_c(const char* buf, int64_t n,
     // kept-candidate lines, in file order
     int64_t kept = 0;
     const char* lq = nullptr;
+    // lql == -1 sentinel: "no group open yet".  Edge (malformed input
+    // only, ADVICE r4): a FIRST record with a zero-length QNAME starts
+    // its own group here, where a string-compare against an initial
+    // empty lqname would have treated it as a continuation — either way
+    // it can never be emitted (flush() requires lql > 0), so the two
+    // behaviors produce identical output; documented, not "fixed".
     int64_t lql = -1;
     int64_t best_off = -1, best_len = 0;
     int64_t best_tid = -1, best_pos = 0;

@@ -103,6 +103,107 @@ class _Row:
                        # .max() in the dispatch router cost ~7 s/500k run)
 
 
+class _WeatherRouter:
+    """Slowness-adaptive device routing.
+
+    A degraded-but-alive relay never raises, so the failure fallback
+    (`_device_fallback`) sails past it — a measured collapse ran the link
+    at ~3.6 s/call vs the 27-36 ms floor and silently 4x'd a 500k run
+    (TPU_500K.json `second_pair_weather_collapse`). This router compares
+    every batch's measured device wall (dispatch + fetch) against a live
+    host-cost estimate for the same rows and, when the device loses
+    persistently, routes the REMAINDER of the run to the bit-equal host
+    chain path (outputs stay byte-identical). Unlike a failure fallback
+    it is recoverable: every PROBE_EVERY-th batch goes back to the device
+    as a probe, so a transient slowdown costs a bounded detour.
+
+    Cost model: ops = sum(n * min(n, W)) window-cell updates per batch.
+    Before any batch has run on the host there is no trustworthy host
+    rate (the small-row native call that runs every batch measures ctypes
+    overhead, not DP throughput), so the INITIAL flip uses the absolute
+    ABS_SLOW_S threshold — good weather runs 0.1-0.8 s/batch at
+    production sizes, the measured collapse ~7 s/batch, so 2 s separates
+    them cleanly. Every host-routed batch then feeds an unbiased ops/s
+    sample from the real host materialize path, and recovery probes (and
+    any later flips) compare against that. GRACE absorbs first-shape
+    compiles the persistent cache missed; a false flip self-heals at the
+    next probe. Kill switch: LR2RMATS_NO_WEATHER_ROUTE=1.
+    """
+
+    MARGIN = 3.0        # device must lose by this factor to flip
+    RECOVER = 1.5       # probe must land within this factor to flip back
+    CONSEC = 2          # consecutive slow batches required to flip
+    PROBE_EVERY = 16    # while slow, re-probe the device every N batches
+    GRACE = 2           # ignore the first N device batches (cold compiles)
+    MIN_WALL_S = 0.25   # never flip on sub-noise batch walls
+    ABS_SLOW_S = 2.0    # no host estimate yet: absolute slow threshold
+    EMA = 0.3           # host ops/s smoothing
+
+    def __init__(self, enabled: bool = True):
+        import threading
+        self.enabled = enabled
+        self.slow = False
+        self.flips = 0          # total state changes (observability/tests)
+        self._slow_n = 0
+        self._probe_n = 0
+        self._seen = 0
+        self._host_ops_s: Optional[float] = None
+        self._lock = threading.Lock()
+
+    def note_host(self, ops: int, wall_s: float) -> None:
+        """Feed a measured native-chain sample (any thread)."""
+        if not self.enabled or wall_s <= 1e-9 or ops <= 0:
+            return
+        rate = ops / wall_s
+        with self._lock:
+            if self._host_ops_s is None:
+                self._host_ops_s = rate
+            else:
+                self._host_ops_s += self.EMA * (rate - self._host_ops_s)
+
+    def host_est_s(self, ops: int) -> Optional[float]:
+        r = self._host_ops_s
+        return (ops / r) if (r and ops > 0) else None
+
+    def note_device(self, ops: int, wall_s: float) -> bool:
+        """Record one batch's device wall; True iff the state flipped.
+        MAIN THREAD ONLY (same discipline as the dispatch itself)."""
+        if not self.enabled:
+            return False
+        est = self.host_est_s(ops)
+        if self.slow:
+            # this was a probe batch
+            thr = self.RECOVER * est if est is not None else self.ABS_SLOW_S
+            if wall_s <= max(thr, self.MIN_WALL_S):
+                self.slow = False
+                self._slow_n = 0
+                self._seen = 0      # fresh grace for possible recompiles
+                self.flips += 1
+                return True
+            return False
+        self._seen += 1
+        if self._seen <= self.GRACE:
+            return False
+        thr = self.MARGIN * est if est is not None else self.ABS_SLOW_S
+        if wall_s > max(thr, self.MIN_WALL_S):
+            self._slow_n += 1
+            if self._slow_n >= self.CONSEC:
+                self.slow = True
+                self._probe_n = 0
+                self.flips += 1
+                return True
+        else:
+            self._slow_n = 0
+        return False
+
+    def route_device(self) -> bool:
+        """Main-loop gate: True = dispatch this batch to the device."""
+        if not self.enabled or not self.slow:
+            return True
+        self._probe_n += 1
+        return (self._probe_n % self.PROBE_EVERY) == 0
+
+
 class BatchAligner:
     """Throughput-oriented front end over SpliceAligner's extension."""
 
@@ -145,6 +246,12 @@ class BatchAligner:
         # START mid-run), the rest of the run rides the bit-equal host
         # paths instead of killing the pipeline (_device_fallback)
         self.device_failed = False
+        # slowness-adaptive routing: a degraded-but-alive relay raises
+        # nothing, so _device_fallback can't catch it; the router flips
+        # the run to the host path when the device persistently loses to
+        # the live host-cost estimate, and probes for recovery
+        self.weather = _WeatherRouter(
+            enabled=os.environ.get("LR2RMATS_NO_WEATHER_ROUTE") != "1")
         # device-chunk height multiplier; align_seqset_packed sets 2 when
         # it auto-doubles the batch on a real accelerator (see _chunk)
         self.chunk_scale = 1
@@ -154,9 +261,8 @@ class BatchAligner:
         # worker already starves the relay client — see the
         # LR2RMATS_SEED_WORKERS note in CLAUDE.md)
         if n_threads is None:
-            env_t = os.environ.get("LR2RMATS_THREADS")
-            n_threads = (int(env_t) if env_t
-                         else min(4, os.cpu_count() or 1))
+            from ..utils import default_threads
+            n_threads = default_threads()
         self.n_threads = max(1, n_threads)
         self._pool = None
         import threading
@@ -486,6 +592,11 @@ class BatchAligner:
                 pc.gap_open, pc.gap_scale, pc.intron_scale,
                 pc.min_intron_gap, float(self.p.min_score),
                 mask.reshape(-1), ps, ss)
+            # NOTE: deliberately NOT a weather-router host-rate sample —
+            # these rows are 2-8 anchors each, so the wall here is ctypes
+            # call overhead, not DP throughput (measured ~20x off the big-
+            # row rate).  The unbiased sample comes from the host
+            # materialize branch once any batch is host-routed.
             pending.append(("small", part, nn, small_max, (mask, ps, ss)))
 
         # the relay costs a ~36 ms roundtrip PER CALL regardless of size
@@ -517,9 +628,19 @@ class BatchAligner:
                 part = members[off: off + C]
                 qp, gp, nn = pack_chunk(A, part)
                 spills.append((part, nn, A, pack_chain_buf(qp, gp, nn)))
+        # host-equivalent work of the device-routed rows, for the weather
+        # router's cost comparison (same ops unit as note_host samples)
+        W = self.p.chain.window
+        dev_ops = 0
+        for _, nn in multi_parts:
+            nn64 = nn.astype(np.int64)
+            dev_ops += int(np.sum(nn64 * np.minimum(nn64, W)))
+        for _, nn, _, _ in spills:
+            nn64 = nn.astype(np.int64)
+            dev_ops += int(np.sum(nn64 * np.minimum(nn64, W)))
         return dict(pre=pending, multi_bufs=multi_items,
                     multi_parts=multi_parts, shapes=shapes, spills=spills,
-                    host_rows=host_rows)
+                    host_rows=host_rows, dev_ops=dev_ops)
 
     @staticmethod
     def _apply_survivor_ranks(out, mapq_primary):
@@ -620,6 +741,8 @@ class BatchAligner:
                 # cluster rides with thousands of 2-8-anchor rows
                 pc = self.p.chain
                 widths = np.array([len(r.qpos) for r in rows], np.int64)
+                import time as _time
+                _t0 = _time.perf_counter()
                 order = np.argsort(widths, kind="stable")
                 CH = 2048
                 for off in range(0, len(order), CH):
@@ -656,6 +779,9 @@ class BatchAligner:
                     for bi, i in enumerate(sel):
                         out[i] = (c1[o1[bi]: o1[bi + 1]], float(ps[bi]),
                                   c2[o2[bi]: o2[bi + 1]], float(ss[bi]))
+                self.weather.note_host(
+                    int(np.sum(widths * np.minimum(widths, pc.window))),
+                    _time.perf_counter() - _t0)
                 return out
             from .chain import chain_anchors, backtrack
             for i, r in enumerate(rows):
@@ -1444,13 +1570,22 @@ class BatchAligner:
                     for i in range(min(n_seed, len(spans))))
 
                 def _finish_one():
-                    names, codes, rows, pending = inflight.popleft()
+                    names, codes, rows, pending, meta = inflight.popleft()
+                    if (not isinstance(pending, str) and self.weather.slow
+                            and not meta["probe"]):
+                        # the weather router flipped while this batch was
+                        # in flight: fetching its results over a degraded
+                        # link costs more than re-chaining on the host
+                        # twin (bit-equal) — discard the device work
+                        pending = "host"
                     # device_get stays on the MAIN thread; only the host
                     # build moves to the worker.  The device-junction build
                     # itself makes device calls (_extend_device_junctions),
                     # so for that backend the WHOLE build runs here on the
                     # main thread — a worker-thread device call racing the
                     # main thread's dispatch deadlocks the relay client.
+                    dw0 = self.stats["device_wall_s"]
+                    was_device = not isinstance(pending, str)
                     try:
                         chained = self._materialize_chains(rows, pending)
                     except Exception as e:
@@ -1459,7 +1594,24 @@ class BatchAligner:
                         # device OR pallas path: the host chain is the
                         # bit-equal twin either way
                         self._device_fallback("chain fetch", e)
+                        was_device = False
                         chained = self._materialize_chains(rows, "host")
+                    if was_device and not self.device_failed:
+                        wall = (self.stats["device_wall_s"] - dw0 +
+                                meta["disp_s"])
+                        if self.weather.note_device(meta["ops"], wall):
+                            est = self.weather.host_est_s(meta["ops"])
+                            log("align",
+                                "weather router: device %s (batch wall "
+                                "%.3f s, host estimate %s s) — %s",
+                                "SLOW" if self.weather.slow else
+                                "recovered",
+                                wall,
+                                "%.3f" % est if est is not None else "n/a",
+                                "routing remaining batches to the "
+                                "bit-equal host chain path; will re-probe"
+                                if self.weather.slow else
+                                "resuming device dispatch")
                     if device_junc:
                         # local snapshot: a concurrent fallback (e.g. the
                         # seed twin dying on the seed worker) may flip
@@ -1484,9 +1636,18 @@ class BatchAligner:
                     if nxt < len(spans):
                         seed_futs.append(seed_pool.submit(_seed, *spans[nxt]))
                     t1 = _time.perf_counter()
+                    meta = {"ops": prep["dev_ops"]
+                            if isinstance(prep, dict) else 0,
+                            "probe": False, "disp_s": 0.0}
                     if self.device_failed:
                         pending = "host"
+                    elif (isinstance(prep, dict)
+                          and not self.weather.route_device()):
+                        # weather-routed: the relay is measured slower
+                        # than the host twin for this work
+                        pending = "host"
                     else:
+                        meta["probe"] = self.weather.slow
                         try:
                             pending = self._chain_rows_async(rows, prep)
                         except Exception as e:
@@ -1494,10 +1655,11 @@ class BatchAligner:
                                 raise
                             self._device_fallback("chain dispatch", e)
                             pending = "host"
+                    meta["disp_s"] = _time.perf_counter() - t1
                     st = self.stats
                     st["dispatch_s"] = (st.get("dispatch_s", 0.0) +
-                                        _time.perf_counter() - t1)
-                    inflight.append((names, codes, rows, pending))
+                                        meta["disp_s"])
+                    inflight.append((names, codes, rows, pending, meta))
                     if len(inflight) > pipeline_depth:
                         _finish_one()
                 while inflight:
@@ -1516,7 +1678,11 @@ class BatchAligner:
             n = polish_batch(rb, self.inner.genome.codes,
                              self.index.chrom_offsets,
                              host_dp=(self.backend == "host"
-                                      or self.device_failed))
+                                      or self.device_failed
+                                      # weather-slow at align end: the
+                                      # polish DP pays the same degraded
+                                      # link; its host DP is bit-equal
+                                      or self.weather.slow))
             dw = _pdev["wall_s"] - d0w
             # the placement DP's link wall is device time, not host time:
             # count it under device_wall_s and exclude it from polish_s so

@@ -359,10 +359,23 @@ class MinimizerIndex:
                     log("index", "loaded cached minimizer index from %s",
                         cache_path)
                     return idx
-                log("index", "cache %s is stale (genome changed); "
-                    "rebuilding", cache_path)
-            except Exception:
-                pass
+                if (idx.k == k and idx.w == w and
+                        idx.names == list(genome.names)):
+                    # same genome names/params but signature mismatch:
+                    # either the genome content was rewritten in place, or
+                    # the cache predates the current signature scheme
+                    # (round-4 change: sampled sha1 -> full blake2b) — a
+                    # one-time rebuild either way (ADVICE r4)
+                    log("index", "cache %s rejected: genome content "
+                        "signature mismatch (genome rewritten, or cache "
+                        "written by an older signature scheme); "
+                        "rebuilding once", cache_path)
+                else:
+                    log("index", "cache %s is stale (k/w/chromosomes "
+                        "changed); rebuilding", cache_path)
+            except Exception as e:
+                log("index", "cache %s unreadable (%r); rebuilding",
+                    cache_path, e)
         idx = cls.build(genome, k, w)
         if cache_path:
             try:

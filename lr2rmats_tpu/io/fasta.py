@@ -90,8 +90,16 @@ def iter_fastx(path: str) -> Iterator[Tuple[str, bytes]]:
                         break
                     ql += len(line.strip())
                 yield name, seq
+                # skip stray blank separator lines between records — the
+                # old `break` silently dropped every subsequent record
                 nxt = fp.read(1)
+                while nxt in (b"\n", b"\r"):
+                    nxt = fp.read(1)
                 if nxt != b"@":
+                    if nxt:
+                        raise ValueError(
+                            "malformed FASTQ: expected '@' at record "
+                            f"start, got {nxt!r}")
                     break
         else:
             raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")

@@ -98,14 +98,14 @@ def _filter_sam_native(in_path: Optional[str], params: FilterParams,
     keep_len = np.zeros(cap, np.int64)
     keep_tid = np.zeros(cap, np.int64)
     keep_pos = np.zeros(cap, np.int64)
-    import os as _os
+    from ..utils import default_threads
     kept_n = lib.filter_sam_c(
         buf, len(buf), params.cov_rate, params.map_qual, params.sec_rat,
         params.min_intron_n,
         np.ascontiguousarray(rm_tid), np.ascontiguousarray(rm_start),
         np.ascontiguousarray(rm_end), len(rm_tid),
         keep_off, keep_len, keep_tid, keep_pos, cap,
-        min(4, _os.cpu_count() or 1))
+        default_threads())
     spans = (keep_off[:kept_n], keep_len[:kept_n], keep_tid[:kept_n],
              keep_pos[:kept_n])
     return refs, header, buf, spans, rd

@@ -148,3 +148,98 @@ def test_seed_twin_failure_recovers(monkeypatch):
     monkeypatch.delenv("LR2RMATS_DEVICE_SEED")
     sam_plain, _ = _run(genome, ss, "host")
     assert sam_rec == sam_plain == sam_ok
+
+
+# ---------------------------------------------------------------- weather
+# Slowness-adaptive routing (_WeatherRouter): a degraded-but-alive relay
+# raises nothing, so the failure fallback can't catch it (measured
+# collapse: ~3.6 s/call vs the 36 ms floor, TPU_500K.json
+# second_pair_weather_collapse).  The router must flip the run to the
+# bit-equal host path on measured slowness and recover via probes.
+
+def _tame_router(monkeypatch, probe_every=16):
+    from lr2rmats_tpu.align.batch import _WeatherRouter
+    monkeypatch.setattr(_WeatherRouter, "GRACE", 0)
+    monkeypatch.setattr(_WeatherRouter, "MIN_WALL_S", 0.15)
+    monkeypatch.setattr(_WeatherRouter, "ABS_SLOW_S", 0.2)
+    monkeypatch.setattr(_WeatherRouter, "PROBE_EVERY", probe_every)
+
+
+def test_weather_slowness_routes_to_host(monkeypatch):
+    """A throttled (but never failing) device: the router flips the rest
+    of the run to the host chain path, output stays byte-identical, and
+    the device stops being called (modulo in-flight batches)."""
+    import time as _t
+    genome, ss = _workload(seed=13)
+    sam_host, _ = _run(genome, ss, "host")
+
+    _tame_router(monkeypatch)
+    import lr2rmats_tpu.ops.chain_jax as cj
+    real = cj.dispatch_multi_packed
+    calls = {"n": 0}
+
+    def throttled(*a, **kw):
+        calls["n"] += 1
+        _t.sleep(0.3)            # degraded relay: slow, never raises
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cj, "dispatch_multi_packed", throttled)
+    sam_dev, al = _run(genome, ss, "jax")
+    assert al.weather.slow                  # router flipped
+    assert not al.device_failed             # ...without a failure event
+    assert al.weather.flips == 1
+    # 5 batches total; flip lands after CONSEC=2 measured batches with
+    # pipeline_depth=2 in flight, so at most 4 dispatches reached the
+    # throttled device
+    assert 2 <= calls["n"] <= 4
+    assert sam_dev == sam_host
+
+
+def test_weather_recovery_probe(monkeypatch):
+    """Transient slowdown: the router flips to host, then a probe batch
+    finds the device healthy again and flips back.  Output identical."""
+    import time as _t
+    genome, ss = _workload(seed=17, n_reads=400)
+    sam_host, _ = _run(genome, ss, "host")
+
+    _tame_router(monkeypatch, probe_every=2)
+    import lr2rmats_tpu.ops.chain_jax as cj
+    real = cj.dispatch_multi_packed
+    calls = {"n": 0}
+
+    def transient(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 2:                 # only the first two batches
+            _t.sleep(0.3)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cj, "dispatch_multi_packed", transient)
+    sam_dev, al = _run(genome, ss, "jax")
+    assert al.weather.flips >= 2            # slow, then recovered
+    assert not al.weather.slow              # ended healthy
+    assert not al.device_failed
+    assert calls["n"] > 4                   # device traffic resumed
+    assert sam_dev == sam_host
+
+
+def test_weather_router_disabled_by_env(monkeypatch):
+    """LR2RMATS_NO_WEATHER_ROUTE=1 keeps every batch on the device no
+    matter how slow it is."""
+    import time as _t
+    genome, ss = _workload(seed=13)
+    monkeypatch.setenv("LR2RMATS_NO_WEATHER_ROUTE", "1")
+    _tame_router(monkeypatch)
+    import lr2rmats_tpu.ops.chain_jax as cj
+    real = cj.dispatch_multi_packed
+    calls = {"n": 0}
+
+    def throttled(*a, **kw):
+        calls["n"] += 1
+        _t.sleep(0.3)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cj, "dispatch_multi_packed", throttled)
+    _, al = _run(genome, ss, "jax")
+    assert not al.weather.enabled
+    assert not al.weather.slow
+    assert calls["n"] == 5                  # every batch went to device

@@ -139,3 +139,16 @@ def test_genome_load_crlf_no_native(tmp_path, monkeypatch):
     np.testing.assert_array_equal(a.codes, b.codes)
     np.testing.assert_array_equal(a.offsets, b.offsets)
     assert decode_seq(a.get(0)) == "ACGTACGTACGT"
+
+
+def test_fastq_blank_separator_lines(tmp_path):
+    """Stray blank lines between FASTQ records must not silently truncate
+    the stream (ADVICE r4): records after the blank still parse, and
+    non-FASTQ garbage after a blank raises instead of vanishing."""
+    s = read_fasta(_write(tmp_path, "bl.fq",
+                          "@q1\nACGT\n+\nIIII\n\n@q2\nTT\n+\nII\n"))
+    assert s.names == ["q1", "q2"]
+    assert decode_seq(s.get(1)) == "TT"
+    with pytest.raises(ValueError, match="malformed FASTQ"):
+        read_fasta(_write(tmp_path, "bad.fq",
+                          "@q1\nACGT\n+\nIIII\n\ngarbage\n"))
