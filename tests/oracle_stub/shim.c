@@ -519,3 +519,48 @@ int32_t o_check_with_exist1(int32_t tid1, int32_t rs1, int32_t re1,
     bfp.ovlp_frac = (float)ovlp_frac; bfp.dis = dis;
     return check_with_exist1(&s1, &s2, &bfp);
 }
+
+/* ====== STAR SJ.out.tab consumption oracle (reference gtf.c:431-449) ===== */
+
+/* Parse a real SJ.out.tab file through the reference's own read_sj_group,
+ * seeding the chr_name_t the way the pipeline does (bam_set_cname from the
+ * alignment header, gtf.c:405-412) so get_chr_id append semantics for
+ * unseen chromosomes are exercised too.  Returns the sorted sj_t array;
+ * the final chromosome registry is flattened into names_out (100 bytes
+ * per name, reference chr_name_init stride). */
+sj_t *o_read_sj_file(const char *path, const char *const *chrs,
+                     int32_t chr_n, int32_t *out_n, char *names_out,
+                     int32_t names_cap, int32_t *out_chr_n)
+{
+    chr_name_t *cname = chr_name_init();
+    int i;
+    for (i = 0; i < chr_n; ++i) get_chr_id(cname, (char *)chrs[i]);
+    FILE *fp = fopen(path, "r");
+    if (!fp) { chr_name_free(cname); return NULL; }
+    int sj_m = 4;
+    sj_t *sj_group = (sj_t *)_err_malloc(sj_m * sizeof(sj_t));
+    *out_n = read_sj_group(fp, cname, &sj_group, sj_m);
+    fclose(fp);
+    *out_chr_n = cname->chr_n;
+    for (i = 0; i < cname->chr_n && i < names_cap; ++i)
+        strcpy(names_out + i * 100, cname->chr_name[i]);
+    chr_name_free(cname);
+    return sj_group;
+}
+
+/* Export every sj_t field (incl. the bitfields strand:2 / is_anno:2 /
+ * motif:3, whose width truncation is itself reference behavior). */
+void o_sj_cols(const sj_t *sj, int32_t n, int32_t *tid, int32_t *don,
+               int32_t *acc, int32_t *strand, int32_t *is_rev,
+               int32_t *motif, int32_t *is_anno, int32_t *uniq_c,
+               int32_t *multi_c, int32_t *max_over)
+{
+    int i;
+    for (i = 0; i < n; ++i) {
+        tid[i] = sj[i].tid; don[i] = sj[i].don; acc[i] = sj[i].acc;
+        strand[i] = sj[i].strand; is_rev[i] = sj[i].is_rev;
+        motif[i] = sj[i].motif; is_anno[i] = sj[i].is_anno;
+        uniq_c[i] = sj[i].uniq_c; multi_c[i] = sj[i].multi_c;
+        max_over[i] = sj[i].max_over;
+    }
+}

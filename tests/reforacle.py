@@ -272,6 +272,8 @@ class Oracle:
                                    v, v, v, v, v, v, v], i),
             "o_check_fusion": ([v, v, v, v, v, v, v, v, i, i, d, d, d, i], i),
             "o_check_with_exist1": ([i, i, i, i, i, i, i, i, i, i, d, i], i),
+            "o_read_sj_file": ([ctypes.c_char_p, v, i, v, v, i, v], v),
+            "o_sj_cols": ([v, i, v, v, v, v, v, v, v, v, v, v], None),
             "o_uniq_trans": ([v, v, v, i, i, i, d], i),
         }
         for name, (argtypes, restype) in sig.items():
@@ -306,6 +308,27 @@ class Oracle:
         n = len(arrs[0])
         ptr = self.lib.o_mk_sj(n, *[_p(a) for a in arrs])
         return ptr, n
+
+    def read_sj_file(self, path: str, chr_names: Sequence[str]):
+        """The reference's own STAR SJ.out.tab consumption (gtf.c:431-449):
+        returns (sj_ptr, dict-of-column-arrays, final chromosome list).
+        Caller frees sj_ptr with lib.o_free_sj."""
+        arr = (ctypes.c_char_p * max(len(chr_names), 1))(
+            *[c.encode() for c in chr_names])
+        out_n = np.zeros(1, np.int32)
+        cap = len(chr_names) + 64
+        names_buf = ctypes.create_string_buffer(cap * 100)
+        out_chr_n = np.zeros(1, np.int32)
+        ptr = self.lib.o_read_sj_file(path.encode(), arr, len(chr_names),
+                                      _p(out_n), names_buf, cap, _p(out_chr_n))
+        n = int(out_n[0])
+        cols = {k: np.zeros(max(n, 1), np.int32) for k in
+                ("tid", "don", "acc", "strand", "is_rev", "motif", "is_anno",
+                 "uniq_c", "multi_c", "max_over")}
+        self.lib.o_sj_cols(ptr, n, *[_p(cols[k]) for k in cols])
+        names = [names_buf.raw[i * 100:(i + 1) * 100].split(b"\x00")[0].decode()
+                 for i in range(int(out_chr_n[0]))]
+        return ptr, {k: a[:n] for k, a in cols.items()}, names
 
     def ugp(self, min_sj_cnt=1, ss_dis=0, end_dis=0x7FFFFFFF, full_level=5,
             split_trans=0, use_multi=0, force_strand=0,
