@@ -1,13 +1,21 @@
-"""On-chip parity artifacts for the three device twins (VERDICT r2 #3).
+"""On-chip parity artifacts for the device twins (VERDICT r2 #3).
 
 Runs, ON THE REAL CHIP (axon relay; run under `timeout`, one at a time):
 
+PRODUCTION twins (headline `all_parity`):
   1. chain_pallas  — the Pallas chaining kernel, COMPILED (not interpret),
                      vs the lax.scan kernel and the host DP
   2. splice_device — junction placement DP (scan + Pallas variants) vs the
                      numpy reference of the production C kernel
-  3. sjcount_device— Hamming verify + junction count accumulators vs the
+  3. polish_place  — batched forced-placement DP vs the scalar host DP
+
+EXPERIMENTAL (demoted) twins, under the `experimental` key with their own
+`experimental_parity` flag — exact-parity tested but opt-in only
+(LR2RMATS_DEVICE_SJCOUNT=1 / LR2RMATS_DEVICE_SEED=1) because the relay
+link cost dwarfs their compute at any production payload:
+  4. sjcount_device— Hamming verify + junction count accumulators vs the
                      host JunctionCounter
+  5. seed_lookup   — device-resident seed table vs the native host lookup
 
 and writes DEVICE_PARITY.json: shapes, bit-equality booleans, per-call ms.
 Docstring parity claims in ops/chain_pallas.py, ops/splice_device.py and
@@ -252,18 +260,29 @@ def main():
     hb("chain_pallas done")
     out["splice_device"] = splice_device_parity(platform == "cpu")
     hb("splice_device done")
-    out["sjcount_device"] = sjcount_device_parity()
-    hb("sjcount_device done")
     out["polish_place"] = polish_place_parity()
     hb("polish_place done")
-    out["seed_lookup"] = seed_lookup_parity()
+    # Demoted twins (VERDICT r4 weak #5): exact-parity tested but ~60-1000x
+    # slower than host behind THIS relay (pure link cost), so they are
+    # opt-in experimental paths (LR2RMATS_DEVICE_SJCOUNT=1 /
+    # LR2RMATS_DEVICE_SEED=1) kept for direct-attach hardware.  They live
+    # under "experimental" so the headline all_parity covers only the
+    # production device paths.
+    exp = {"status": "demoted (opt-in, experimental)",
+           "reason": "per-call relay link cost dwarfs compute at any "
+                     "production payload; see module docstrings",
+           "sjcount_device": sjcount_device_parity()}
+    hb("sjcount_device done")
+    exp["seed_lookup"] = seed_lookup_parity()
     hb("seed_lookup done")
+    exp["experimental_parity"] = bool(
+        exp["sjcount_device"]["counts_identical"] and
+        exp["seed_lookup"]["ranges_identical"])
+    out["experimental"] = exp
     ok = (out["chain_pallas"]["matches_scan_kernel"] and
           out["chain_pallas"]["matches_host_dp"] and
           out["splice_device"]["matches_host_reference"] and
-          out["sjcount_device"]["counts_identical"] and
-          out["polish_place"]["scores_identical"] and
-          out["seed_lookup"]["ranges_identical"])
+          out["polish_place"]["scores_identical"])
     out["all_parity"] = bool(ok)
     path = os.environ.get("PARITY_JSON") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
