@@ -322,10 +322,13 @@ class MinimizerIndex:
             h.update(codes[off: off + CH])
         return h.hexdigest()
 
-    def save(self, path: str, genome_sig: str = "") -> None:
+    def save(self, path: str, genome_sig: str = "",
+             compress: bool = True) -> None:
         """Persist the index (the minimap_idx_file artifact role,
-        reference config.yaml:6-9)."""
-        np.savez_compressed(
+        reference config.yaml:6-9).  compress=False for multi-GB tables:
+        single-threaded zlib over ~9 GB of near-random hashes costs
+        minutes for a modest ratio."""
+        (np.savez_compressed if compress else np.savez)(
             path, k=self.k, w=self.w, hashes=self.hashes, pos=self.pos,
             strand=self.strand, chrom_offsets=self.chrom_offsets,
             names=np.asarray(self.names, object), max_occ=self.max_occ,

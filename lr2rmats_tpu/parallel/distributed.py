@@ -97,7 +97,12 @@ def gather_blobs(blob: bytes) -> List[bytes]:
     lens = multihost_utils.process_allgather(
         np.array([len(blob)], np.int64))
     lens = np.asarray(lens).reshape(nproc)
+    # Bucket the gather width to the next power of two: process_allgather
+    # compiles per shape, and a FRESH width costs ~2.8 s of XLA compile vs
+    # ~80 ms steady-state for a 40 MB payload (scripts/bench_gather.py) —
+    # with raw widths every pipeline batch recompiled all its gathers.
     width = max(int(lens.max()), 1)
+    width = 1 << max(12, (width - 1).bit_length())
     pad = np.zeros(width, np.uint8)
     if blob:
         pad[: len(blob)] = np.frombuffer(blob, np.uint8)

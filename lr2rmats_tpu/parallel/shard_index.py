@@ -76,6 +76,11 @@ class ShardedMinimizerIndex:
         else:
             self.pos = np.zeros(0, np.int64)
             self.strand = np.zeros(0, np.int8)
+        # collective-lookup observability (multi-process mode)
+        self.coll_stats = {"gather_q_s": 0.0, "lookup_s": 0.0,
+                           "gather_a_s": 0.0, "scatter_s": 0.0,
+                           "q_mb": 0.0, "a_mb": 0.0}
+        self._pos_is_u32: Optional[bool] = None
 
     # -------------------------------------------------------------- factory
     @classmethod
@@ -192,18 +197,34 @@ class ShardedMinimizerIndex:
             raise ValueError(
                 f"sharded collective lookup needs one process per shard: "
                 f"{nproc} processes != {self.n_shards} shards")
+        import time as _time
+        st = self.coll_stats
         sid_local = self.local_shard
         shard = self.shards[sid_local]
         q = np.ascontiguousarray(qhashes, np.uint64)
+        t0 = _time.perf_counter()
         blobs = gather_blobs(q.tobytes())
+        st["gather_q_s"] += _time.perf_counter() - t0
+        st["q_mb"] += q.nbytes / 1e6
         queries = [np.frombuffer(b, np.uint64) for b in blobs]
-        # answer every process's queries that land in my hash range
+        # answer every process's queries that land in my hash range.
+        # Frame wire format (v2, slimmed): header "<qqq" (src, m,
+        # pos_is_u32), idx int32[m], cnt int32[m], pos uint32|int64[total],
+        # strand int8[total] — int32 idx/cnt always fit (batch sizes and
+        # max_occ are far below 2^31); pos rides uint32 whenever the
+        # genome is under 4.3 Gbp, halving the dominant array.
+        t0 = _time.perf_counter()
+        if self._pos_is_u32 is None:
+            self._pos_is_u32 = bool(len(shard.pos) == 0 or
+                                    int(shard.pos.max()) < (1 << 32))
+        pos_is_u32 = self._pos_is_u32
+        pdt = np.uint32 if pos_is_u32 else np.int64
         frames = []
         for src, qh in enumerate(queries):
             owner = shard_of(qh, self.n_shards, self.k)
             mine = np.nonzero(owner == sid_local)[0]
             if not len(mine):
-                frames.append(struct.pack("<qq", src, 0))
+                frames.append(struct.pack("<qqq", src, 0, int(pos_is_u32)))
                 continue
             l, h = shard.lookup(np.ascontiguousarray(qh[mine]), n_threads)
             cnt = (h - l).astype(np.int64)
@@ -211,27 +232,35 @@ class ShardedMinimizerIndex:
             rep = np.repeat(np.arange(len(mine)), cnt)
             offs = np.cumsum(cnt) - cnt
             at = (l[rep] + (np.arange(total) - offs[rep])).astype(np.int64)
-            frames.append(struct.pack("<qq", src, len(mine)) +
-                          mine.astype(np.int64).tobytes() +
-                          cnt.tobytes() +
-                          shard.pos[at].astype(np.int64).tobytes() +
+            frames.append(struct.pack("<qqq", src, len(mine),
+                                      int(pos_is_u32)) +
+                          mine.astype(np.int32).tobytes() +
+                          cnt.astype(np.int32).tobytes() +
+                          shard.pos[at].astype(pdt).tobytes() +
                           shard.strand[at].astype(np.int8).tobytes())
-        answers = gather_blobs(b"".join(frames))
+        st["lookup_s"] += _time.perf_counter() - t0
+        payload = b"".join(frames)
+        st["a_mb"] += len(payload) / 1e6
+        t0 = _time.perf_counter()
+        answers = gather_blobs(payload)
+        st["gather_a_s"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         # pass 1: parse the frames addressed to me, fill per-query counts
         counts = np.zeros(len(q), np.int64)
         parsed = []
         for blob in answers:
             off = 0
             while off < len(blob):
-                src, m = struct.unpack_from("<qq", blob, off)
-                off += 16
-                idx = np.frombuffer(blob, np.int64, m, off)
-                off += 8 * m
-                cnt = np.frombuffer(blob, np.int64, m, off)
-                off += 8 * m
+                src, m, p32 = struct.unpack_from("<qqq", blob, off)
+                off += 24
+                idx = np.frombuffer(blob, np.int32, m, off)
+                off += 4 * m
+                cnt = np.frombuffer(blob, np.int32, m, off).astype(np.int64)
+                off += 4 * m
                 total = int(cnt.sum())
-                ppos = np.frombuffer(blob, np.int64, total, off)
-                off += 8 * total
+                ppos = np.frombuffer(blob, np.uint32 if p32 else np.int64,
+                                     total, off).astype(np.int64)
+                off += (4 if p32 else 8) * total
                 pstr = np.frombuffer(blob, np.int8, total, off)
                 off += total
                 if src == pid and m:
@@ -250,6 +279,7 @@ class ShardedMinimizerIndex:
             dest = lo[rep] + within
             self.pos[dest] = ppos
             self.strand[dest] = pstr
+        st["scatter_s"] += _time.perf_counter() - t0
         return lo, hi
 
     def global_to_chrom(self, gpos: np.ndarray

@@ -24,6 +24,19 @@ def rss_gb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
+def _random_codes(rng, total: int) -> np.ndarray:
+    """Uniform base codes in 64 MB chunks: rng.integers(..., np.int64)
+    over the whole genome materializes an 8x int64 intermediate (25 GB at
+    GRCh38 scale) that used to dominate peak RSS."""
+    out = np.empty(total, np.uint8)
+    CH = 64 << 20
+    for off in range(0, total, CH):
+        n = min(CH, total - off)
+        out[off: off + n] = rng.integers(0, 4, n, dtype=np.int64
+                                         ).astype(np.uint8)
+    return out
+
+
 def main():
     n_chrom = int(os.environ.get("DRYRUN_CHROMS", "24"))
     chrom_mb = float(os.environ.get("DRYRUN_CHROM_MB", "129"))
@@ -37,7 +50,7 @@ def main():
     t0 = time.perf_counter()
     per = int(chrom_mb * 1e6)
     total = n_chrom * per
-    codes = rng.integers(0, 4, total, dtype=np.int64).astype(np.uint8)
+    codes = _random_codes(rng, total)
     offsets = np.arange(n_chrom + 1, dtype=np.int64) * per
     genome = Genome([f"chr{i+1}" for i in range(n_chrom)], codes, offsets)
     t_genome = time.perf_counter() - t0
@@ -163,7 +176,30 @@ def shard_worker(pid: int, nproc: int):
     print(f"# [{pid}] workload ready rss={rss_gb():.1f}G", file=sys.stderr,
           flush=True)
     t0 = time.perf_counter()
-    idx = ShardedMinimizerIndex.build(genome, nproc, local_shard=pid)
+    # DRYRUN_SHARD_CACHE=<dir>: reuse a previously built local shard so
+    # collective-lookup experiments do not pay the ~420 s extraction
+    cache_dir = os.environ.get("DRYRUN_SHARD_CACHE", "")
+    cpath = (os.path.join(cache_dir, f"shard{pid}of{nproc}.npz")
+             if cache_dir else "")
+    from lr2rmats_tpu.index.minimizer import MinimizerIndex
+    idx = None
+    sig = MinimizerIndex.genome_signature(genome) if cpath else ""
+    if cpath and os.path.exists(cpath):
+        from lr2rmats_tpu.parallel.shard_index import ShardedMinimizerIndex as S
+        local = MinimizerIndex.load(cpath)
+        if getattr(local, "genome_sig", "") == sig:
+            shards = [None] * nproc
+            shards[pid] = local
+            idx = S(shards, local_only=True)
+            idx.local_shard = pid
+        else:
+            print(f"# [{pid}] shard cache genome signature mismatch; "
+                  "rebuilding", file=sys.stderr, flush=True)
+    if idx is None:
+        idx = ShardedMinimizerIndex.build(genome, nproc, local_shard=pid)
+        if cpath:
+            os.makedirs(cache_dir, exist_ok=True)
+            idx.shards[pid].save(cpath, genome_sig=sig, compress=False)
     t_index = time.perf_counter() - t0
     idx_gb = idx.resident_bytes() / 1e9
     print(f"# [{pid}] shard built {t_index:.0f}s ({idx_gb:.1f} GB resident) "
@@ -175,6 +211,11 @@ def shard_worker(pid: int, nproc: int):
     max_slice = math.ceil(len(reads) / nproc)
     n_batches = math.ceil(max_slice / B)
     t0 = time.perf_counter()
+    # primary holds compact (tid, pos, flag, cigar) tuples, not AlnRec:
+    # the accuracy check below needs only coordinates + CIGAR, and a dict
+    # of millions of record objects (seq/qual strings) is a harness
+    # artifact, not framework footprint — the production pipeline streams
+    # records to SAM instead of retaining them
     primary = {}
     for b in range(n_batches):
         part = my[b * B: (b + 1) * B]
@@ -183,7 +224,7 @@ def shard_worker(pid: int, nproc: int):
                                        [reads[i] for i in part])
             for r in aligner.finish_batch(h):
                 if not (r.flag & 0x100):
-                    primary[r.qname] = r
+                    primary[r.qname] = (r.tid, r.pos, r.flag, r.cigar)
         else:
             # lockstep pad: peers may still have batches in flight
             idx.lookup_collective(np.zeros(0, np.uint64))
@@ -195,10 +236,13 @@ def shard_worker(pid: int, nproc: int):
         ts = []
         for (a1, b1), (a2, b2) in zip(parts[:-1], parts[1:]):
             ts += [b1, a2 + 1]
-        r = primary.get(names[i])
-        if r is None:
+        hit = primary.get(names[i])
+        if hit is None:
             continue
-        base = int(offsets[r.tid])
+        tid, pos, flag, cigar = hit
+        from lr2rmats_tpu.io.sam import AlnRec
+        r = AlnRec(qname=names[i], flag=flag, tid=tid, pos=pos, cigar=cigar)
+        base = int(offsets[tid])
         es, ee, _ = gen_exons(r, 3, 3, 50)
         got = []
         for j in range(len(es) - 1):
@@ -216,6 +260,9 @@ def shard_worker(pid: int, nproc: int):
         "exact": exact,
         "align_wall_s": round(t_align, 1),
         "peak_rss_gb": round(rss_gb(), 1),
+        "phase_s": {k: round(v, 1) for k, v in aligner.stats.items()
+                    if k.endswith("_s")},
+        "collective": {k: round(v, 1) for k, v in idx.coll_stats.items()},
     }
     print(json.dumps(out))
     barrier("dryrun-done")
@@ -226,9 +273,24 @@ def shard_parent(n_shards: int):
     GRCH38_DRYRUN.json under a 'shards' key."""
     import subprocess
     me = os.path.abspath(__file__)
+    # DRYRUN_PIN=1: give every worker a disjoint taskset slice (the
+    # pinned-core discipline that measured 126% 1->2 efficiency,
+    # SCALING.json pinned_equal_resources) instead of 2N processes
+    # thrashing the same cores.
+    ncpu = os.cpu_count() or 4
+    per = max(1, ncpu // n_shards)
+    pin = os.environ.get("DRYRUN_PIN", "") not in ("", "0")
+
+    def argv(pid):
+        base = [sys.executable, me, "--shard-worker", str(pid),
+                "--shards", str(n_shards)]
+        if pin:
+            lo = pid * per
+            return ["taskset", "-c", f"{lo}-{lo + per - 1}"] + base
+        return base
+
     procs = [subprocess.Popen(
-        [sys.executable, me, "--shard-worker", str(pid),
-         "--shards", str(n_shards)],
+        argv(pid),
         stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
         env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH":
              os.path.dirname(os.path.dirname(me))})
@@ -247,6 +309,9 @@ def shard_parent(n_shards: int):
         "aligned_frac": round(sum(s["aligned"] for s in stats) / n_reads, 4),
         "exact_exon_chain_frac": round(
             sum(s["exact"] for s in stats) / n_reads, 4),
+        "n_reads_total": n_reads,
+        "reads_per_s_aggregate": round(
+            n_reads / max(max(s["align_wall_s"] for s in stats), 1e-9), 1),
     }
     path = os.environ.get("DRYRUN_JSON") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -255,7 +320,7 @@ def shard_parent(n_shards: int):
     if os.path.exists(path):
         with open(path) as f:
             doc = json.load(f)
-    doc["shards"] = merged
+    doc[os.environ.get("DRYRUN_KEY", "shards")] = merged
     with open(path, "w") as f:
         json.dump(doc, f)
         f.write("\n")

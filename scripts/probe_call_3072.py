@@ -88,6 +88,39 @@ def main():
                       "max": round(max(walls), 1)}
     out["busy_rate_during_calls"] = round(rate)
     out["host_cpu_steal_frac"] = round(1.0 - rate / base_rate, 3)
+
+    # the bit-equal host twin on the SAME anchor matrices: the marginal
+    # value of the device call is call_ms + steal vs this wall
+    from lr2rmats_tpu.native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        pc = p
+        datasets = []
+        for A, B in ((64, 640), (128, 3328)):
+            n_anchor = rng.integers(A // 2, A + 1, B).astype(np.int32)
+            qp = np.sort(rng.integers(0, 30000, (B, A)), axis=1).astype(np.int32)
+            gp = np.sort(rng.integers(0, 200000, (B, A)), axis=1).astype(np.int32)
+            datasets.append((qp, gp, n_anchor, A, B))
+        hw = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for qp, gp, nn, A, B in datasets:
+                mask = np.zeros((B, A), np.uint8)
+                ps = np.zeros(B, np.float32)
+                ss = np.zeros(B, np.float32)
+                lib.chain_small_batch_c(
+                    qp, gp, nn, B, A, pc.k, pc.window, pc.max_intron,
+                    pc.max_qgap, pc.gap_open, pc.gap_scale, pc.intron_scale,
+                    pc.min_intron_gap, 40.0, mask.reshape(-1), ps, ss)
+            hw.append((time.perf_counter() - t0) * 1e3)
+        out["host_twin_ms"] = {"min": round(min(hw), 1),
+                               "med": round(float(np.median(hw)), 1)}
+        # net device win per batch (negative = device loses), counting the
+        # CPU the call steals from other lanes as a cost
+        dev_cost = (float(np.median(walls)) *
+                    (1.0 + out["host_cpu_steal_frac"]))
+        out["device_net_win_ms_per_batch"] = round(
+            float(np.median(hw)) - dev_cost, 1)
     print(json.dumps(out))
 
 
