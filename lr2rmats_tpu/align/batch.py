@@ -117,27 +117,29 @@ class _WeatherRouter:
     it is recoverable: every PROBE_EVERY-th batch goes back to the device
     as a probe, so a transient slowdown costs a bounded detour.
 
-    Cost model: ops = sum(n * min(n, W)) window-cell updates per batch.
-    Before any batch has run on the host there is no trustworthy host
-    rate (the small-row native call that runs every batch measures ctypes
-    overhead, not DP throughput), so the INITIAL flip uses the absolute
-    ABS_SLOW_S threshold — good weather runs 0.1-0.8 s/batch at
-    production sizes, the measured collapse ~7 s/batch, so 2 s separates
-    them cleanly. Every host-routed batch then feeds an unbiased ops/s
-    sample from the real host materialize path, and recovery probes (and
-    any later flips) compare against that. GRACE absorbs first-shape
-    compiles the persistent cache missed; a false flip self-heals at the
-    next probe. Kill switch: LR2RMATS_NO_WEATHER_ROUTE=1.
+    Decision model: the recorded device wall is the BLOCKED time only
+    (dispatch + the fetch that was not hidden by the pipelined seed of
+    the next batch), so it is already slack-adjusted — in good weather it
+    sits at the link floor (~0.1-0.2 s/batch), in a collapse it balloons
+    (pair r5p1: 1.66 s/batch average while the old 2 s absolute
+    threshold never fired and the arm lost 272 s). The flip threshold is
+    therefore tied to the PIPELINE SLACK — the per-batch seed wall the
+    device must hide under, fed live via note_slack — with a floor:
+    flip when wall > max(SLACK_FLIP x slack, ABS_SLOW_S) for CONSEC
+    batches; a recovery probe passes at max(slack, MIN_WALL_S). The
+    host-materialize ops/s samples (note_host) remain as observability
+    for the log line. GRACE absorbs first-shape compiles the persistent
+    cache missed; a false flip self-heals at the next probe. Kill
+    switch: LR2RMATS_NO_WEATHER_ROUTE=1.
     """
 
-    MARGIN = 3.0        # device must lose by this factor to flip
-    RECOVER = 1.5       # probe must land within this factor to flip back
+    SLACK_FLIP = 1.25   # device wall above this x slack = actively losing
     CONSEC = 2          # consecutive slow batches required to flip
     PROBE_EVERY = 16    # while slow, re-probe the device every N batches
     GRACE = 2           # ignore the first N device batches (cold compiles)
     MIN_WALL_S = 0.25   # never flip on sub-noise batch walls
-    ABS_SLOW_S = 2.0    # no host estimate yet: absolute slow threshold
-    EMA = 0.3           # host ops/s smoothing
+    ABS_SLOW_S = 0.6    # no slack estimate yet: absolute slow threshold
+    EMA = 0.3           # slack / host ops/s smoothing
 
     def __init__(self, enabled: bool = True):
         import threading
@@ -148,7 +150,19 @@ class _WeatherRouter:
         self._probe_n = 0
         self._seen = 0
         self._host_ops_s: Optional[float] = None
+        self._slack_s: Optional[float] = None
         self._lock = threading.Lock()
+
+    def note_slack(self, wall_s: float) -> None:
+        """Feed one batch's seed wall (the overlap budget a device wait
+        can hide under).  Any thread."""
+        if not self.enabled or wall_s <= 1e-9:
+            return
+        with self._lock:
+            if self._slack_s is None:
+                self._slack_s = wall_s
+            else:
+                self._slack_s += self.EMA * (wall_s - self._slack_s)
 
     def note_host(self, ops: int, wall_s: float) -> None:
         """Feed a measured native-chain sample (any thread)."""
@@ -170,10 +184,11 @@ class _WeatherRouter:
         MAIN THREAD ONLY (same discipline as the dispatch itself)."""
         if not self.enabled:
             return False
-        est = self.host_est_s(ops)
+        slack = self._slack_s
         if self.slow:
-            # this was a probe batch
-            thr = self.RECOVER * est if est is not None else self.ABS_SLOW_S
+            # this was a probe batch: the device earns its way back by
+            # fitting under the pipeline slack again
+            thr = slack if slack is not None else self.ABS_SLOW_S
             if wall_s <= max(thr, self.MIN_WALL_S):
                 self.slow = False
                 self._slow_n = 0
@@ -184,7 +199,8 @@ class _WeatherRouter:
         self._seen += 1
         if self._seen <= self.GRACE:
             return False
-        thr = self.MARGIN * est if est is not None else self.ABS_SLOW_S
+        thr = max(self.SLACK_FLIP * slack if slack is not None else 0.0,
+                  self.ABS_SLOW_S)
         if wall_s > max(thr, self.MIN_WALL_S):
             self._slow_n += 1
             if self._slow_n >= self.CONSEC:
@@ -1519,10 +1535,13 @@ class BatchAligner:
             # packing + native small-chain run here on the worker too, so
             # the main thread's dispatch is device-put + jit call only
             prep = self._prepare_dispatch(rows)
+            seed_wall = _time.perf_counter() - t0
+            # per-batch seed wall = the weather router's pipeline slack
+            # (the budget a device wait hides under)
+            self.weather.note_slack(seed_wall)
             with stats_lock:        # seed workers > 1: lost-update guard
                 st = self.stats
-                st["seed_s"] = (st.get("seed_s", 0.0) +
-                                _time.perf_counter() - t0)
+                st["seed_s"] = st.get("seed_s", 0.0) + seed_wall
             return names, codes, rows, prep
 
         def _build(names, codes, rows, chained):

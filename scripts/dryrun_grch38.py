@@ -143,7 +143,7 @@ def _gen_workload(n_chrom, chrom_mb, n_reads):
     rng = np.random.default_rng(7)
     per = int(chrom_mb * 1e6)
     total = n_chrom * per
-    codes = rng.integers(0, 4, total, dtype=np.int64).astype(np.uint8)
+    codes = _random_codes(rng, total)
     offsets = np.arange(n_chrom + 1, dtype=np.int64) * per
     genome = Genome([f"chr{i+1}" for i in range(n_chrom)], codes, offsets)
     reads, truths = bench.simulate_reads(genome, n_reads, rng)
@@ -155,6 +155,51 @@ def _gen_workload(n_chrom, chrom_mb, n_reads):
             keep.append(i)
     reads = [reads[i] for i in keep]
     truths = [truths[i] for i in keep]
+    names = [f"read{i}" for i in range(len(reads))]
+    return genome, offsets, reads, truths, names
+
+
+def _workload_path(cache_dir, n_chrom, chrom_mb, n_reads):
+    return os.path.join(
+        cache_dir, f"workload_c{n_chrom}_m{chrom_mb:g}_r{n_reads}.npz")
+
+
+def _workload_shared(pid, n_chrom, chrom_mb, n_reads, cache_dir):
+    """Multi-process workload: process 0 simulates once and saves the
+    mutated genome + concatenated reads + truth arrays; peers mmap-load.
+    At 5M reads the simulation costs tens of minutes and ~8 GB — paying
+    it once (and sharing pages via mmap) keeps per-process RSS honest to
+    the FRAMEWORK footprint, not the harness's."""
+    from lr2rmats_tpu.io.fasta import Genome
+    from lr2rmats_tpu.parallel.distributed import barrier
+    path = _workload_path(cache_dir, n_chrom, chrom_mb, n_reads)
+    if pid == 0 and not os.path.exists(path):
+        genome, offsets, reads, truths, names = _gen_workload(
+            n_chrom, chrom_mb, n_reads)
+        ro = np.zeros(len(reads) + 1, np.int64)
+        np.cumsum([len(r) for r in reads], out=ro[1:])
+        rc = np.concatenate(reads) if reads else np.zeros(0, np.uint8)
+        parts_n = np.array([len(t) for t in truths], np.int32)
+        parts = np.array([p for t in truths for p in t], np.int64)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, codes=genome.codes, offsets=offsets,
+                 read_codes=rc, read_offs=ro, parts_n=parts_n, parts=parts)
+        os.replace(tmp, path)
+        del reads, rc
+    barrier("workload-ready")
+    z = np.load(path, mmap_mode="r")
+    codes = z["codes"]
+    offsets = np.asarray(z["offsets"])
+    genome = Genome([f"chr{i+1}" for i in range(n_chrom)], codes, offsets)
+    rc, ro = z["read_codes"], np.asarray(z["read_offs"])
+    reads = [rc[ro[i]: ro[i + 1]] for i in range(len(ro) - 1)]
+    pn = np.asarray(z["parts_n"])
+    pflat = np.asarray(z["parts"])
+    po = np.zeros(len(pn) + 1, np.int64)
+    np.cumsum(pn, out=po[1:])
+    truths = [[tuple(p) for p in pflat[po[i]: po[i + 1]]]
+              for i in range(len(pn))]
     names = [f"read{i}" for i in range(len(reads))]
     return genome, offsets, reads, truths, names
 
@@ -171,8 +216,13 @@ def shard_worker(pid: int, nproc: int):
     n_chrom = int(os.environ.get("DRYRUN_CHROMS", "24"))
     chrom_mb = float(os.environ.get("DRYRUN_CHROM_MB", "129"))
     n_reads = int(os.environ.get("DRYRUN_READS", "50000"))
-    genome, offsets, reads, truths, names = _gen_workload(
-        n_chrom, chrom_mb, n_reads)
+    wl_cache = os.environ.get("DRYRUN_WORKLOAD_CACHE", "")
+    if wl_cache:
+        genome, offsets, reads, truths, names = _workload_shared(
+            pid, n_chrom, chrom_mb, n_reads, wl_cache)
+    else:
+        genome, offsets, reads, truths, names = _gen_workload(
+            n_chrom, chrom_mb, n_reads)
     print(f"# [{pid}] workload ready rss={rss_gb():.1f}G", file=sys.stderr,
           flush=True)
     t0 = time.perf_counter()
@@ -273,6 +323,22 @@ def shard_parent(n_shards: int):
     GRCH38_DRYRUN.json under a 'shards' key."""
     import subprocess
     me = os.path.abspath(__file__)
+    # Pre-build the shared workload in a precursor process so the
+    # workers' reported peak RSS is the FRAMEWORK footprint, not the
+    # simulator's
+    wl_cache = os.environ.get("DRYRUN_WORKLOAD_CACHE", "")
+    if wl_cache:
+        wpath = _workload_path(
+            wl_cache, int(os.environ.get("DRYRUN_CHROMS", "24")),
+            float(os.environ.get("DRYRUN_CHROM_MB", "129")),
+            int(os.environ.get("DRYRUN_READS", "50000")))
+        if not os.path.exists(wpath):
+            print("# generating shared workload (precursor process)...",
+                  file=sys.stderr, flush=True)
+            subprocess.run(
+                [sys.executable, me, "--gen-workload"],
+                env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH":
+                     os.path.dirname(os.path.dirname(me))}, check=True)
     # DRYRUN_PIN=1: give every worker a disjoint taskset slice (the
     # pinned-core discipline that measured 126% 1->2 efficiency,
     # SCALING.json pinned_equal_resources) instead of 2N processes
@@ -328,7 +394,13 @@ def shard_parent(n_shards: int):
 
 
 if __name__ == "__main__":
-    if "--shard-worker" in sys.argv:
+    if "--gen-workload" in sys.argv:
+        _workload_shared(
+            0, int(os.environ.get("DRYRUN_CHROMS", "24")),
+            float(os.environ.get("DRYRUN_CHROM_MB", "129")),
+            int(os.environ.get("DRYRUN_READS", "50000")),
+            os.environ["DRYRUN_WORKLOAD_CACHE"])
+    elif "--shard-worker" in sys.argv:
         i = sys.argv.index("--shard-worker")
         n = int(sys.argv[sys.argv.index("--shards") + 1])
         shard_worker(int(sys.argv[i + 1]), n)

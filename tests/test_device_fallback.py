@@ -243,3 +243,32 @@ def test_weather_router_disabled_by_env(monkeypatch):
     assert not al.weather.enabled
     assert not al.weather.slow
     assert calls["n"] == 5                  # every batch went to device
+
+
+def test_weather_default_constants_catch_measured_collapse(monkeypatch):
+    """Regression for pair r5p1 (TPU_500K.json pairs_r5[0]): the relay
+    degraded to ~1.66 s/batch — under the old 2.0 s absolute threshold —
+    and the router never flipped, bleeding 272 s.  With the DEFAULT
+    constants (ABS_SLOW_S 0.6, slack-aware flip) a 0.8 s/batch device
+    against millisecond seed slack must flip, and output must stay
+    byte-identical."""
+    import time as _t
+    genome, ss = _workload(seed=13)
+    sam_host, _ = _run(genome, ss, "host")
+
+    import lr2rmats_tpu.ops.chain_jax as cj
+    real = cj.dispatch_multi_packed
+    calls = {"n": 0}
+
+    def degraded(*a, **kw):
+        calls["n"] += 1
+        _t.sleep(0.8)            # r5p1-style: slow, alive, < old 2 s bar
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cj, "dispatch_multi_packed", degraded)
+    sam_dev, al = _run(genome, ss, "jax")
+    assert al.weather.slow
+    assert not al.device_failed
+    # GRACE=2 + CONSEC=2 with depth-2 pipelining: flip by the 5th dispatch
+    assert calls["n"] <= 5
+    assert sam_dev == sam_host
