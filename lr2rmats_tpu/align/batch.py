@@ -135,7 +135,8 @@ class _WeatherRouter:
 
     SLACK_FLIP = 1.25   # device wall above this x slack = actively losing
     CONSEC = 2          # consecutive slow batches required to flip
-    PROBE_EVERY = 16    # while slow, re-probe the device every N batches
+    PROBE_EVERY = 16    # while slow, first re-probe after N batches
+    PROBE_MAX = 128     # probe-interval backoff cap (doubles per failure)
     GRACE = 2           # ignore the first N device batches (cold compiles)
     MIN_WALL_S = 0.25   # never flip on sub-noise batch walls
     ABS_SLOW_S = 0.6    # no slack estimate yet: absolute slow threshold
@@ -148,6 +149,7 @@ class _WeatherRouter:
         self.flips = 0          # total state changes (observability/tests)
         self._slow_n = 0
         self._probe_n = 0
+        self._probe_every = self.PROBE_EVERY
         self._seen = 0
         self._host_ops_s: Optional[float] = None
         self._slack_s: Optional[float] = None
@@ -193,8 +195,14 @@ class _WeatherRouter:
                 self.slow = False
                 self._slow_n = 0
                 self._seen = 0      # fresh grace for possible recompiles
+                self._probe_every = self.PROBE_EVERY
                 self.flips += 1
                 return True
+            # still slow: back the probe interval off exponentially — a
+            # persistently degraded relay costs O(log n) probes per run,
+            # not n/PROBE_EVERY
+            self._probe_every = min(self._probe_every * 2, self.PROBE_MAX)
+            self._probe_n = 0
             return False
         self._seen += 1
         if self._seen <= self.GRACE:
@@ -217,7 +225,7 @@ class _WeatherRouter:
         if not self.enabled or not self.slow:
             return True
         self._probe_n += 1
-        return (self._probe_n % self.PROBE_EVERY) == 0
+        return (self._probe_n % self._probe_every) == 0
 
 
 class BatchAligner:
