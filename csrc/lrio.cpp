@@ -1540,6 +1540,64 @@ void lookup_range_c(const uint64_t* hashes, int64_t M,
     }
 }
 
+// Expand (l, cnt) hit ranges into packed hit arrays for the sharded
+// collective's answer frames (parallel/shard_index._lookup_distributed):
+// out_pos[ooff[i] .. ooff[i]+cnt[i]) = pos[l[i] .. l[i]+cnt[i]) (as u32
+// when pos_u32, else i64), same for strand.  The numpy reference path
+// (np.repeat + fancy gather + astype) is memory-bound on multi-MB
+// temporaries; this writes each destination byte exactly once.
+void gather_hits_c(const int64_t* pos, const int8_t* strand,
+                   const int64_t* l, const int64_t* cnt,
+                   const int64_t* ooff, int64_t m, int pos_u32,
+                   void* out_pos, int8_t* out_strand, int n_threads) {
+    auto work = [&](int64_t qlo, int64_t qhi) {
+        for (int64_t i = qlo; i < qhi; ++i) {
+            int64_t src = l[i], dst = ooff[i], n = cnt[i];
+            if (pos_u32) {
+                uint32_t* op = (uint32_t*)out_pos + dst;
+                for (int64_t j = 0; j < n; ++j)
+                    op[j] = (uint32_t)pos[src + j];
+            } else {
+                memcpy((int64_t*)out_pos + dst, pos + src,
+                       (size_t)n * sizeof(int64_t));
+            }
+            memcpy(out_strand + dst, strand + src, (size_t)n);
+        }
+    };
+    if (n_threads <= 1 || m < 1 << 13) { work(0, m); return; }
+    std::vector<std::thread> ts;
+    int64_t per = (m + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per, hi = std::min(m, lo + per);
+        if (lo < hi) ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+}
+
+// Receive-side scatter: place each answered query's hit run at its slot
+// in the per-call hit table (dst_pos[dlo[idx[i]] ...] = ppos[soff[i] ...]).
+void scatter_hits_c(const int64_t* ppos, const int8_t* pstr,
+                    const int32_t* idx, const int64_t* cnt,
+                    const int64_t* soff, int64_t m,
+                    const int64_t* dlo, int64_t* dst_pos,
+                    int8_t* dst_str, int n_threads) {
+    auto work = [&](int64_t qlo, int64_t qhi) {
+        for (int64_t i = qlo; i < qhi; ++i) {
+            int64_t n = cnt[i], s = soff[i], d = dlo[idx[i]];
+            memcpy(dst_pos + d, ppos + s, (size_t)n * sizeof(int64_t));
+            memcpy(dst_str + d, pstr + s, (size_t)n);
+        }
+    };
+    if (n_threads <= 1 || m < 1 << 13) { work(0, m); return; }
+    std::vector<std::thread> ts;
+    int64_t per = (m + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per, hi = std::min(m, lo + per);
+        if (lo < hi) ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+}
+
 // Threaded variant: query ranges are independent, outputs strided.
 void lookup_range_mt_c(const uint64_t* hashes, int64_t M,
                        const int64_t* bucket_start, int64_t n_buckets,

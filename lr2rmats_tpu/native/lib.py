@@ -193,6 +193,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u64p, ctypes.c_int64, c_i64p, ctypes.c_int64, ctypes.c_int,
             c_u64p, ctypes.c_int64, c_i64p, c_i64p, ctypes.c_int]
 
+        lib.gather_hits_c.restype = None
+        lib.gather_hits_c.argtypes = [
+            c_i64p, c_i8p, c_i64p, c_i64p, c_i64p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_void_p, c_i8p, ctypes.c_int]
+
+        lib.scatter_hits_c.restype = None
+        lib.scatter_hits_c.argtypes = [
+            c_i64p, c_i8p, c_i32p, c_i64p, c_i64p, ctypes.c_int64,
+            c_i64p, c_i64p, c_i8p, ctypes.c_int]
+
         lib.hamming_pairs_c.restype = None
         lib.hamming_pairs_c.argtypes = [
             c_u8p, ctypes.c_int64, c_u8p, c_i64p, c_i32p, c_i64p,

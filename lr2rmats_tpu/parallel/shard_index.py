@@ -229,15 +229,33 @@ class ShardedMinimizerIndex:
             l, h = shard.lookup(np.ascontiguousarray(qh[mine]), n_threads)
             cnt = (h - l).astype(np.int64)
             total = int(cnt.sum())
-            rep = np.repeat(np.arange(len(mine)), cnt)
-            offs = np.cumsum(cnt) - cnt
-            at = (l[rep] + (np.arange(total) - offs[rep])).astype(np.int64)
+            ooff = np.cumsum(cnt) - cnt
+            from ..native import get_lib
+            lib = get_lib()
+            if lib is not None:
+                import ctypes
+                out_pos = np.empty(total, pdt)
+                out_str = np.empty(total, np.int8)
+                lib.gather_hits_c(
+                    np.ascontiguousarray(shard.pos, np.int64),
+                    np.ascontiguousarray(shard.strand, np.int8),
+                    np.ascontiguousarray(l, np.int64), cnt, ooff,
+                    len(mine), int(pos_is_u32),
+                    out_pos.ctypes.data_as(ctypes.c_void_p), out_str,
+                    n_threads)
+                pos_b = out_pos.tobytes()
+                str_b = out_str.tobytes()
+            else:
+                rep = np.repeat(np.arange(len(mine)), cnt)
+                at = (l[rep] + (np.arange(total) - ooff[rep])
+                      ).astype(np.int64)
+                pos_b = shard.pos[at].astype(pdt).tobytes()
+                str_b = shard.strand[at].astype(np.int8).tobytes()
             frames.append(struct.pack("<qqq", src, len(mine),
                                       int(pos_is_u32)) +
                           mine.astype(np.int32).tobytes() +
                           cnt.astype(np.int32).tobytes() +
-                          shard.pos[at].astype(pdt).tobytes() +
-                          shard.strand[at].astype(np.int8).tobytes())
+                          pos_b + str_b)
         st["lookup_s"] += _time.perf_counter() - t0
         payload = b"".join(frames)
         st["a_mb"] += len(payload) / 1e6
@@ -271,14 +289,23 @@ class ShardedMinimizerIndex:
         # pass 2: vectorized scatter into the per-call hit table
         self.pos = np.zeros(int(counts.sum()), np.int64)
         self.strand = np.zeros(len(self.pos), np.int8)
+        from ..native import get_lib
+        lib = get_lib()
         for idx, cnt, ppos, pstr in parsed:
             total = len(ppos)
-            rep = np.repeat(idx, cnt)
-            offs = np.cumsum(cnt) - cnt
-            within = np.arange(total) - np.repeat(offs, cnt)
-            dest = lo[rep] + within
-            self.pos[dest] = ppos
-            self.strand[dest] = pstr
+            soff = np.cumsum(cnt) - cnt
+            if lib is not None:
+                lib.scatter_hits_c(
+                    np.ascontiguousarray(ppos, np.int64),
+                    np.ascontiguousarray(pstr, np.int8),
+                    np.ascontiguousarray(idx, np.int32), cnt, soff,
+                    len(idx), lo, self.pos, self.strand, n_threads)
+            else:
+                rep = np.repeat(idx, cnt)
+                within = np.arange(total) - np.repeat(soff, cnt)
+                dest = lo[rep] + within
+                self.pos[dest] = ppos
+                self.strand[dest] = pstr
         st["scatter_s"] += _time.perf_counter() - t0
         return lo, hi
 

@@ -626,3 +626,57 @@ def test_minimizer_window_widths():
         np.testing.assert_array_equal(p1, p2, err_msg=f"k={k} w={w}")
         np.testing.assert_array_equal(h1, h2, err_msg=f"k={k} w={w}")
         np.testing.assert_array_equal(s1, s2, err_msg=f"k={k} w={w}")
+
+
+def test_gather_scatter_hits_native_bit_equal():
+    """gather_hits_c / scatter_hits_c vs the numpy reference path they
+    replace in parallel/shard_index._lookup_distributed."""
+    from lr2rmats_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    import ctypes
+    rng = np.random.default_rng(31)
+    M = 50_000
+    pos = rng.integers(0, 1 << 33, M).astype(np.int64)
+    strand = rng.integers(-1, 2, M).astype(np.int8)
+    m = 9000
+    l = rng.integers(0, M - 64, m).astype(np.int64)
+    cnt = rng.integers(0, 9, m).astype(np.int64)
+    ooff = np.cumsum(cnt) - cnt
+    total = int(cnt.sum())
+
+    for pos_u32, pdt in ((0, np.int64), (1, np.uint32)):
+        src_pos = pos if pos_u32 == 0 else (pos & 0xFFFFFFFF)
+        out_pos = np.empty(total, pdt)
+        out_str = np.empty(total, np.int8)
+        lib.gather_hits_c(src_pos if pos_u32 == 0 else pos, strand,
+                          l, cnt, ooff, m, pos_u32,
+                          out_pos.ctypes.data_as(ctypes.c_void_p), out_str,
+                          3)
+        rep = np.repeat(np.arange(m), cnt)
+        at = (l[rep] + (np.arange(total) - ooff[rep])).astype(np.int64)
+        np.testing.assert_array_equal(out_pos, pos[at].astype(pdt))
+        np.testing.assert_array_equal(out_str, strand[at])
+
+    # scatter: place per-query runs at their destination slots
+    counts = np.zeros(2 * m, np.int64)
+    idx = (rng.permutation(2 * m)[:m]).astype(np.int32)
+    counts[idx] = cnt
+    dlo = (np.cumsum(counts) - counts).astype(np.int64)
+    ppos = pos[:total].copy()
+    pstr = strand[:total].copy()
+    dst_pos = np.zeros(int(counts.sum()), np.int64)
+    dst_str = np.zeros(len(dst_pos), np.int8)
+    lib.scatter_hits_c(ppos, pstr, idx, cnt, ooff, m, dlo,
+                       dst_pos, dst_str, 3)
+    want_pos = np.zeros_like(dst_pos)
+    want_str = np.zeros_like(dst_str)
+    rep = np.repeat(idx, cnt)
+    within = np.arange(total) - np.repeat(ooff, cnt)
+    dest = dlo[rep] + within
+    want_pos[dest] = ppos
+    want_str[dest] = pstr
+    np.testing.assert_array_equal(dst_pos, want_pos)
+    np.testing.assert_array_equal(dst_str, want_str)
