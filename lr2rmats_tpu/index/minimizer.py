@@ -171,9 +171,22 @@ class MinimizerIndex:
             hs.append(h)
             ps.append(p + genome.offsets[tid])
             ss.append(s)
-        h = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
-        p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
-        s = np.concatenate(ss) if ss else np.zeros(0, np.int8)
+        # incremental concat: copy each per-chromosome part then free it,
+        # so the resident peak is ~1x the table instead of the 2x a plain
+        # np.concatenate holds (parts + output; ~18 GB extra at GRCh38
+        # shard scale — output pages materialize lazily as parts free)
+        total = sum(len(x) for x in hs)
+        h = np.empty(total, np.uint64)
+        p = np.empty(total, np.int64)
+        s = np.empty(total, np.int8)
+        off = 0
+        for i in range(len(hs)):
+            n = len(hs[i])
+            h[off: off + n] = hs[i]
+            p[off: off + n] = ps[i]
+            s[off: off + n] = ss[i]
+            hs[i] = ps[i] = ss[i] = None
+            off += n
         del hs, ps, ss
         hist = np.zeros(1025, np.int64)
         from ..native import get_lib

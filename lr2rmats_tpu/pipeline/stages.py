@@ -31,6 +31,32 @@ from ..report.sortgtf import sort_gtf_file
 from ..transcript.filter import FilterParams
 from ..transcript.model import UpdateGtfParams
 from ..utils import Timer, log
+
+
+def _device_init_ok(timeout_s: Optional[float] = None,
+                    probe_code: str = "import jax; jax.devices()") -> bool:
+    """The relay can HANG backend init outright — neither an exception
+    (failure fallback) nor a slow measurable batch (weather router):
+    observed 2026-08-20, a 500k TPU arm sat 20+ minutes inside
+    jax.devices() during an outage.  Probe init in a DISPOSABLE
+    subprocess under a hard timeout before committing the align stage to
+    the device backend; on probe failure the run rides the bit-equal
+    host paths from the start.  Skip with LR2RMATS_NO_INIT_PROBE=1;
+    budget via LR2RMATS_INIT_PROBE_S (default 45)."""
+    import subprocess
+    import sys
+    if os.environ.get("LR2RMATS_NO_INIT_PROBE"):
+        return True
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True     # no relay involved; init cannot hang
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("LR2RMATS_INIT_PROBE_S", "45"))
+    try:
+        r = subprocess.run([sys.executable, "-c", probe_code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 from .commands import cmd_filter, cmd_unique_gtf, cmd_update_gtf
 from .config import PipelineConfig
 
@@ -323,6 +349,11 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                                                         ".tmmi.npz")
                             idx = MinimizerIndex.build_or_load(genome, cache)
                         backend = "host" if use_tpu is False else "jax"
+                        if backend != "host" and not _device_init_ok():
+                            log("align", "device backend init probe "
+                                "failed/hung; riding the bit-equal host "
+                                "paths for this run")
+                            backend = "host"
                         if backend != "host":
                             # warm executables replay from <repo>/.jax_cache
                             # instead of ~10-40 s relay compiles per shape

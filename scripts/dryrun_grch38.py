@@ -198,10 +198,24 @@ def _workload_shared(pid, n_chrom, chrom_mb, n_reads, cache_dir):
     pflat = np.asarray(z["parts"])
     po = np.zeros(len(pn) + 1, np.int64)
     np.cumsum(pn, out=po[1:])
-    truths = [[tuple(p) for p in pflat[po[i]: po[i + 1]]]
-              for i in range(len(pn))]
+    # lazy truth view: materializing 5M lists-of-tuples costs ~3 GB of
+    # python objects; the accuracy loop only indexes truths[i] once
+    truths = _LazyTruths(pflat, po)
     names = [f"read{i}" for i in range(len(reads))]
     return genome, offsets, reads, truths, names
+
+
+class _LazyTruths:
+    def __init__(self, pflat, po):
+        self._pflat = pflat
+        self._po = po
+
+    def __len__(self):
+        return len(self._po) - 1
+
+    def __getitem__(self, i):
+        return [tuple(int(x) for x in p)
+                for p in self._pflat[self._po[i]: self._po[i + 1]]]
 
 
 def shard_worker(pid: int, nproc: int):

@@ -162,6 +162,9 @@ def _tame_router(monkeypatch, probe_every=16):
     monkeypatch.setattr(_WeatherRouter, "GRACE", 0)
     monkeypatch.setattr(_WeatherRouter, "MIN_WALL_S", 0.15)
     monkeypatch.setattr(_WeatherRouter, "ABS_SLOW_S", 0.2)
+    # pin the slack term: on a loaded test host the tiny batches' seed
+    # walls can exceed the throttle sleep and mask the flip
+    monkeypatch.setattr(_WeatherRouter, "SLACK_FLIP", 0.0)
     monkeypatch.setattr(_WeatherRouter, "PROBE_EVERY", probe_every)
 
 
@@ -272,3 +275,20 @@ def test_weather_default_constants_catch_measured_collapse(monkeypatch):
     # GRACE=2 + CONSEC=2 with depth-2 pipelining: flip by the 5th dispatch
     assert calls["n"] <= 5
     assert sam_dev == sam_host
+
+
+def test_init_probe_detects_hang_and_failure(monkeypatch):
+    """_device_init_ok: a hung or dying backend-init subprocess demotes
+    the run to the host backend (observed: jax.devices() blocking 20+
+    minutes during a relay outage, 2026-08-20)."""
+    from lr2rmats_tpu.pipeline.stages import _device_init_ok
+    monkeypatch.delenv("LR2RMATS_NO_INIT_PROBE", raising=False)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    assert _device_init_ok(timeout_s=5.0, probe_code="pass")
+    assert not _device_init_ok(timeout_s=1.0,
+                               probe_code="import time; time.sleep(30)")
+    assert not _device_init_ok(timeout_s=5.0,
+                               probe_code="raise SystemExit(3)")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert _device_init_ok(timeout_s=0.001,
+                           probe_code="import time; time.sleep(30)")
