@@ -356,6 +356,47 @@ class MinimizerIndex:
         out.genome_sig = str(z["genome_sig"]) if "genome_sig" in z else ""
         return out
 
+    def save_raw(self, dir_path: str, genome_sig: str = "") -> None:
+        """Directory-of-.npy format for multi-GB tables: each array is a
+        plain .npy so load_raw can MEMORY-MAP it (npz members cannot be
+        mmapped — numpy silently ignores mmap_mode inside a zip).
+        Measured: eager np.load of an 8.9 GB shard npz cost ~295 s under
+        2-process disk contention; a mapped load is instant and pages
+        fault in under the actual lookups."""
+        import json as _json
+        import os as _os
+        _os.makedirs(dir_path, exist_ok=True)
+        np.save(_os.path.join(dir_path, "hashes.npy"), self.hashes)
+        np.save(_os.path.join(dir_path, "pos.npy"), self.pos)
+        np.save(_os.path.join(dir_path, "strand.npy"), self.strand)
+        np.save(_os.path.join(dir_path, "chrom_offsets.npy"),
+                self.chrom_offsets)
+        meta = {"k": self.k, "w": self.w, "names": list(self.names),
+                "max_occ": int(self.max_occ), "genome_sig": genome_sig}
+        tmp = _os.path.join(dir_path, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        _os.replace(tmp, _os.path.join(dir_path, "meta.json"))
+
+    @classmethod
+    def load_raw(cls, dir_path: str, mmap: bool = True) -> "MinimizerIndex":
+        import json as _json
+        import os as _os
+        with open(_os.path.join(dir_path, "meta.json")) as f:
+            meta = _json.load(f)
+        mode = "r" if mmap else None
+        out = cls(int(meta["k"]), int(meta["w"]),
+                  np.load(_os.path.join(dir_path, "hashes.npy"),
+                          mmap_mode=mode),
+                  np.load(_os.path.join(dir_path, "pos.npy"),
+                          mmap_mode=mode),
+                  np.load(_os.path.join(dir_path, "strand.npy"),
+                          mmap_mode=mode),
+                  np.load(_os.path.join(dir_path, "chrom_offsets.npy")),
+                  list(meta["names"]), int(meta["max_occ"]))
+        out.genome_sig = str(meta.get("genome_sig", ""))
+        return out
+
     @classmethod
     def build_or_load(cls, genome, cache_path: Optional[str] = None,
                       k: int = K_DEFAULT, w: int = W_DEFAULT) -> "MinimizerIndex":

@@ -248,9 +248,10 @@ def shard_worker(pid: int, nproc: int):
     from lr2rmats_tpu.index.minimizer import MinimizerIndex
     idx = None
     sig = MinimizerIndex.genome_signature(genome) if cpath else ""
-    if cpath and os.path.exists(cpath):
+    rawdir = cpath + ".raw" if cpath else ""
+    if rawdir and os.path.exists(os.path.join(rawdir, "meta.json")):
         from lr2rmats_tpu.parallel.shard_index import ShardedMinimizerIndex as S
-        local = MinimizerIndex.load(cpath)
+        local = MinimizerIndex.load_raw(rawdir, mmap=True)
         if getattr(local, "genome_sig", "") == sig:
             shards = [None] * nproc
             shards[pid] = local
@@ -262,8 +263,7 @@ def shard_worker(pid: int, nproc: int):
     if idx is None:
         idx = ShardedMinimizerIndex.build(genome, nproc, local_shard=pid)
         if cpath:
-            os.makedirs(cache_dir, exist_ok=True)
-            idx.shards[pid].save(cpath, genome_sig=sig, compress=False)
+            idx.shards[pid].save_raw(rawdir, genome_sig=sig)
     t_index = time.perf_counter() - t0
     idx_gb = idx.resident_bytes() / 1e9
     print(f"# [{pid}] shard built {t_index:.0f}s ({idx_gb:.1f} GB resident) "

@@ -97,6 +97,11 @@ def test_polish_dp_failure_recovers(monkeypatch):
     device DP actually runs (vacuous otherwise)."""
     genome, ss = _workload(seed=7, n_reads=400, profile="ont")
     sam_host, _ = _run(genome, ss, "host")
+    # this test targets the POLISH failure path: keep the weather router
+    # out (under suite load a CPU-jit compile stall can trip it, and a
+    # flipped run legitimately rides the host DP without ever reaching
+    # _polish_best_pair)
+    monkeypatch.setenv("LR2RMATS_NO_WEATHER_ROUTE", "1")
 
     import lr2rmats_tpu.align.polish as pol
 
@@ -284,10 +289,13 @@ def test_init_probe_detects_hang_and_failure(monkeypatch):
     from lr2rmats_tpu.pipeline.stages import _device_init_ok
     monkeypatch.delenv("LR2RMATS_NO_INIT_PROBE", raising=False)
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
-    assert _device_init_ok(timeout_s=5.0, probe_code="pass")
+    # generous success-path budgets: under full-host load (e.g. the 5M
+    # dryrun aligning on every core) interpreter start alone can take
+    # seconds
+    assert _device_init_ok(timeout_s=60.0, probe_code="pass")
     assert not _device_init_ok(timeout_s=1.0,
-                               probe_code="import time; time.sleep(30)")
-    assert not _device_init_ok(timeout_s=5.0,
+                               probe_code="import time; time.sleep(90)")
+    assert not _device_init_ok(timeout_s=60.0,
                                probe_code="raise SystemExit(3)")
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     assert _device_init_ok(timeout_s=0.001,

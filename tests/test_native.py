@@ -680,3 +680,30 @@ def test_gather_scatter_hits_native_bit_equal():
     want_str[dest] = pstr
     np.testing.assert_array_equal(dst_pos, want_pos)
     np.testing.assert_array_equal(dst_str, want_str)
+
+
+def test_minimizer_save_raw_load_raw_roundtrip(tmp_path):
+    """Raw directory format (mmappable) roundtrips bit-identically and
+    the mapped table answers lookups identically to the original."""
+    from lr2rmats_tpu.index.minimizer import MinimizerIndex
+    from lr2rmats_tpu.io.fasta import Genome
+    rng = np.random.default_rng(9)
+    n = 200_000
+    g = Genome(["cA", "cB"],
+               rng.integers(0, 4, n).astype(np.uint8),
+               np.array([0, n // 2, n], np.int64))
+    idx = MinimizerIndex.build(g)
+    d = tmp_path / "shard.raw"
+    idx.save_raw(str(d), genome_sig="sigX")
+    back = MinimizerIndex.load_raw(str(d), mmap=True)
+    assert back.genome_sig == "sigX"
+    assert (back.k, back.w, back.max_occ) == (idx.k, idx.w, idx.max_occ)
+    assert back.names == idx.names
+    np.testing.assert_array_equal(back.hashes, idx.hashes)
+    np.testing.assert_array_equal(back.pos, idx.pos)
+    np.testing.assert_array_equal(back.strand, idx.strand)
+    q = rng.choice(idx.hashes, 5000)
+    lo1, hi1 = idx.lookup(q)
+    lo2, hi2 = back.lookup(q)
+    np.testing.assert_array_equal(lo1, lo2)
+    np.testing.assert_array_equal(hi1, hi2)
