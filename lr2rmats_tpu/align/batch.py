@@ -187,10 +187,14 @@ class _WeatherRouter:
         if not self.enabled:
             return False
         slack = self._slack_s
+        est = self.host_est_s(ops)
         if self.slow:
             # this was a probe batch: the device earns its way back by
-            # fitting under the pipeline slack again
+            # fitting under the pipeline slack again — or by simply
+            # beating the measured host-chain cost for the same rows
             thr = slack if slack is not None else self.ABS_SLOW_S
+            if est is not None:
+                thr = max(thr, est)
             if wall_s <= max(thr, self.MIN_WALL_S):
                 self.slow = False
                 self._slow_n = 0
@@ -209,6 +213,11 @@ class _WeatherRouter:
             return False
         thr = max(self.SLACK_FLIP * slack if slack is not None else 0.0,
                   self.ABS_SLOW_S)
+        if est is not None:
+            # never flip to a host path that is itself slower: the device
+            # must lose to BOTH the pipeline slack and the measured host
+            # chain cost for the same work
+            thr = max(thr, est)
         if wall_s > max(thr, self.MIN_WALL_S):
             self._slow_n += 1
             if self._slow_n >= self.CONSEC:
@@ -538,7 +547,7 @@ class BatchAligner:
         return -(-v * self.chunk_scale // 128) * 128
 
     # ------------------------------------------------------------- chaining
-    def _prepare_dispatch(self, rows: List[_Row]):
+    def _prepare_dispatch(self, rows: List[_Row], force_pack: bool = False):
         """HOST side of the chain dispatch: bucket rows, chain the small
         bucket natively, pack the fixed device chunks into the kernel's
         delta format.  Pure numpy/C — safe on the seed worker thread, so
@@ -548,6 +557,12 @@ class BatchAligner:
             #                  packing on the seed workers entirely
         if self.backend in ("host", "pallas"):
             return self.backend
+        if self.weather.slow and not force_pack:
+            # weather-routed: don't pay device packing for batches that
+            # will ride the host anyway (it also inflates the seed wall
+            # fed to note_slack); the main loop re-packs inline for the
+            # one batch route_device() picks as a probe
+            return "weather-skip"
         from ..ops.chain_jax import EXC_ROWS, pack_chain_buf
         # bucket rows by padded anchor count; query positions AND ref
         # deltas ride the link as u16 pairs, buckets top out at
@@ -701,6 +716,10 @@ class BatchAligner:
         relay client deadlocks on multi-threaded device access)."""
         if prep is None:
             prep = self._prepare_dispatch(rows)
+        if prep == "weather-skip":
+            # direct dispatch_batch callers have no probe bookkeeping:
+            # ride the host while the router says slow
+            return "host"
         if prep in ("host", "pallas"):
             return prep
         from ..ops.chain_jax import (dispatch_multi_packed,
@@ -1623,7 +1642,11 @@ class BatchAligner:
                         self._device_fallback("chain fetch", e)
                         was_device = False
                         chained = self._materialize_chains(rows, "host")
-                    if was_device and not self.device_failed:
+                    if was_device and not self.device_failed \
+                            and meta["ops"] > 0:
+                        # ops==0 batches (small-only rows: no device call
+                        # at all) would dilute the slow streak and let
+                        # probes "pass" without touching the relay
                         wall = (self.stats["device_wall_s"] - dw0 +
                                 meta["disp_s"])
                         if self.weather.note_device(meta["ops"], wall):
@@ -1668,6 +1691,27 @@ class BatchAligner:
                             "probe": False, "disp_s": 0.0}
                     if self.device_failed:
                         pending = "host"
+                    elif prep == "weather-skip":
+                        # packed nothing on the seed worker (router was
+                        # slow); re-pack inline iff this batch is the probe
+                        if self.weather.route_device():
+                            meta["probe"] = True
+                            try:
+                                prep = self._prepare_dispatch(
+                                    rows, force_pack=True)
+                                meta["ops"] = (prep["dev_ops"]
+                                               if isinstance(prep, dict)
+                                               else 0)
+                                # rebase disp_s past the inline packing:
+                                # it is host work, and counting it would
+                                # bias the probe's measured link wall
+                                t1 = _time.perf_counter()
+                                pending = self._chain_rows_async(rows, prep)
+                            except Exception as e:
+                                self._device_fallback("chain dispatch", e)
+                                pending = "host"
+                        else:
+                            pending = "host"
                     elif (isinstance(prep, dict)
                           and not self.weather.route_device()):
                         # weather-routed: the relay is measured slower

@@ -161,19 +161,24 @@ def _gen_workload(n_chrom, chrom_mb, n_reads):
 
 def _workload_path(cache_dir, n_chrom, chrom_mb, n_reads):
     return os.path.join(
-        cache_dir, f"workload_c{n_chrom}_m{chrom_mb:g}_r{n_reads}.npz")
+        cache_dir, f"workload_c{n_chrom}_m{chrom_mb:g}_r{n_reads}.d")
 
 
 def _workload_shared(pid, n_chrom, chrom_mb, n_reads, cache_dir):
-    """Multi-process workload: process 0 simulates once and saves the
-    mutated genome + concatenated reads + truth arrays; peers mmap-load.
-    At 5M reads the simulation costs tens of minutes and ~8 GB — paying
-    it once (and sharing pages via mmap) keeps per-process RSS honest to
-    the FRAMEWORK footprint, not the harness's."""
+    """Multi-process workload: process 0 (or the precursor) simulates
+    once and saves the mutated genome + concatenated reads + truth
+    arrays as a DIRECTORY of plain .npy files; peers memory-map them.
+    npz members cannot be mmapped (numpy silently ignores mmap_mode
+    inside a zip — the first version of this cache materialized a full
+    private ~10 GB copy per worker), so each array is its own .npy.
+    At 5M reads the simulation costs tens of minutes; sharing pages via
+    mmap keeps per-process RSS honest to the FRAMEWORK footprint, not
+    the harness's."""
     from lr2rmats_tpu.io.fasta import Genome
     from lr2rmats_tpu.parallel.distributed import barrier
-    path = _workload_path(cache_dir, n_chrom, chrom_mb, n_reads)
-    if pid == 0 and not os.path.exists(path):
+    d = _workload_path(cache_dir, n_chrom, chrom_mb, n_reads)
+    done = os.path.join(d, "DONE")
+    if pid == 0 and not os.path.exists(done):
         genome, offsets, reads, truths, names = _gen_workload(
             n_chrom, chrom_mb, n_reads)
         ro = np.zeros(len(reads) + 1, np.int64)
@@ -181,21 +186,25 @@ def _workload_shared(pid, n_chrom, chrom_mb, n_reads, cache_dir):
         rc = np.concatenate(reads) if reads else np.zeros(0, np.uint8)
         parts_n = np.array([len(t) for t in truths], np.int32)
         parts = np.array([p for t in truths for p in t], np.int64)
-        os.makedirs(cache_dir, exist_ok=True)
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, codes=genome.codes, offsets=offsets,
-                 read_codes=rc, read_offs=ro, parts_n=parts_n, parts=parts)
-        os.replace(tmp, path)
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "codes.npy"), genome.codes)
+        np.save(os.path.join(d, "offsets.npy"), offsets)
+        np.save(os.path.join(d, "read_codes.npy"), rc)
+        np.save(os.path.join(d, "read_offs.npy"), ro)
+        np.save(os.path.join(d, "parts_n.npy"), parts_n)
+        np.save(os.path.join(d, "parts.npy"), parts)
+        with open(done, "w") as f:
+            f.write("ok\n")
         del reads, rc
     barrier("workload-ready")
-    z = np.load(path, mmap_mode="r")
-    codes = z["codes"]
-    offsets = np.asarray(z["offsets"])
+    codes = np.load(os.path.join(d, "codes.npy"), mmap_mode="r")
+    offsets = np.load(os.path.join(d, "offsets.npy"))
     genome = Genome([f"chr{i+1}" for i in range(n_chrom)], codes, offsets)
-    rc, ro = z["read_codes"], np.asarray(z["read_offs"])
+    rc = np.load(os.path.join(d, "read_codes.npy"), mmap_mode="r")
+    ro = np.load(os.path.join(d, "read_offs.npy"))
     reads = [rc[ro[i]: ro[i + 1]] for i in range(len(ro) - 1)]
-    pn = np.asarray(z["parts_n"])
-    pflat = np.asarray(z["parts"])
+    pn = np.load(os.path.join(d, "parts_n.npy"))
+    pflat = np.load(os.path.join(d, "parts.npy"), mmap_mode="r")
     po = np.zeros(len(pn) + 1, np.int64)
     np.cumsum(pn, out=po[1:])
     # lazy truth view: materializing 5M lists-of-tuples costs ~3 GB of
@@ -246,21 +255,34 @@ def shard_worker(pid: int, nproc: int):
     cpath = (os.path.join(cache_dir, f"shard{pid}of{nproc}.npz")
              if cache_dir else "")
     from lr2rmats_tpu.index.minimizer import MinimizerIndex
+    from lr2rmats_tpu.parallel.distributed import gather_blobs
     idx = None
     sig = MinimizerIndex.genome_signature(genome) if cpath else ""
     rawdir = cpath + ".raw" if cpath else ""
+    local = None
     if rawdir and os.path.exists(os.path.join(rawdir, "meta.json")):
-        from lr2rmats_tpu.parallel.shard_index import ShardedMinimizerIndex as S
-        local = MinimizerIndex.load_raw(rawdir, mmap=True)
-        if getattr(local, "genome_sig", "") == sig:
-            shards = [None] * nproc
-            shards[pid] = local
-            idx = S(shards, local_only=True)
-            idx.local_shard = pid
+        cand = MinimizerIndex.load_raw(rawdir, mmap=True)
+        if getattr(cand, "genome_sig", "") == sig:
+            local = cand
         else:
             print(f"# [{pid}] shard cache genome signature mismatch; "
                   "rebuilding", file=sys.stderr, flush=True)
-    if idx is None:
+    # the cache-valid decision must be COLLECTIVE: a worker that rebuilds
+    # enters the histogram all-reduce inside build() while cache-hit
+    # workers would skip it — mismatched gathers then pair query payloads
+    # with histogram bytes (or hang).  All workers agree first; any miss
+    # means everyone rebuilds.
+    votes = gather_blobs(b"\x01" if local is not None else b"\x00")
+    if all(v == b"\x01" for v in votes):
+        from lr2rmats_tpu.parallel.shard_index import ShardedMinimizerIndex as S
+        shards = [None] * nproc
+        shards[pid] = local
+        idx = S(shards, local_only=True)
+        idx.local_shard = pid
+    else:
+        if local is not None:
+            print(f"# [{pid}] a peer's shard cache is invalid; rebuilding "
+                  "collectively", file=sys.stderr, flush=True)
         idx = ShardedMinimizerIndex.build(genome, nproc, local_shard=pid)
         if cpath:
             idx.shards[pid].save_raw(rawdir, genome_sig=sig)
@@ -346,7 +368,7 @@ def shard_parent(n_shards: int):
             wl_cache, int(os.environ.get("DRYRUN_CHROMS", "24")),
             float(os.environ.get("DRYRUN_CHROM_MB", "129")),
             int(os.environ.get("DRYRUN_READS", "50000")))
-        if not os.path.exists(wpath):
+        if not os.path.exists(os.path.join(wpath, "DONE")):
             print("# generating shared workload (precursor process)...",
                   file=sys.stderr, flush=True)
             subprocess.run(

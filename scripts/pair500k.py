@@ -44,8 +44,13 @@ def run_arm(arm: str, outdir: str, budget_s: int):
            "--out-dir", outdir]
     say(f"{arm} arm -> {outdir}")
     t0 = time.perf_counter()
-    p = subprocess.run(cmd, cwd=_REPO, env=env, capture_output=True,
-                       text=True, timeout=budget_s)
+    try:
+        p = subprocess.run(cmd, cwd=_REPO, env=env, capture_output=True,
+                           text=True, timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        say(f"{arm} arm HUNG past the {budget_s}s budget (the observed "
+            "relay-outage init-hang mode) — aborting this arm")
+        return None
     wall = time.perf_counter() - t0
     if p.returncode != 0:
         say(f"{arm} arm FAILED rc={p.returncode}; stderr tail:")

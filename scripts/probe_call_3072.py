@@ -34,11 +34,13 @@ def main():
     rng = np.random.default_rng(3)
 
     bufs = []
+    datasets = []
     total_mb = 0.0
     for A, B in ((64, 640), (128, 3328)):
         n_anchor = rng.integers(A // 2, A + 1, B).astype(np.int32)
         qpos = np.sort(rng.integers(0, 30000, (B, A)), axis=1).astype(np.int32)
         rpos = np.sort(rng.integers(0, 200000, (B, A)), axis=1).astype(np.int32)
+        datasets.append((qpos, rpos, n_anchor, A, B))
         buf = cj.pack_chain_buf(qpos, rpos, n_anchor)
         total_mb += buf.nbytes / 1e6
         bufs.append(buf)
@@ -95,12 +97,6 @@ def main():
     lib = get_lib()
     if lib is not None:
         pc = p
-        datasets = []
-        for A, B in ((64, 640), (128, 3328)):
-            n_anchor = rng.integers(A // 2, A + 1, B).astype(np.int32)
-            qp = np.sort(rng.integers(0, 30000, (B, A)), axis=1).astype(np.int32)
-            gp = np.sort(rng.integers(0, 200000, (B, A)), axis=1).astype(np.int32)
-            datasets.append((qp, gp, n_anchor, A, B))
         hw = []
         for _ in range(5):
             t0 = time.perf_counter()

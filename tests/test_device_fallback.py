@@ -165,8 +165,10 @@ def test_seed_twin_failure_recovers(monkeypatch):
 def _tame_router(monkeypatch, probe_every=16):
     from lr2rmats_tpu.align.batch import _WeatherRouter
     monkeypatch.setattr(_WeatherRouter, "GRACE", 0)
-    monkeypatch.setattr(_WeatherRouter, "MIN_WALL_S", 0.15)
-    monkeypatch.setattr(_WeatherRouter, "ABS_SLOW_S", 0.2)
+    # recovery bar 0.25 s: healthy CPU-jit probe calls run ~5-20 ms but a
+    # loaded test host (suite + background jobs) can stall any small call
+    monkeypatch.setattr(_WeatherRouter, "MIN_WALL_S", 0.25)
+    monkeypatch.setattr(_WeatherRouter, "ABS_SLOW_S", 0.3)
     # pin the slack term: on a loaded test host the tiny batches' seed
     # walls can exceed the throttle sleep and mask the flip
     monkeypatch.setattr(_WeatherRouter, "SLACK_FLIP", 0.0)
@@ -188,7 +190,7 @@ def test_weather_slowness_routes_to_host(monkeypatch):
 
     def throttled(*a, **kw):
         calls["n"] += 1
-        _t.sleep(0.3)            # degraded relay: slow, never raises
+        _t.sleep(0.6)            # degraded relay: slow, never raises
         return real(*a, **kw)
 
     monkeypatch.setattr(cj, "dispatch_multi_packed", throttled)
@@ -218,7 +220,7 @@ def test_weather_recovery_probe(monkeypatch):
     def transient(*a, **kw):
         calls["n"] += 1
         if calls["n"] <= 2:                 # only the first two batches
-            _t.sleep(0.3)
+            _t.sleep(0.6)
         return real(*a, **kw)
 
     monkeypatch.setattr(cj, "dispatch_multi_packed", transient)
@@ -243,7 +245,7 @@ def test_weather_router_disabled_by_env(monkeypatch):
 
     def throttled(*a, **kw):
         calls["n"] += 1
-        _t.sleep(0.3)
+        _t.sleep(0.6)
         return real(*a, **kw)
 
     monkeypatch.setattr(cj, "dispatch_multi_packed", throttled)
