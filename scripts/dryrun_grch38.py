@@ -234,8 +234,11 @@ def shard_worker(pid: int, nproc: int):
     from lr2rmats_tpu.align.batch import BatchAligner
     from lr2rmats_tpu.parallel.distributed import barrier, init_multihost
     from lr2rmats_tpu.parallel.shard_index import ShardedMinimizerIndex
-    init_multihost(os.environ.get("DRYRUN_COORD", "127.0.0.1:29891"),
-                   nproc, pid)
+    # DRYRUN_COORD is set per-invocation by shard_parent: a FIXED default
+    # port let a second concurrent dryrun connect to the first job's
+    # coordination service as a "restarted" task and abort both (observed
+    # 2026-08-20: a micro test killed a 5M run 35 min in)
+    init_multihost(os.environ["DRYRUN_COORD"], nproc, pid)
     n_chrom = int(os.environ.get("DRYRUN_CHROMS", "24"))
     chrom_mb = float(os.environ.get("DRYRUN_CHROM_MB", "129"))
     n_reads = int(os.environ.get("DRYRUN_READS", "50000"))
@@ -391,11 +394,13 @@ def shard_parent(n_shards: int):
             return ["taskset", "-c", f"{lo}-{lo + per - 1}"] + base
         return base
 
+    coord = os.environ.get(
+        "DRYRUN_COORD", f"127.0.0.1:{20000 + os.getpid() % 20000}")
     procs = [subprocess.Popen(
         argv(pid),
         stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
         env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH":
-             os.path.dirname(os.path.dirname(me))})
+             os.path.dirname(os.path.dirname(me)), "DRYRUN_COORD": coord})
         for pid in range(n_shards)]
     stats = []
     for p in procs:
