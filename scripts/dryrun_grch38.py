@@ -317,6 +317,12 @@ def shard_worker(pid: int, nproc: int):
         else:
             # lockstep pad: peers may still have batches in flight
             idx.lookup_collective(np.zeros(0, np.uint64))
+        if pid == 0 and b and b % 64 == 0:
+            done_r = min(b * B, len(my))
+            el = time.perf_counter() - t0
+            print(f"# [0] align {b}/{n_batches} batches "
+                  f"({done_r / el:.0f} r/s/proc, {el:.0f}s, "
+                  f"rss={rss_gb():.1f}G)", file=sys.stderr, flush=True)
     t_align = time.perf_counter() - t0
     from lr2rmats_tpu.transcript.exon_chain import gen_exons
     exact = 0
