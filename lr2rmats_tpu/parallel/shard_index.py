@@ -271,6 +271,15 @@ class ShardedMinimizerIndex:
             while off < len(blob):
                 src, m, p32 = struct.unpack_from("<qqq", blob, off)
                 off += 24
+                if src != pid:
+                    # frame addressed to a peer: skip the body by
+                    # arithmetic — materializing its astype copies was
+                    # pure allocation churn (every process receives ALL
+                    # frames under allgather semantics)
+                    cnt_v = np.frombuffer(blob, np.int32, m, off + 4 * m)
+                    total = int(cnt_v.sum(dtype=np.int64))
+                    off += 8 * m + ((4 if p32 else 8) + 1) * total
+                    continue
                 idx = np.frombuffer(blob, np.int32, m, off)
                 off += 4 * m
                 cnt = np.frombuffer(blob, np.int32, m, off).astype(np.int64)
@@ -281,7 +290,7 @@ class ShardedMinimizerIndex:
                 off += (4 if p32 else 8) * total
                 pstr = np.frombuffer(blob, np.int8, total, off)
                 off += total
-                if src == pid and m:
+                if m:
                     counts[idx] = cnt
                     parsed.append((idx, cnt, ppos, pstr))
         lo = (np.cumsum(counts) - counts).astype(np.int64)

@@ -317,6 +317,18 @@ def shard_worker(pid: int, nproc: int):
         else:
             # lockstep pad: peers may still have batches in flight
             idx.lookup_collective(np.zeros(0, np.uint64))
+        if b and b % 32 == 0:
+            # return freed arena pages to the OS: the collective path's
+            # churn (per-batch multi-MB frames) can strand gigabytes of
+            # free-but-held memory in the glibc brk heap, inflating the
+            # recorded ru_maxrss peak (observed: 7 GB on worker 0)
+            import ctypes as _ct
+            import gc as _gc
+            _gc.collect()
+            try:
+                _ct.CDLL("libc.so.6").malloc_trim(0)
+            except OSError:
+                pass
         if pid == 0 and b and b % 64 == 0:
             done_r = min(b * B, len(my))
             el = time.perf_counter() - t0
