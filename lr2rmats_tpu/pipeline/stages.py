@@ -33,6 +33,31 @@ from ..transcript.model import UpdateGtfParams
 from ..utils import Timer, log
 
 
+_INIT_PROBE: Dict[str, object] = {}
+
+
+def start_init_probe() -> None:
+    """Launch the device-init probe subprocess WITHOUT waiting, so its
+    cost (interpreter + jax import + backend init, ~3-6 s healthy)
+    overlaps the ingestion/index stages instead of sitting on the align
+    critical path — a back-to-back 500k pair lost by exactly this margin
+    (TPU 163.1 vs CPU 162.1, TPU_500K pairs_r5 w1352)."""
+    import subprocess
+    import sys
+    import time
+    if (os.environ.get("LR2RMATS_NO_INIT_PROBE")
+            or os.environ.get("JAX_PLATFORMS", "") == "cpu"
+            or "p" in _INIT_PROBE):
+        return
+    try:
+        _INIT_PROBE["t0"] = time.monotonic()
+        _INIT_PROBE["p"] = subprocess.Popen(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except OSError:
+        _INIT_PROBE.pop("t0", None)
+
+
 def _device_init_ok(timeout_s: Optional[float] = None,
                     probe_code: str = "import jax; jax.devices()") -> bool:
     """The relay can HANG backend init outright — neither an exception
@@ -41,16 +66,31 @@ def _device_init_ok(timeout_s: Optional[float] = None,
     jax.devices() during an outage.  Probe init in a DISPOSABLE
     subprocess under a hard timeout before committing the align stage to
     the device backend; on probe failure the run rides the bit-equal
-    host paths from the start.  Skip with LR2RMATS_NO_INIT_PROBE=1;
-    budget via LR2RMATS_INIT_PROBE_S (default 45)."""
+    host paths from the start.  An async probe started earlier via
+    start_init_probe is joined here (its budget counts from launch).
+    Skip with LR2RMATS_NO_INIT_PROBE=1; budget via
+    LR2RMATS_INIT_PROBE_S (default 45)."""
     import subprocess
     import sys
+    import time
     if os.environ.get("LR2RMATS_NO_INIT_PROBE"):
         return True
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return True     # no relay involved; init cannot hang
     if timeout_s is None:
         timeout_s = float(os.environ.get("LR2RMATS_INIT_PROBE_S", "45"))
+    p = _INIT_PROBE.get("p")
+    if p is not None:
+        remaining = max(
+            0.5, timeout_s - (time.monotonic() - _INIT_PROBE["t0"]))
+        try:
+            return p.wait(timeout=remaining) == 0
+        except subprocess.TimeoutExpired:
+            p.kill()
+            return False
+        finally:
+            _INIT_PROBE.pop("p", None)
+            _INIT_PROBE.pop("t0", None)
     try:
         r = subprocess.run([sys.executable, "-c", probe_code],
                            capture_output=True, timeout=timeout_s)
@@ -227,6 +267,9 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
     pid, nproc = multihost_info()
     out_dir = cfg.out_dir
     _ensure_dirs(out_dir)
+    if use_tpu is not False:
+        # overlap the device-init probe with ingestion/indexing
+        start_init_probe()
     A = lambda *p: os.path.join(out_dir, *p)
     psuf = f".p{pid}" if nproc > 1 else ""
 

@@ -302,3 +302,35 @@ def test_init_probe_detects_hang_and_failure(monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     assert _device_init_ok(timeout_s=0.001,
                            probe_code="import time; time.sleep(30)")
+
+
+def test_async_init_probe_overlap(monkeypatch):
+    """start_init_probe launches without blocking; _device_init_ok joins
+    the SAME subprocess (no second spawn) and clears the handle."""
+    import time
+    from lr2rmats_tpu.pipeline import stages
+
+    monkeypatch.delenv("LR2RMATS_NO_INIT_PROBE", raising=False)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    stages._INIT_PROBE.clear()
+
+    # fake a pre-started probe that succeeds instantly
+    import subprocess
+    import sys
+    stages._INIT_PROBE["t0"] = time.monotonic()
+    stages._INIT_PROBE["p"] = subprocess.Popen([sys.executable, "-c", "pass"])
+    assert stages._device_init_ok(timeout_s=60.0)
+    assert "p" not in stages._INIT_PROBE
+
+    # a pre-started probe that hangs: joined under the remaining budget
+    stages._INIT_PROBE["t0"] = time.monotonic() - 100.0   # budget consumed
+    stages._INIT_PROBE["p"] = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(60)"])
+    t0 = time.monotonic()
+    assert not stages._device_init_ok(timeout_s=5.0)
+    assert time.monotonic() - t0 < 30.0     # floor wait, not a full spawn
+    assert "p" not in stages._INIT_PROBE
+
+    # cpu short-circuit never touches a pre-started handle
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert stages._device_init_ok(timeout_s=0.001)
