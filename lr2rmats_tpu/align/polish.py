@@ -395,42 +395,81 @@ def _constrained_place_many(items: List[tuple], ref: np.ndarray,
             qwin, L0, R0, don, acc = items[t]
             out[t] = _constrained_place(qwin, ref, L0, R0, don, acc)
         return out
+    import time as _time
+
     import jax
     M = _PLACE_M
-    G = -(-len(todo) // _PLACE_G) * _PLACE_G
-    # int8 lanes: genome/read codes are 0..4 and PAD=-9, so the H2D
-    # payload is 4x smaller than int32 (the relay charges ~35 ms/MB)
-    PAD = np.int8(-9)
-    q = np.full((M, G), PAD, np.int8)
-    qr = np.full((M, G), PAD, np.int8)
-    lwin = np.full((M + B, G), PAD, np.int8)
-    rwin = np.full((M + B, G), PAD, np.int8)
-    m_arr = np.zeros(G, np.int32)
-    dl_arr = np.zeros(G, np.int32)
-    dr_arr = np.zeros(G, np.int32)
-    for g, t in enumerate(todo):
-        qwin, L0, R0, don, acc = items[t]
-        m = len(qwin)
-        side = m + B                                    # span >= m+B here
-        q[:m, g] = qwin
-        qr[:m, g] = qwin[::-1]
-        lwin[:side, g] = ref[L0: L0 + side]
-        rwin[:side, g] = ref[R0 - side: R0][::-1]
-        m_arr[g] = m
-        dl_arr[g] = don - L0
-        dr_arr[g] = R0 - 1 - acc
-    import time as _time
-    _t0 = _time.perf_counter()
-    # only the per-lane best split SCORE comes back (the full [M+1, W, G]
-    # matrices were ~6.7 MB D2H per call over the relay); the handful of
-    # ACCEPTED placements re-run the ~2 ms host DP for the traceback in
-    # polish_batch.  Scores are integer-valued, so f32 == host f64 exactly.
-    try:
+
+    def _run_chunk(chunk):
+        """Pack + run one device call over `chunk` (todo indices); fills
+        out[]; returns the call wall.  Raises on device failure."""
+        G = -(-len(chunk) // _PLACE_G) * _PLACE_G
+        # int8 lanes: genome/read codes are 0..4 and PAD=-9, so the H2D
+        # payload is 4x smaller than int32 (the relay charges ~35 ms/MB)
+        PAD = np.int8(-9)
+        q = np.full((M, G), PAD, np.int8)
+        qr = np.full((M, G), PAD, np.int8)
+        lwin = np.full((M + B, G), PAD, np.int8)
+        rwin = np.full((M + B, G), PAD, np.int8)
+        m_arr = np.zeros(G, np.int32)
+        dl_arr = np.zeros(G, np.int32)
+        dr_arr = np.zeros(G, np.int32)
+        for g, t in enumerate(chunk):
+            qwin, L0, R0, don, acc = items[t]
+            m = len(qwin)
+            side = m + B                                # span >= m+B here
+            q[:m, g] = qwin
+            qr[:m, g] = qwin[::-1]
+            lwin[:side, g] = ref[L0: L0 + side]
+            rwin[:side, g] = ref[R0 - side: R0][::-1]
+            m_arr[g] = m
+            dl_arr[g] = don - L0
+            dr_arr[g] = R0 - 1 - acc
+        _t0 = _time.perf_counter()
+        # only the per-lane best split SCORE comes back (the full
+        # [M+1, W, G] matrices were ~6.7 MB D2H per call over the relay);
+        # the handful of ACCEPTED placements re-run the ~2 ms host DP for
+        # the traceback in polish_batch.  Scores are integer-valued, so
+        # f32 == host f64 exactly.
         best = np.asarray(jax.device_get(_polish_best_pair(
             jax.numpy.asarray(q), jax.numpy.asarray(qr),
             jax.numpy.asarray(lwin), jax.numpy.asarray(rwin),
             jax.numpy.asarray(m_arr), jax.numpy.asarray(dl_arr),
             jax.numpy.asarray(dr_arr))), np.float64)
+        wall = _time.perf_counter() - _t0
+        device_stats["wall_s"] += wall
+        device_stats["calls"] += 1
+        for g, t in enumerate(chunk):
+            # host split-choice loop requires sc > NEG/2 to accept any j;
+            # the device max over the same sums preserves that exactly
+            out[t] = ("defer", float(best[g])) if best[g] > NEG / 2 \
+                else None
+        return wall
+
+    # CANARY: a degraded-but-alive relay can stall a single polish call
+    # for minutes without raising (observed: 185 s inside one placement
+    # call while every chain batch was healthy, TPU_500K pairs_r5 w1430
+    # — the weather router can't see a call it isn't consulted about).
+    # A small first call bounds the stall exposure to ~1/30 of the
+    # payload; if it comes back slow, the remainder rides the bit-equal
+    # host DP.  Cost in good weather: one extra ~36-60 ms call floor.
+    CANARY_SLOW_S = float(os.environ.get("LR2RMATS_POLISH_CANARY_S", "3"))
+    chunks = ([todo[:_PLACE_G], todo[_PLACE_G:]]
+              if len(todo) > 2 * _PLACE_G else [todo])
+    try:
+        wall = _run_chunk(chunks[0])
+        if len(chunks) > 1:
+            if wall > CANARY_SLOW_S:
+                from ..utils.log import log
+                log("polish", "placement DP canary slow (%.1f s) — "
+                    "host DP for the remaining %d tasks", wall,
+                    len(chunks[1]))
+                for t in chunks[1]:
+                    qwin, L0, R0, don, acc = items[t]
+                    out[t] = _constrained_place(qwin, ref, L0, R0, don,
+                                                acc)
+            else:
+                _run_chunk(chunks[1])
     except Exception as e:  # device/relay failure mid-run: the scalar
         #                     host DP is bit-identical — recover, don't die
         from ..utils.log import log
@@ -438,12 +477,6 @@ def _constrained_place_many(items: List[tuple], ref: np.ndarray,
             "host DP from here on", e)
         device_stats["failed"] = True
         return _constrained_place_many(items, ref, host_dp=True)
-    device_stats["wall_s"] += _time.perf_counter() - _t0
-    device_stats["calls"] += 1
-    for g, t in enumerate(todo):
-        # host split-choice loop requires sc > NEG/2 to accept any j; the
-        # device max over the same sums preserves that exactly
-        out[t] = ("defer", float(best[g])) if best[g] > NEG / 2 else None
     return out
 
 

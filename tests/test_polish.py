@@ -246,3 +246,41 @@ def test_constrained_place_many_matches_scalar():
         assert want[1] == got[1] and want[2] == got[2]
         assert want[3] == got[3] and want[4] == got[4]
     assert n_defer > 0                    # the batch path actually ran
+
+
+def test_placement_canary_routes_remainder_to_host(monkeypatch):
+    """A slow canary call must route the REMAINING placement tasks to
+    the bit-equal host DP (TPU_500K pairs_r5 w1430: one placement call
+    stalled 185 s while every chain batch was healthy).  Forcing the
+    canary threshold to 0 makes every canary 'slow' deterministically;
+    results must equal the scalar path on every task."""
+    from lr2rmats_tpu.align.polish import (_PLACE_G, B, _constrained_place,
+                                           _constrained_place_many)
+    monkeypatch.setenv("LR2RMATS_POLISH_CANARY_S", "0")
+    rng = np.random.default_rng(78)
+    ref = rng.integers(0, 4, 400_000).astype(np.uint8)
+    items = []
+    # enough feasible batchable tasks to guarantee a canary + remainder
+    while len(items) < 2 * _PLACE_G + 50:
+        m = int(rng.integers(30, 120))
+        L0 = int(rng.integers(100, 300_000))
+        span = m + B + int(rng.integers(10, 3000))
+        R0 = L0 + span
+        qwin = ref[L0: L0 + m].copy()
+        don = L0 + int(rng.integers(0, m + B))
+        acc = don + max(span - m - B + 1, 10) - 1
+        items.append((qwin, L0, R0, don, acc))
+    got = _constrained_place_many(items, ref)
+    n_host_routed = 0
+    for it, g in zip(items, got):
+        want = _constrained_place(it[0], ref, it[1], it[2], it[3], it[4])
+        assert (want is None) == (g is None)
+        if want is None:
+            continue
+        if g[0] == "defer":
+            assert want[0] == g[1]
+        else:
+            n_host_routed += 1
+            assert want[0] == g[0]
+    # the post-canary remainder really went through the host DP
+    assert n_host_routed > 0
