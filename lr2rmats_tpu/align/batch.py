@@ -119,27 +119,31 @@ class _WeatherRouter:
 
     Decision model: the recorded device wall is the BLOCKED time only
     (dispatch + the fetch that was not hidden by the pipelined seed of
-    the next batch), so it is already slack-adjusted — in good weather it
-    sits at the link floor (~0.1-0.2 s/batch), in a collapse it balloons
-    (pair r5p1: 1.66 s/batch average while the old 2 s absolute
-    threshold never fired and the arm lost 272 s). The flip threshold is
-    therefore tied to the PIPELINE SLACK — the per-batch seed wall the
-    device must hide under, fed live via note_slack — with a floor:
-    flip when wall > max(SLACK_FLIP x slack, ABS_SLOW_S) for CONSEC
-    batches; a recovery probe passes at max(slack, MIN_WALL_S). The
-    host-materialize ops/s samples (note_host) remain as observability
-    for the log line. GRACE absorbs first-shape compiles the persistent
-    cache missed; a false flip self-heals at the next probe. Kill
-    switch: LR2RMATS_NO_WEATHER_ROUTE=1.
+    the next batch) — ALREADY overlap-adjusted, i.e. pure critical-path
+    cost. Measured anchors: healthy relay ~0.09 s/batch at 3072
+    (pairs w1352/w1422); mid-grade degradation 0.41 s/batch silently
+    cost ~50 s (w1440, under the first 0.6 s bar); collapse 1.66 s/batch
+    cost 272 s (r5p1, under the original 2 s bar). The alternative — the
+    bit-equal host chain on the main thread — costs ~0.03-0.1 s/batch
+    (note_host feeds a live estimate once any batch has host-chained).
+    Flip when wall > max(ABS_SLOW_S, EST_MARGIN x host_est) for CONSEC
+    batches; a probe recovers at max(MIN_WALL_S, RECOVER x host_est).
+    An earlier design also exempted walls under the pipeline slack
+    (note_slack) — wrong: the blocked wall is NET of overlap, so the
+    slack term double-counted the hiding and let w1440 bleed. note_slack
+    remains as observability only. GRACE absorbs first-shape compiles
+    the persistent cache missed; a false flip self-heals at the next
+    probe. Kill switch: LR2RMATS_NO_WEATHER_ROUTE=1.
     """
 
-    SLACK_FLIP = 1.25   # device wall above this x slack = actively losing
+    EST_MARGIN = 3.0    # device must lose 3x to the measured host chain
+    RECOVER = 1.5       # probe recovery margin over the host estimate
     CONSEC = 2          # consecutive slow batches required to flip
     PROBE_EVERY = 16    # while slow, first re-probe after N batches
     PROBE_MAX = 128     # probe-interval backoff cap (doubles per failure)
     GRACE = 2           # ignore the first N device batches (cold compiles)
-    MIN_WALL_S = 0.25   # never flip on sub-noise batch walls
-    ABS_SLOW_S = 0.6    # no slack estimate yet: absolute slow threshold
+    MIN_WALL_S = 0.2    # recovery floor / never flip under this wall
+    ABS_SLOW_S = 0.3    # absolute slow bar (healthy ~0.09, w1440 0.41)
     EMA = 0.3           # slack / host ops/s smoothing
 
     def __init__(self, enabled: bool = True):
@@ -186,16 +190,13 @@ class _WeatherRouter:
         MAIN THREAD ONLY (same discipline as the dispatch itself)."""
         if not self.enabled:
             return False
-        slack = self._slack_s
         est = self.host_est_s(ops)
         if self.slow:
             # this was a probe batch: the device earns its way back by
-            # fitting under the pipeline slack again — or by simply
-            # beating the measured host-chain cost for the same rows
-            thr = slack if slack is not None else self.ABS_SLOW_S
-            if est is not None:
-                thr = max(thr, est)
-            if wall_s <= max(thr, self.MIN_WALL_S):
+            # landing near the healthy floor / the measured host cost
+            thr = max(self.MIN_WALL_S,
+                      self.RECOVER * est if est is not None else 0.0)
+            if wall_s <= thr:
                 self.slow = False
                 self._slow_n = 0
                 self._seen = 0      # fresh grace for possible recompiles
@@ -211,13 +212,11 @@ class _WeatherRouter:
         self._seen += 1
         if self._seen <= self.GRACE:
             return False
-        thr = max(self.SLACK_FLIP * slack if slack is not None else 0.0,
-                  self.ABS_SLOW_S)
-        if est is not None:
-            # never flip to a host path that is itself slower: the device
-            # must lose to BOTH the pipeline slack and the measured host
-            # chain cost for the same work
-            thr = max(thr, est)
+        # never flip to a host path that is itself slower: the device must
+        # lose by EST_MARGIN to the measured host chain when an estimate
+        # exists, and exceed the absolute bar either way
+        thr = max(self.ABS_SLOW_S,
+                  self.EST_MARGIN * est if est is not None else 0.0)
         if wall_s > max(thr, self.MIN_WALL_S):
             self._slow_n += 1
             if self._slow_n >= self.CONSEC:

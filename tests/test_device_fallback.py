@@ -169,9 +169,6 @@ def _tame_router(monkeypatch, probe_every=16):
     # loaded test host (suite + background jobs) can stall any small call
     monkeypatch.setattr(_WeatherRouter, "MIN_WALL_S", 0.25)
     monkeypatch.setattr(_WeatherRouter, "ABS_SLOW_S", 0.3)
-    # pin the slack term: on a loaded test host the tiny batches' seed
-    # walls can exceed the throttle sleep and mask the flip
-    monkeypatch.setattr(_WeatherRouter, "SLACK_FLIP", 0.0)
     monkeypatch.setattr(_WeatherRouter, "PROBE_EVERY", probe_every)
 
 
