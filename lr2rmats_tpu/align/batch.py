@@ -139,6 +139,15 @@ class _WeatherRouter:
     EST_MARGIN = 3.0    # device must lose 3x to the measured host chain
     RECOVER = 1.5       # probe recovery margin over the host estimate
     CONSEC = 2          # consecutive slow batches required to flip
+    EXCESS_FLIP_S = 1.5  # leaky-bucket cumulative excess wall to flip:
+    #                      SPIKY degradation (huge single stalls with
+    #                      healthy batches between, pair w1518: 122 s
+    #                      over 164 calls, zero CONSEC flips) never
+    #                      yields 2 consecutive slow batches.  With decay
+    #                      0.9, 1 s stalls every 4th batch settle at
+    #                      ~2.0 and flip; a single 1.5 s compile stall
+    #                      (1.2 excess) does not
+    EXCESS_DECAY = 0.9  # bucket decay per batch
     PROBE_EVERY = 16    # while slow, first re-probe after N batches
     PROBE_MAX = 128     # probe-interval backoff cap (doubles per failure)
     GRACE = 2           # ignore the first N device batches (cold compiles)
@@ -155,9 +164,14 @@ class _WeatherRouter:
         self._probe_n = 0
         self._probe_every = self.PROBE_EVERY
         self._seen = 0
+        self._excess = 0.0
         self._host_ops_s: Optional[float] = None
         self._slack_s: Optional[float] = None
         self._lock = threading.Lock()
+        # observability: batch-wall distribution for the phases log line
+        self.wall_max = 0.0
+        self.wall_over_n = 0    # batches with wall > ABS_SLOW_S
+        self.wall_n = 0
 
     def note_slack(self, wall_s: float) -> None:
         """Feed one batch's seed wall (the overlap budget a device wait
@@ -210,6 +224,10 @@ class _WeatherRouter:
             self._probe_n = 0
             return False
         self._seen += 1
+        self.wall_n += 1
+        self.wall_max = max(self.wall_max, wall_s)
+        if wall_s > self.ABS_SLOW_S:
+            self.wall_over_n += 1
         if self._seen <= self.GRACE:
             return False
         # never flip to a host path that is itself slower: the device must
@@ -217,11 +235,23 @@ class _WeatherRouter:
         # exists, and exceed the absolute bar either way
         thr = max(self.ABS_SLOW_S,
                   self.EST_MARGIN * est if est is not None else 0.0)
+        # leaky bucket for SPIKY degradation: single multi-second stalls
+        # with healthy batches between never produce CONSEC slow batches
+        self._excess = (self._excess * self.EXCESS_DECAY +
+                        max(0.0, wall_s - thr))
+        if self._excess > self.EXCESS_FLIP_S:
+            self.slow = True
+            self._slow_n = 0
+            self._excess = 0.0
+            self._probe_n = 0
+            self.flips += 1
+            return True
         if wall_s > max(thr, self.MIN_WALL_S):
             self._slow_n += 1
             if self._slow_n >= self.CONSEC:
                 self.slow = True
                 self._probe_n = 0
+                self._excess = 0.0
                 self.flips += 1
                 return True
         else:

@@ -408,12 +408,15 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                     rb = aligner.align_seqset_packed(long_reads)
                     n = rb.n
                     st = aligner.stats
+                    w = aligner.weather
                     log("align", "%s: phases device=%.1fs (%d calls) "
-                        "seed=%.1fs dispatch=%.1fs build=%.1fs polish=%.1fs",
+                        "seed=%.1fs dispatch=%.1fs build=%.1fs polish=%.1fs"
+                        " walls[>%.1fs:%d/%d max:%.1fs flips:%d]",
                         sample, st.get("device_wall_s", 0.0),
                         st.get("device_calls", 0), st.get("seed_s", 0.0),
                         st.get("dispatch_s", 0.0), st.get("build_s", 0.0),
-                        st.get("polish_s", 0.0))
+                        st.get("polish_s", 0.0), w.ABS_SLOW_S,
+                        w.wall_over_n, w.wall_n, w.wall_max, w.flips)
                     from ..io.sam import sam_header
                     hdr = sam_header(aligner.refs).encode()
                     body = rb.emit_sam_array(aligner.refs)

@@ -331,3 +331,34 @@ def test_async_init_probe_overlap(monkeypatch):
     # cpu short-circuit never touches a pre-started handle
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     assert stages._device_init_ok(timeout_s=0.001)
+
+
+def test_weather_spiky_stalls_flip_via_leaky_bucket(monkeypatch):
+    """SPIKY degradation — huge single stalls with healthy batches
+    between (pair w1518: 122 s over 164 calls, zero CONSEC flips) —
+    must flip via the cumulative-excess bucket."""
+    import time as _t
+    genome, ss = _workload(seed=13, n_reads=300)
+    sam_host, _ = _run(genome, ss, "host")
+
+    from lr2rmats_tpu.align.batch import _WeatherRouter
+    monkeypatch.setattr(_WeatherRouter, "GRACE", 0)
+    monkeypatch.setattr(_WeatherRouter, "EXCESS_FLIP_S", 0.6)
+    import lr2rmats_tpu.ops.chain_jax as cj
+    real = cj.dispatch_multi_packed
+    calls = {"n": 0}
+
+    def spiky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] % 3 == 0:      # every 3rd batch stalls hard
+            _t.sleep(0.8)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cj, "dispatch_multi_packed", spiky)
+    sam_dev, al = _run(genome, ss, "jax")
+    w = al.weather
+    assert al.weather.slow or al.weather.flips >= 1, (
+        f"calls={calls['n']} wall_n={w.wall_n} over={w.wall_over_n} "
+        f"max={w.wall_max:.2f} excess={w._excess:.2f}")
+    assert not al.device_failed
+    assert sam_dev == sam_host
