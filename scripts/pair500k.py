@@ -100,14 +100,21 @@ def main():
     arms = (["tpu", "cpu"] if args.order == "tpu-first" else ["cpu", "tpu"])
     res = {}
     digs = {}
+    dirs = []
     for arm in arms:
         outdir = f"/tmp/pair500k_{args.tag}_{arm}"
+        dirs.append(outdir)
         r = run_arm(arm, outdir, args.budget)
         if r is None:
             say("pair aborted")
             sys.exit(1)
         res[arm] = r
         digs[arm] = output_digests(outdir)
+    # disk hygiene: each arm's outputs are ~1.5 GB and the digests above
+    # are the recorded evidence — a day of pairs filled /tmp once
+    import shutil
+    for dd in dirs:
+        shutil.rmtree(dd, ignore_errors=True)
 
     same = digs["tpu"] == digs["cpu"]
     if not same:
