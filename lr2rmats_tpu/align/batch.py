@@ -159,6 +159,7 @@ class _WeatherRouter:
         import threading
         self.enabled = enabled
         self.slow = False
+        self.preflipped = False  # started slow via a pre-flight link probe
         self.flips = 0          # total state changes (observability/tests)
         self._slow_n = 0
         self._probe_n = 0
@@ -257,6 +258,21 @@ class _WeatherRouter:
         else:
             self._slow_n = 0
         return False
+
+    def preflip(self) -> None:
+        """Start in the slow (host-routed) state: a pre-flight link probe
+        measured a degraded relay BEFORE any batch ran.  The in-run
+        router can only react after paying for slow batches — pair
+        r5s_1837 lost 115 s to a window whose degradation (d2h
+        9.1 MB/s) was visible at probe time.  Recoverable exactly like a
+        measured flip: every `_probe_every`-th batch re-probes the
+        device, so a false preflip costs ~PROBE_EVERY host-routed
+        batches (~0 on this rig: the host twin is bit-equal and fast)."""
+        if not self.enabled:
+            return
+        self.slow = True
+        self.preflipped = True
+        self._probe_n = 0
 
     def route_device(self) -> bool:
         """Main-loop gate: True = dispatch this batch to the device."""

@@ -35,6 +35,62 @@ from ..utils import Timer, log
 
 _INIT_PROBE: Dict[str, object] = {}
 
+# Pre-flight probe run in a DISPOSABLE subprocess: backend init (can hang
+# outright in an outage) + link speed (call floor, D2H bandwidth) printed
+# as one JSON line.  Shapes match scripts/weather_probe.py so the
+# persistent compile cache (utils/devcache.py) makes the matmul a replay,
+# not a 10-40 s relay compile.
+_LINK_PROBE_CODE = """\
+import json, time
+import jax, jax.numpy as jnp
+import numpy as np
+jax.devices()
+out = {}
+f = jax.jit(lambda a: a @ a)
+x = jnp.ones((512, 512))
+jax.device_get(f(x))
+walls = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    jax.device_get(f(x))
+    walls.append(time.perf_counter() - t0)
+out["call_ms"] = round(sorted(walls)[1] * 1e3, 1)
+big = jnp.asarray(np.zeros((2 << 20,), np.uint8))
+t0 = time.perf_counter()
+jax.device_get(big)
+out["d2h_mb_s"] = round(2.0 / max(time.perf_counter() - t0, 1e-9), 1)
+print(json.dumps(out))
+"""
+
+
+def _probe_env() -> Dict[str, str]:
+    """Child env with the persistent compile cache pre-pointed (the child
+    cannot import lr2rmats_tpu — cwd is the user's, not the repo's)."""
+    env = dict(os.environ)
+    cache = env.get("LR2RMATS_JAX_CACHE")
+    if cache != "0":
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", cache or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"))
+    return env
+
+
+def _parse_probe_out(stdout) -> Dict[str, object]:
+    """Last JSON line of the probe's stdout, merged over {'ok': True} —
+    a probe that inits fine but prints nothing still counts as alive."""
+    link: Dict[str, object] = {"ok": True}
+    try:
+        text = stdout.decode() if isinstance(stdout, bytes) else (stdout or "")
+        for line in reversed(text.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                import json
+                link.update(json.loads(line))
+                break
+    except Exception:
+        pass
+    return link
+
 
 def start_init_probe() -> None:
     """Launch the device-init probe subprocess WITHOUT waiting, so its
@@ -52,21 +108,25 @@ def start_init_probe() -> None:
     try:
         _INIT_PROBE["t0"] = time.monotonic()
         _INIT_PROBE["p"] = subprocess.Popen(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            [sys.executable, "-c", _LINK_PROBE_CODE], env=_probe_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
     except OSError:
         _INIT_PROBE.pop("t0", None)
 
 
 def _device_init_ok(timeout_s: Optional[float] = None,
-                    probe_code: str = "import jax; jax.devices()") -> bool:
+                    probe_code: Optional[str] = None
+                    ) -> Optional[Dict[str, object]]:
     """The relay can HANG backend init outright — neither an exception
     (failure fallback) nor a slow measurable batch (weather router):
     observed 2026-08-20, a 500k TPU arm sat 20+ minutes inside
     jax.devices() during an outage.  Probe init in a DISPOSABLE
     subprocess under a hard timeout before committing the align stage to
-    the device backend; on probe failure the run rides the bit-equal
-    host paths from the start.  An async probe started earlier via
+    the device backend; on probe failure (None) the run rides the
+    bit-equal host paths from the start.  On success returns the probe's
+    link measurements ({'ok': True, 'call_ms': ..., 'd2h_mb_s': ...}) so
+    the caller can pre-flip the weather router on a degraded-but-alive
+    link (see _link_degraded).  An async probe started earlier via
     start_init_probe is joined here (its budget counts from launch).
     Skip with LR2RMATS_NO_INIT_PROBE=1; budget via
     LR2RMATS_INIT_PROBE_S (default 45)."""
@@ -74,9 +134,9 @@ def _device_init_ok(timeout_s: Optional[float] = None,
     import sys
     import time
     if os.environ.get("LR2RMATS_NO_INIT_PROBE"):
-        return True
+        return {"ok": True}
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        return True     # no relay involved; init cannot hang
+        return {"ok": True}     # no relay involved; init cannot hang
     if timeout_s is None:
         timeout_s = float(os.environ.get("LR2RMATS_INIT_PROBE_S", "45"))
     p = _INIT_PROBE.get("p")
@@ -84,19 +144,43 @@ def _device_init_ok(timeout_s: Optional[float] = None,
         remaining = max(
             0.5, timeout_s - (time.monotonic() - _INIT_PROBE["t0"]))
         try:
-            return p.wait(timeout=remaining) == 0
+            out, _ = p.communicate(timeout=remaining)
+            return _parse_probe_out(out) if p.returncode == 0 else None
         except subprocess.TimeoutExpired:
             p.kill()
-            return False
+            return None
         finally:
             _INIT_PROBE.pop("p", None)
             _INIT_PROBE.pop("t0", None)
     try:
-        r = subprocess.run([sys.executable, "-c", probe_code],
-                           capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
+        r = subprocess.run(
+            [sys.executable, "-c", probe_code or _LINK_PROBE_CODE],
+            env=_probe_env(), capture_output=True, timeout=timeout_s)
+        return _parse_probe_out(r.stdout) if r.returncode == 0 else None
     except (subprocess.TimeoutExpired, OSError):
-        return False
+        return None
+
+
+def _link_degraded(link: Optional[Dict[str, object]]) -> Optional[str]:
+    """Reason string iff the probe's link measurements are under the
+    preflip bars (LR2RMATS_PREFLIP_CALL_MS, default 250 — healthy floor
+    is ~70-90 ms; LR2RMATS_PREFLIP_D2H_MB_S, default 12 — healthy link
+    30-56 MB/s).  Conservative on purpose: a false preflip costs ~16
+    host-routed batches before the router's probe recovers, a missed
+    one costs a silently-degraded run (pair r5s_1837: d2h 9.1 MB/s at
+    probe time, TPU arm lost by 115 s)."""
+    if not link:
+        return None
+    call_ms = link.get("call_ms")
+    d2h = link.get("d2h_mb_s")
+    max_call = float(os.environ.get("LR2RMATS_PREFLIP_CALL_MS", "250"))
+    min_d2h = float(os.environ.get("LR2RMATS_PREFLIP_D2H_MB_S", "12"))
+    parts = []
+    if isinstance(call_ms, (int, float)) and call_ms > max_call:
+        parts.append(f"call {call_ms:.0f} ms > {max_call:.0f}")
+    if isinstance(d2h, (int, float)) and d2h < min_d2h:
+        parts.append(f"d2h {d2h:.1f} MB/s < {min_d2h:.0f}")
+    return ", ".join(parts) or None
 from .commands import cmd_filter, cmd_unique_gtf, cmd_update_gtf
 from .config import PipelineConfig
 
@@ -392,7 +476,8 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                                                         ".tmmi.npz")
                             idx = MinimizerIndex.build_or_load(genome, cache)
                         backend = "host" if use_tpu is False else "jax"
-                        if backend != "host" and not _device_init_ok():
+                        link = _device_init_ok() if backend != "host" else None
+                        if backend != "host" and not link:
                             log("align", "device backend init probe "
                                 "failed/hung; riding the bit-equal host "
                                 "paths for this run")
@@ -404,6 +489,14 @@ def run_pipeline(cfg: PipelineConfig, align_params: Optional[AlignParams] = None
                             enable_compile_cache()
                         aligner = BatchAligner(genome, align_params, index=idx,
                                                backend=backend)
+                        degraded = (_link_degraded(link)
+                                    if backend != "host" else None)
+                        if degraded:
+                            aligner.weather.preflip()
+                            log("align", "init probe measured a degraded "
+                                "link (%s); starting weather-routed to the "
+                                "bit-equal host chain path (device "
+                                "re-probes periodically)", degraded)
                     long_reads = read_fasta(reads.long_read)
                     rb = aligner.align_seqset_packed(long_reads)
                     n = rb.n

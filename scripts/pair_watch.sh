@@ -18,13 +18,16 @@ while [ "$n" -lt "$MAX_PAIRS" ]; do
     probe=$(timeout 150 env PYTHONPATH=/root/.axon_site \
             python scripts/weather_probe.py 2>/dev/null)
     echo "[pair-watch $(date +%H:%M:%S)] probe: ${probe:-timeout/fail}"
-    # usable = init+first call completed and call_ms under 200 ms; the
-    # router protects against mid-run collapse either way
+    # usable = init+first call completed, call floor healthy AND the d2h
+    # link above the preflip bar — pair r5s_1837 fired on call_ms alone
+    # (71.7 ms) while d2h sat at 9.1 MB/s and lost by 115 s; the
+    # preflip would now contain that, but a WIN needs a healthy link
     ok=$(python - << EOF
 import json, sys
 try:
     d = json.loads('''$probe''')
-    print(1 if d.get("call_ms", 9e9) < 200 else 0)
+    print(1 if (d.get("call_ms", 9e9) < 150
+                and d.get("d2h_mb_s", 0) > 15) else 0)
 except Exception:
     print(0)
 EOF

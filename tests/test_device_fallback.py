@@ -362,3 +362,79 @@ def test_weather_spiky_stalls_flip_via_leaky_bucket(monkeypatch):
         f"max={w.wall_max:.2f} excess={w._excess:.2f}")
     assert not al.device_failed
     assert sam_dev == sam_host
+
+
+def test_preflipped_router_starts_host_and_recovers(monkeypatch):
+    """A pre-flight link probe measuring a degraded relay pre-flips the
+    router (pair r5s_1837: d2h 9.1 MB/s at probe time, TPU arm lost by
+    115 s): the run starts on the bit-equal host chain path, the
+    periodic probe finds the device healthy and flips back, and the
+    output stays byte-identical."""
+    genome, ss = _workload(seed=19, n_reads=300)
+    sam_host, _ = _run(genome, ss, "host")
+
+    _tame_router(monkeypatch, probe_every=2)
+    import lr2rmats_tpu.ops.chain_jax as cj
+    real = cj.dispatch_multi_packed
+    calls = {"n": 0}
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cj, "dispatch_multi_packed", counting)
+
+    idx = MinimizerIndex.build(genome)
+    al = BatchAligner(genome, index=idx, backend="jax")
+    try:
+        al.weather.preflip()
+        assert al.weather.slow and al.weather.preflipped
+        rb = al.align_seqset_packed(ss, batch_size=32)
+        sam_dev = rb.emit_sam(al.refs)
+    finally:
+        al.close()
+    assert not al.weather.slow          # healthy probe flipped it back
+    assert al.weather.flips >= 1
+    assert calls["n"] >= 1              # device traffic resumed
+    assert sam_dev == sam_host
+
+
+def test_preflip_noop_when_router_disabled():
+    from lr2rmats_tpu.align.batch import _WeatherRouter
+    w = _WeatherRouter(enabled=False)
+    w.preflip()
+    assert not w.slow and not w.preflipped
+    assert w.route_device()
+
+
+def test_init_probe_returns_link_measurements(monkeypatch):
+    """_device_init_ok parses the probe's JSON line into the returned
+    dict; a probe that prints nothing still counts as alive."""
+    from lr2rmats_tpu.pipeline import stages
+    monkeypatch.delenv("LR2RMATS_NO_INIT_PROBE", raising=False)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    link = stages._device_init_ok(
+        timeout_s=60.0,
+        probe_code="print('noise'); "
+                   "print('{\"call_ms\": 321.0, \"d2h_mb_s\": 7.5}')")
+    assert link and link["call_ms"] == 321.0 and link["d2h_mb_s"] == 7.5
+    link = stages._device_init_ok(timeout_s=60.0, probe_code="pass")
+    assert link == {"ok": True}
+
+
+def test_link_degraded_bars(monkeypatch):
+    """Preflip decision: default bars (call 250 ms, d2h 12 MB/s), env
+    overrides, and the no-measurement cases."""
+    from lr2rmats_tpu.pipeline.stages import _link_degraded
+    monkeypatch.delenv("LR2RMATS_PREFLIP_CALL_MS", raising=False)
+    monkeypatch.delenv("LR2RMATS_PREFLIP_D2H_MB_S", raising=False)
+    assert _link_degraded(None) is None
+    assert _link_degraded({"ok": True}) is None           # init-only probe
+    assert _link_degraded({"call_ms": 80.0, "d2h_mb_s": 35.0}) is None
+    # the measured r5s_1837 window: call fine, d2h collapsed
+    r = _link_degraded({"call_ms": 71.7, "d2h_mb_s": 9.1})
+    assert r and "d2h" in r
+    r = _link_degraded({"call_ms": 900.0, "d2h_mb_s": 40.0})
+    assert r and "call" in r
+    monkeypatch.setenv("LR2RMATS_PREFLIP_D2H_MB_S", "5")
+    assert _link_degraded({"call_ms": 71.7, "d2h_mb_s": 9.1}) is None
