@@ -69,6 +69,26 @@ def _enable_compile_cache() -> None:
         hb(f"compile cache unavailable: {e}")
 
 
+def _probe_link(jax) -> dict:
+    """In-process link probe (shapes match scripts/weather_probe.py so the
+    compile cache replays): median small-call wall + 2 MB D2H bandwidth,
+    fed to pipeline/stages._link_degraded for the preflip decision."""
+    import jax.numpy as jnp
+    f = jax.jit(lambda a: a @ a)
+    x = jnp.ones((512, 512))
+    jax.device_get(f(x))
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f(x))
+        walls.append(time.perf_counter() - t0)
+    big = jnp.asarray(np.zeros((2 << 20,), np.uint8))
+    t0 = time.perf_counter()
+    jax.device_get(big)
+    return {"call_ms": round(sorted(walls)[1] * 1e3, 1),
+            "d2h_mb_s": round(2.0 / max(time.perf_counter() - t0, 1e-9), 1)}
+
+
 def build_genome(n_bases: int, rng):
     from lr2rmats_tpu.io.fasta import Genome
     codes = rng.integers(0, 4, n_bases).astype(np.uint8)
@@ -257,8 +277,26 @@ def main():
 
     import jax
     platform = jax.devices()[0].platform
-    hb(f"platform={platform}; warmup: compiling chain kernel shapes")
-    aligner.warmup_chain_shapes()
+    # same pre-flight routing decision the production pipeline makes
+    # (pipeline/stages.py): measure the link and pre-flip the weather
+    # router in a degraded window, so the bench reports what the
+    # production backend would actually do there (host chain path with
+    # periodic device re-probes) instead of bleeding degraded calls
+    link = degraded = None
+    if platform != "cpu":
+        try:
+            link = _probe_link(jax)
+            from lr2rmats_tpu.pipeline.stages import _link_degraded
+            degraded = _link_degraded(link)
+        except Exception:
+            pass
+    if degraded:
+        aligner.weather.preflip()
+        hb(f"link degraded ({degraded}); weather router preflipped -> "
+           "host chain path (production routing); skipping device warmup")
+    else:
+        hb(f"platform={platform}; warmup: compiling chain kernel shapes")
+        aligner.warmup_chain_shapes()
     hb("warmup: small batch")
     aligner.align_batch(names[:64], reads[:64])
     hb("warmup done")
@@ -298,6 +336,8 @@ def main():
     est_flops = st["anchors"] * W * 4 * 12
     detail = {
         "platform": platform,
+        "link_probe": link,
+        "weather_preflip": bool(degraded),
         "err_profile": tag,
         "n_reads": len(reads),
         "genome_mb": GENOME_MB,
